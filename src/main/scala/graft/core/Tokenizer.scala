@@ -1,0 +1,124 @@
+package graft.core
+
+import java.util.Locale
+
+/** Tokenization with the reference engine's exact semantics
+  * (reference: src/query_parser/tokenizer.rs:89-225):
+  *
+  *  - split on whitespace runs (Rust `split_whitespace`);
+  *  - `cleanWord`: lowercase, then strip LEADING and TRAILING
+  *    non-alphanumeric chars, keeping interior ones
+  *    ("test-case" -> "test-case", "\"hello,\"" -> "hello");
+  *  - a token whose cleaned form is empty is dropped, but the position
+  *    counter still advances (tokenizer.rs:169,220) — positions are raw
+  *    whitespace-token indices, 0-based;
+  *  - surviving tokens are lemmatized by exact-map lookup, pass-through
+  *    on miss (tokenizer.rs:33-41);
+  *  - query bigrams join consecutive SURVIVING lemmas with a single
+  *    space at position (currentRawPos - 1) (tokenizer.rs:159-164).
+  */
+object Tokenizer {
+
+  final case class Token(position: Int, term: String)
+
+  /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. */
+  def isAlnum(c: Char): Boolean =
+    Character.isLetter(c) || {
+      val t = Character.getType(c)
+      t == Character.DECIMAL_DIGIT_NUMBER ||
+      t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+    }
+
+  def cleanWord(word: String): String = {
+    val lower = word.toLowerCase(Locale.ROOT)
+    var start = 0
+    var end = lower.length
+    while (start < end && !isAlnum(lower.charAt(start))) start += 1
+    while (end > start && !isAlnum(lower.charAt(end - 1))) end -= 1
+    lower.substring(start, end)
+  }
+
+  /** Parse the reference's lemma-file format (tokenizer.rs:52-87):
+    * `lemma,"variant1, variant2, …"` per line; maps variant -> lemma.
+    */
+  def parseLemmas(lines: Iterator[String]): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    lines.foreach { line =>
+      if (line.trim.nonEmpty) {
+        val comma = line.indexOf(',')
+        if (comma >= 0) {
+          val key = line.substring(0, comma).trim
+          val values = line.substring(comma + 1).trim
+            .stripPrefix("\"").stripSuffix("\"")
+          values.split(',').iterator.map(_.trim).filter(_.nonEmpty)
+            .foreach(v => b += (v -> key))
+        }
+      }
+    }
+    b.result()
+  }
+
+  private def isWs(c: Char): Boolean = Character.isWhitespace(c)
+
+  /** Split on whitespace runs, yielding (rawPosition, word). Matches Rust
+    * `split_whitespace`: runs collapse, leading/trailing ignored, and the
+    * position index counts non-empty whitespace-separated words.
+    */
+  def splitWhitespace(text: String): Iterator[String] = new Iterator[String] {
+    private var i = 0
+    private def skipWs(): Unit = while (i < text.length && isWs(text.charAt(i))) i += 1
+    skipWs()
+    def hasNext: Boolean = i < text.length
+    def next(): String = {
+      val start = i
+      while (i < text.length && !isWs(text.charAt(i))) i += 1
+      val w = text.substring(start, i)
+      skipWs()
+      w
+    }
+  }
+
+  /** Document tokenization (tokenizer.rs:178-225). */
+  def tokenize(text: String, lemmas: Map[String, String]): Seq[Token] = {
+    if (text.trim.isEmpty) return Nil
+    val out = Seq.newBuilder[Token]
+    var position = 0
+    splitWhitespace(text).foreach { word =>
+      val cleaned = cleanWord(word)
+      if (cleaned.nonEmpty) {
+        val term = lemmas.getOrElse(cleaned, cleaned)
+        out += Token(position, term)
+      }
+      position += 1
+    }
+    out.result()
+  }
+
+  /** Raw whitespace-token count (positions domain size). */
+  def rawTokenCount(text: String): Int = splitWhitespace(text).size
+
+  final case class QueryTokens(unigrams: Seq[Token], bigrams: Seq[Token])
+
+  /** Query tokenization: unigrams + skip-over-empty bigrams
+    * (tokenizer.rs:123-176).
+    */
+  def tokenizeQuery(text: String, lemmas: Map[String, String]): QueryTokens = {
+    if (text.trim.isEmpty) return QueryTokens(Nil, Nil)
+    val unis = Seq.newBuilder[Token]
+    val bis = Seq.newBuilder[Token]
+    var position = 0
+    var prev: Option[String] = None
+    splitWhitespace(text).foreach { word =>
+      val cleaned = cleanWord(word)
+      if (cleaned.nonEmpty) {
+        val term = lemmas.getOrElse(cleaned, cleaned)
+        unis += Token(position, term)
+        prev.foreach(p => bis += Token(position - 1, s"$p $term"))
+        prev = Some(term)
+      }
+      position += 1
+    }
+    QueryTokens(unis.result(), bis.result())
+  }
+}
