@@ -1,0 +1,156 @@
+package graft.oracle
+
+import graft.core.Tokenizer
+import graft.corpus.Turn
+import graft.index.Bm25
+
+/** Single-node scalar oracle: plain Scala collections, written
+  * independently of the Spark path, computing the same semantics —
+  * tokenize -> postings -> df/tf -> BM25 -> top-k. The golden source for
+  * rank-identity tests (SURVEY.md §5(3), BASELINE.md top-k fidelity).
+  */
+class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
+    k1: Double = Bm25.K1, b: Double = Bm25.B) {
+
+  /** doc_id = dense 1-based rank under (conv_id, turn_idx) order. */
+  val docsSorted: Vector[Turn] =
+    turns.sortBy(t => (t.conv_id, t.turn_idx)).toVector
+
+  val docIdOf: Map[(String, Int), Long] =
+    docsSorted.zipWithIndex.map { case (t, i) => (t.conv_id, t.turn_idx) -> (i + 1L) }.toMap
+
+  /** doc_id -> (term -> sorted positions). */
+  val forward: Vector[(Long, Map[String, Vector[Int]], Int)] =
+    docsSorted.zipWithIndex.map { case (t, i) =>
+      val toks = Tokenizer.tokenize(t.text, lemmas)
+      val byTerm = toks.groupBy(_.term).map { case (term, ts) =>
+        term -> ts.map(_.position).toVector
+      }
+      (i + 1L, byTerm, toks.length)
+    }
+
+  val nDocs: Long = docsSorted.size.toLong
+  val docLen: Map[Long, Int] = forward.map(f => f._1 -> f._3).toMap
+  val avgdl: Double = {
+    // Same expression the Spark side computes via avg(doc_len).
+    if (nDocs == 0) 0.0 else docLen.values.map(_.toLong).sum.toDouble / nDocs
+  }
+
+  /** term -> sorted (doc_id, tf, positions). */
+  val postings: Map[String, Vector[(Long, Int, Vector[Int])]] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int, Vector[Int])]]
+    forward.foreach { case (docId, byTerm, _) =>
+      byTerm.foreach { case (term, ps) =>
+        m.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty)
+          .append((docId, ps.length, ps))
+      }
+    }
+    m.map { case (t, v) => t -> v.sortBy(_._1).toVector }.toMap
+  }
+
+  /** term_id = dense 1-based rank in byte-order term sort. */
+  val termId: Map[String, Long] =
+    postings.keys.toVector.sorted.zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+
+  def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
+  def idf(term: String): Double = Bm25.idf(nDocs, df(term))
+
+  /** BM25 top-k: per-doc sum in ascending term_id order; tie-break
+    * (score desc, doc_id asc). Identical formula and fold order to the
+    * Spark path, so scores match bit-for-bit.
+    */
+  def bm25TopK(query: String, k: Int): Seq[(Long, Double)] = {
+    val terms = Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
+    bm25TopKForTerms(terms, k)
+  }
+
+  def bm25TopKForTerms(terms: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val present = terms.distinct.filter(postings.contains).sortBy(termId)
+    val perDoc = scala.collection.mutable.HashMap.empty[Long, List[(Long, Double)]]
+    present.foreach { t =>
+      val w = idf(t)
+      postings(t).foreach { case (docId, tf, _) =>
+        val imp = Bm25.impact(w, tf, docLen(docId), avgdl)
+        perDoc(docId) = (termId(t), imp) :: perDoc.getOrElse(docId, Nil)
+      }
+    }
+    val scored = perDoc.toVector.map { case (docId, imps) =>
+      // ascending term_id fold, exactly like sort_array + aggregate
+      val score = imps.sortBy(_._1).foldLeft(0.0)((acc, x) => acc + x._2)
+      (docId, score)
+    }
+    scored.sortBy { case (docId, score) => (-score, docId) }.take(k)
+  }
+
+  /** tf-idf parity scorer (reference src/scoring/mod.rs:34-48). */
+  def tfIdfScores(terms: Seq[String]): Map[Long, Double] = {
+    val present = terms.distinct.filter(postings.contains).sortBy(termId)
+    val perDoc = scala.collection.mutable.HashMap.empty[Long, List[(Long, Double)]]
+    present.foreach { t =>
+      postings(t).foreach { case (docId, tf, _) =>
+        val w = Bm25.tfIdf(nDocs, df(t), tf)
+        perDoc(docId) = (termId(t), w) :: perDoc.getOrElse(docId, Nil)
+      }
+    }
+    perDoc.map { case (d, ws) =>
+      d -> ws.sortBy(_._1).foldLeft(0.0)((acc, x) => acc + x._2)
+    }.toMap
+  }
+
+  /** Conjunctive AND intersection, rarest-first. */
+  def conjunctive(terms: Seq[String]): Set[Long] = {
+    val uniq = terms.distinct
+    if (uniq.exists(t => !postings.contains(t))) return Set.empty
+    val byDf = uniq.sortBy(t => (df(t), termId(t)))
+    byDf.map(t => postings(t).map(_._1).toSet).reduceLeft(_ intersect _)
+  }
+
+  /** Phrase: strictly consecutive positions (reference
+    * src/positional_intersect/mod.rs:11-35).
+    */
+  def phraseMatch(terms: Seq[String]): Set[Long] = {
+    if (terms.isEmpty) return Set.empty
+    if (terms.exists(t => !postings.contains(t))) return Set.empty
+    val docSets = conjunctive(terms)
+    docSets.filter { docId =>
+      val posOf = terms.map(t => postings(t).find(_._1 == docId).get._3)
+      posOf.head.exists(start =>
+        terms.indices.tail.forall(i => posOf(i).contains(start + i)))
+    }
+  }
+
+  /** Directional proximity pairs (pp2 > pp1, diff <= k; reference
+    * src/positional_intersect/mod.rs:579-604).
+    */
+  def proximity(t1: String, t2: String, k: Int): Seq[(Long, Int, Int)] = {
+    (for {
+      p1 <- postings.getOrElse(t1, Vector.empty)
+      p2 <- postings.getOrElse(t2, Vector.empty)
+      if p1._1 == p2._1
+      pos1 <- p1._3
+      pos2 <- p2._3
+      if pos2 > pos1 && pos2 - pos1 <= k
+    } yield (p1._1, pos1, pos2))
+  }
+
+  /** Fuzzy: dictionary terms within Levenshtein distance d. */
+  def fuzzyTerms(q: String, d: Int): Set[String] =
+    postings.keySet.filter(t => levenshtein(t, q) <= d)
+
+  def levenshtein(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0)
+      dp(0) = i
+      for (j <- 1 to b.length) {
+        val tmp = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = tmp
+      }
+    }
+    dp(b.length)
+  }
+}

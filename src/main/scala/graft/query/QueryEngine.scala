@@ -1,0 +1,291 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ChunkCodec, Tokenizer}
+import graft.index.{Bm25, DictRow, IndexBuilder, IndexMeta, IndexPaths}
+
+/** Decoded posting for query-side scoring. */
+final case class ScoredPosting(term_id: Long, doc_id: Long, tf: Int, dl: Int)
+
+final case class PositionedPosting(term_id: Long, doc_id: Long, positions: Seq[Int])
+
+/** Query engine over a built index (SURVEY.md §3.2/§3.3).
+  *
+  * Spark-first shapes:
+  *  - term lookup: dictionary scan filtered to the (few) query terms,
+  *    collected to the driver — the reference's in-memory dict probe
+  *    (src/in_memory_dict/map_in_memory_dict.rs);
+  *  - postings fetch: Parquet scan of the `postings` table pruned by
+  *    `term_id IN (...)` — the table is range-partitioned and sorted by
+  *    (term_id, chunk_seq), so row-group min/max stats skip everything
+  *    else (the reference's block_id seeks, src/indexer/block.rs:143-169);
+  *  - chunk skipping: explicit `max_doc_id`/`max_impact` column predicates
+  *    (the reference's per-chunk skip pointer, src/indexer/chunk.rs:9, plus
+  *    the north rule's block-max WAND);
+  *  - top-k: orderBy(score desc, doc_id asc).limit(k) which Spark plans as
+  *    TakeOrderedAndProject — a distributed bounded heap (the reference's
+  *    BinaryHeap, src/scoring/mod.rs:6-31, with a deterministic tie-break).
+  */
+class QueryEngine(spark: SparkSession, root: String,
+    lemmas: Map[String, String] = Map.empty) {
+  import spark.implicits._
+
+  private val paths = IndexPaths(root)
+  val meta: IndexMeta = IndexBuilder.readMeta(root)
+  val dictionary: DataFrame = spark.read.parquet(paths.dictionary)
+  val postings: DataFrame = spark.read.parquet(paths.postings)
+  val docs: DataFrame = spark.read.parquet(paths.docs)
+
+  /** Driver-side lookup of the query terms' dictionary entries — a
+    * handful of rows; Parquet predicate pushdown prunes the scan.
+    */
+  def lookupTerms(terms: Seq[String]): Seq[DictRow] =
+    if (terms.isEmpty) Nil
+    else dictionary.filter($"term".isin(terms.distinct: _*))
+      .as[DictRow].collect().toSeq.sortBy(_.term_id)
+
+  def queryTerms(query: String): Seq[String] =
+    Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
+
+  // ----------------------------------------------------------- decoding
+
+  /** Chunk rows of the given term_ids (optionally chunk-pruned by an
+    * extra predicate) decoded into (term_id, doc_id, tf, dl) postings.
+    */
+  private def decodedPostings(termIds: Seq[Long],
+      chunkFilter: Column = lit(true)): Dataset[ScoredPosting] = {
+    postings
+      .filter($"term_id".isin(termIds: _*) && chunkFilter)
+      .select($"term_id", $"n_postings", $"doc_gaps", $"tfs", $"dls")
+      .as[(Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+      .flatMap { case (termId, n, gaps, tfs, dls) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        Iterator.tabulate(n)(i => ScoredPosting(termId, ids(i), tfs(i), dls(i)))
+      }
+  }
+
+  /** Postings with positions decoded (for phrase / proximity). */
+  def positionedPostings(termIds: Seq[Long]): Dataset[PositionedPosting] = {
+    postings
+      .filter($"term_id".isin(termIds: _*))
+      .select($"term_id", $"n_postings", $"doc_gaps", $"pos_blob")
+      .as[(Long, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (termId, n, gaps, posBlob) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        val poss = ChunkCodec.decodePositions(posBlob, n)
+        Iterator.tabulate(n)(i => PositionedPosting(termId, ids(i), poss(i).toSeq))
+      }
+  }
+
+  // -------------------------------------------------------------- scoring
+
+  /** Exact BM25 scores for the given dictionary entries: per-doc sum in
+    * FIXED term_id order (sort_array over collected (term_id, impact)
+    * structs) so scores are bit-identical at any parallelism
+    * (SURVEY.md §7.3(2)).
+    */
+  private def exactScores(entries: Seq[DictRow],
+      chunkFilter: Column = lit(true)): DataFrame = {
+    val avgdl = meta.avgdl
+    val k1 = meta.k1
+    val b = meta.b
+    val idfById = entries.map(e => e.term_id -> e.idf).toMap
+    val bcIdf = spark.sparkContext.broadcast(idfById)
+    decodedPostings(entries.map(_.term_id), chunkFilter)
+      .map(p => (p.doc_id, p.term_id,
+        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdl)))
+      .toDF("doc_id", "term_id", "impact")
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"term_id", $"impact"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("impact")).as("score"))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
+
+  /** Disjunctive (free-text) BM25 top-k. `useWand = true` applies the
+    * two-pass block-max pruning; both paths return identical results
+    * (proof sketch in the wand() scaladoc; asserted in tests).
+    */
+  def bm25TopK(query: String, k: Int, useWand: Boolean = true): DataFrame = {
+    val entries = lookupTerms(queryTerms(query))
+    if (entries.isEmpty) return emptyScores()
+    if (useWand) wand(entries, k) else topK(exactScores(entries), k)
+  }
+
+  def bm25TopKForTerms(terms: Seq[String], k: Int, useWand: Boolean = true): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.isEmpty) return emptyScores()
+    if (useWand) wand(entries, k) else topK(exactScores(entries), k)
+  }
+
+  private def emptyScores(): DataFrame =
+    Seq.empty[(Long, Double)].toDF("doc_id", "score")
+
+  /** Block-max WAND, batch form (north rule). Exact top-k in two passes:
+    *
+    *  1. θ = k-th largest single-posting impact of the term with the
+    *     highest global max_impact — a valid lower bound on the true k-th
+    *     best total score (those k docs score at least their single-term
+    *     impact).
+    *  2. Prune every chunk c of term t with
+    *       c.max_impact + Σ_{t' ≠ t} global_max(t') < θ:
+    *     any doc confined to pruned chunks has total < θ, so it cannot be
+    *     in the top-k. Score the surviving chunks; keep docs with
+    *     pass1 + Σ_t prunedMax(t) ≥ θ (prunedMax = max impact among the
+    *     chunks of t that were pruned — the most a doc can be missing).
+    *  3. Re-score the (small) candidate set EXACTLY over unpruned
+    *     postings via a broadcast semi-join, then top-k with the
+    *     deterministic (score desc, doc_id asc) tie-break.
+    */
+  private def wand(entries: Seq[DictRow], k: Int): DataFrame = {
+    val avgdl = meta.avgdl
+
+    // Pass 0: threshold from the strongest term's own postings.
+    val best = entries.maxBy(_.max_impact)
+    val bestIdf = best.idf
+    val thetaRows = decodedPostings(Seq(best.term_id))
+      .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avgdl))
+      .orderBy($"value".desc).limit(k).collect()
+    val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
+
+    if (theta <= 0.0) return topK(exactScores(entries), k)
+
+    // Per-term pruning predicate: chunk survives iff
+    // max_impact >= theta - sum(other terms' global max).
+    val totalMax = entries.map(_.max_impact).sum
+    val minSurvive: Map[Long, Double] =
+      entries.map(e => e.term_id -> (theta - (totalMax - e.max_impact))).toMap
+    val survivePred = entries.map { e =>
+      $"term_id" === e.term_id && $"max_impact" >= minSurvive(e.term_id)
+    }.reduce(_ || _)
+
+    // prunedMax per term: the largest impact a pruned chunk could hide.
+    val prunedMaxRows = postings
+      .filter($"term_id".isin(entries.map(_.term_id): _*) && !survivePred)
+      .groupBy($"term_id").agg(max($"max_impact").as("pm"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val missingBound = entries.map(e => prunedMaxRows.getOrElse(e.term_id, 0.0)).sum
+
+    // Pass 1: approximate scores over surviving chunks only.
+    val pass1 = exactScores(entries, survivePred)
+    val candidates = pass1.filter($"score" + lit(missingBound) >= lit(theta))
+      .select($"doc_id")
+
+    // Pass 2: exact re-score of candidates over ALL chunks.
+    val candidateIds = candidates.as[Long].collect()
+    if (candidateIds.isEmpty) return emptyScores()
+    val bcCand = spark.sparkContext.broadcast(candidateIds.toSet)
+    val avg = avgdl
+    val idfById = entries.map(e => e.term_id -> e.idf).toMap
+    val bcIdf = spark.sparkContext.broadcast(idfById)
+    val exact = decodedPostings(entries.map(_.term_id))
+      .filter(p => bcCand.value.contains(p.doc_id))
+      .map(p => (p.doc_id, p.term_id,
+        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg)))
+      .toDF("doc_id", "term_id", "impact")
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"term_id", $"impact"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("impact")).as("score"))
+    topK(exact, k)
+  }
+
+  // ------------------------------------------------- boolean / positional
+
+  /** Conjunctive (AND) doc_id intersection, rarest-term-first: a chain of
+    * inner joins ordered by ascending df (the reference's min-df seeding,
+    * src/query_processor/query_processor.rs:62-69); the rare side is
+    * broadcast when small. Returns distinct doc_ids.
+    */
+  def conjunctive(terms: Seq[String]): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.size < terms.distinct.size) return Seq.empty[Long].toDF("doc_id")
+    val byDf = entries.sortBy(e => (e.df, e.term_id))
+    val docSets = byDf.map { e =>
+      decodedPostings(Seq(e.term_id)).select($"doc_id")
+    }
+    docSets.reduceLeft { (acc, next) =>
+      // rarest-first: acc stays small; broadcast it into the next probe
+      broadcast(acc).join(next, Seq("doc_id"), "inner")
+    }.distinct()
+  }
+
+  /** Phrase match (strictly consecutive positions, reference
+    * src/positional_intersect/mod.rs:11-35): conjunctive intersection with
+    * positions carried, then an `exists` over the first term's positions
+    * with `array_contains(pos_i, p + i)` for every later term.
+    */
+  def phraseMatch(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty)
+    if (terms.size == 1) return conjunctive(terms)
+    val entries = lookupTerms(terms)
+    val byTerm = entries.map(e => e.term -> e).toMap
+    if (terms.exists(t => !byTerm.contains(t))) return Seq.empty[Long].toDF("doc_id")
+    val cols = terms.indices.map(i => s"pos$i")
+    val joined = terms.zipWithIndex.map { case (t, i) =>
+      positionedPostings(Seq(byTerm(t).term_id))
+        .select($"doc_id", $"positions".as(cols(i)))
+    }.reduceLeft((a, b) => a.join(b, Seq("doc_id"), "inner"))
+    val consecutive = exists(col(cols.head), p =>
+      terms.indices.tail.map(i => array_contains(col(cols(i)), p + i))
+        .reduce(_ && _))
+    joined.filter(consecutive).select($"doc_id").distinct()
+  }
+
+  /** Proximity match: pairs (pos1, pos2) with pos2 > pos1 and
+    * pos2 - pos1 <= k — the reference's DIRECTIONAL rule
+    * (src/positional_intersect/mod.rs:579-604; pp2 > pp1 only).
+    */
+  def proximity(term1: String, term2: String, k: Int): DataFrame = {
+    val entries = lookupTerms(Seq(term1, term2))
+    val byTerm = entries.map(e => e.term -> e).toMap
+    if (!byTerm.contains(term1) || !byTerm.contains(term2))
+      return Seq.empty[(Long, Int, Int)].toDF("doc_id", "pos1", "pos2")
+    val p1 = positionedPostings(Seq(byTerm(term1).term_id))
+      .select($"doc_id", $"positions".as("ps1"))
+    val p2 = positionedPostings(Seq(byTerm(term2).term_id))
+      .select($"doc_id", $"positions".as("ps2"))
+    p1.join(p2, Seq("doc_id"), "inner")
+      .select($"doc_id", explode($"ps1").as("pos1"), $"ps2")
+      .select($"doc_id", $"pos1",
+        explode(filter($"ps2", p => p > $"pos1" && p - $"pos1" <= lit(k))).as("pos2"))
+  }
+
+  /** Fuzzy term lookup: all dictionary terms within Levenshtein distance d
+    * (reference BK-tree, src/my_bk_tree/mod.rs:14-21). The |len - len(q)|
+    * <= d length prefilter is pushed into the Parquet scan before the
+    * levenshtein evaluation.
+    */
+  def fuzzyTerms(q: String, d: Int): DataFrame = {
+    dictionary
+      .filter(length($"term") >= lit(q.length - d) &&
+        length($"term") <= lit(q.length + d))
+      .filter(levenshtein($"term", lit(q)) <= d)
+      .select($"term", $"term_id", $"df")
+  }
+
+  /** Reference-parity tf-idf scorer (src/scoring/mod.rs:34-48):
+    * score(doc) = Σ_t log10(N/df_t) * tf_{t,doc}.
+    */
+  def tfIdfScores(terms: Seq[String]): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.isEmpty) return emptyScores()
+    val n = meta.n_docs
+    val dfById = entries.map(e => e.term_id -> e.df).toMap
+    val bcDf = spark.sparkContext.broadcast(dfById)
+    decodedPostings(entries.map(_.term_id))
+      .map(p => (p.doc_id, p.term_id, Bm25.tfIdf(n, bcDf.value(p.term_id), p.tf)))
+      .toDF("doc_id", "term_id", "w")
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"term_id", $"w"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("score"))
+  }
+}

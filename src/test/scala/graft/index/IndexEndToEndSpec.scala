@@ -1,0 +1,170 @@
+package graft.index
+
+import graft.SparkSpecBase
+import graft.corpus.Transcripts
+import graft.oracle.Oracle
+import graft.query.QueryEngine
+
+/** End-to-end golden tests: the distributed index + query engine must be
+  * RANK-IDENTICAL (doc_ids AND bit-identical Double scores) to the scalar
+  * oracle on a deterministic corpus (BASELINE.md top-k fidelity;
+  * SURVEY.md §7.3(2)).
+  */
+class IndexEndToEndSpec extends SparkSpecBase {
+
+  private val nConvs = 60L // ~1200 turns
+  private lazy val lemmas = Transcripts.lemmas
+  private lazy val turnsLocal = Transcripts.generateLocal(nConvs)
+  private lazy val oracle = new Oracle(turnsLocal, lemmas)
+
+  private lazy val indexDir: String = {
+    val dir = tmpDir("graft-index")
+    val turns = Transcripts.generate(spark, nConvs)
+    // low threshold to force the salted-skew path on stopwords
+    val builder = new IndexBuilder(spark, lemmas,
+      IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4))
+    builder.build(turns, dir)
+    dir
+  }
+  private lazy val engine = new QueryEngine(spark, indexDir, lemmas)
+
+  test("generate == generateLocal (per-turn text equality, stable order)") {
+    val dist = Transcripts.generate(spark, 10L).collect()
+      .sortBy(t => (t.conv_id, t.turn_idx)).toSeq
+    val local = Transcripts.generateLocal(10L)
+      .sortBy(t => (t.conv_id, t.turn_idx))
+    assert(dist == local)
+  }
+
+  test("corpus meta matches oracle (N, avgdl)") {
+    assert(engine.meta.n_docs == oracle.nDocs)
+    assert(engine.meta.avgdl == oracle.avgdl) // bit-identical
+  }
+
+  test("doc ids are dense 1-based in (conv_id, turn_idx) order") {
+    val docs = engine.docs.select("doc_id", "conv_id", "turn_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(docs.length == oracle.nDocs)
+    assert(docs.map(_._1).sorted.toSeq == (1L to oracle.nDocs).toSeq)
+    docs.foreach { case (id, conv, turn) =>
+      assert(oracle.docIdOf((conv, turn)) == id, s"doc_id mismatch for ($conv,$turn)")
+    }
+  }
+
+  test("dictionary: term ids are byte-order ranks; df/cf match oracle") {
+    val dict = engine.dictionary.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("term_id"), r.getAs[Long]("df")))
+    assert(dict.length == oracle.termId.size)
+    dict.foreach { case (term, id, df) =>
+      assert(oracle.termId(term) == id, s"term_id mismatch for '$term'")
+      assert(oracle.df(term) == df, s"df mismatch for '$term'")
+    }
+  }
+
+  test("postings decode back to the oracle's exact posting lists") {
+    import spark.implicits._
+    val terms = Seq("the", "alba", "cordi") // stopword (salted) + rare
+    val entries = engine.lookupTerms(terms.filter(oracle.postings.contains))
+    entries.foreach { e =>
+      val got = engine.positionedPostings(Seq(e.term_id))
+        .collect().sortBy(_.doc_id)
+        .map(p => (p.doc_id, p.positions.toVector)).toSeq
+      val want = oracle.postings(e.term)
+        .map(p => (p._1, p._3)).toSeq
+      assert(got == want, s"postings mismatch for '${e.term}'")
+    }
+  }
+
+  test("salted stopword chunks stay globally doc-ordered and <=128") {
+    import spark.implicits._
+    val theId = engine.lookupTerms(Seq("the")).head.term_id
+    val chunks = engine.postings.filter($"term_id" === theId)
+      .select($"chunk_seq", $"min_doc_id", $"max_doc_id", $"n_postings")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(chunks.length > 1, "stopword should span multiple chunks")
+    assert(chunks.forall(_._4 <= 128))
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"chunk doc ranges overlap: $a vs $b")
+    }
+    // multiple salts actually used (chunk_seq = salt << 32 | local)
+    assert(chunks.map(_._1 >> 32).distinct.length > 1, "salting did not engage")
+  }
+
+  private val queries = Seq(
+    "albae corba",            // rare conjunction
+    "the of and",             // pure stopwords
+    "the cordin data albast", // mixed df + a term that may be absent
+    "kelba sorro",
+    "fraba")
+
+  test("BM25 top-k rank-identical to oracle (ids AND scores), WAND on and off") {
+    queries.foreach { q =>
+      val want = oracle.bm25TopK(q, 10)
+      Seq(true, false).foreach { useWand =>
+        val got = engine.bm25TopK(q, 10, useWand = useWand)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"top-k mismatch for '$q' (wand=$useWand)\n got=$got\nwant=$want")
+      }
+    }
+  }
+
+  test("conjunctive AND matches oracle") {
+    Seq(Seq("the", "albast"), Seq("kelba", "of"), Seq("the", "of", "and")).foreach { ts =>
+      val got = engine.conjunctive(ts).collect().map(_.getLong(0)).toSet
+      assert(got == oracle.conjunctive(ts), s"conjunctive mismatch for $ts")
+    }
+  }
+
+  test("phrase match matches oracle") {
+    // find a phrase that actually occurs: take a doc's first two tokens
+    val sample = turnsLocal.filter(_.text.split(" ").length > 3).take(20)
+    val candidates = sample.map { t =>
+      graft.core.Tokenizer.tokenize(t.text, lemmas).take(2).map(_.term)
+    }.filter(ts => ts.length == 2 && ts(0) != ts(1))
+    assert(candidates.nonEmpty)
+    candidates.take(5).foreach { ts =>
+      val got = engine.phraseMatch(ts).collect().map(_.getLong(0)).toSet
+      val want = oracle.phraseMatch(ts)
+      assert(got == want, s"phrase mismatch for $ts")
+      assert(want.nonEmpty, s"phrase $ts should match at least its source doc")
+    }
+  }
+
+  test("proximity is directional (pp2 > pp1) and matches oracle") {
+    val got = engine.proximity("the", "of", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val want = oracle.proximity("the", "of", 3).toSet
+    assert(got == want)
+    assert(got.forall { case (_, p1, p2) => p2 > p1 && p2 - p1 <= 3 })
+  }
+
+  test("fuzzy term lookup matches oracle") {
+    val got = engine.fuzzyTerms("alba", 1).collect().map(_.getString(0)).toSet
+    val want = oracle.fuzzyTerms("alba", 1)
+    assert(got == want)
+    assert(got.contains("alba"))
+  }
+
+  test("tf-idf parity scorer matches oracle") {
+    val terms = Seq("alba", "the")
+    val got = engine.tfIdfScores(terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == oracle.tfIdfScores(terms))
+  }
+
+  test("resume: a second build() skips completed stages") {
+    // capture manifest mtimes, rebuild, assert untouched
+    import java.nio.file.{Files, Paths}
+    val paths = IndexPaths(indexDir)
+    val manifests = Seq(paths.docs, paths.segments, paths.dictionary, paths.postings)
+      .map(d => Paths.get(d, "_manifest.json"))
+    val before = manifests.map(Files.getLastModifiedTime(_))
+    val turns = Transcripts.generate(spark, nConvs)
+    new IndexBuilder(spark, lemmas,
+      IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4))
+      .build(turns, indexDir)
+    val after = manifests.map(Files.getLastModifiedTime(_))
+    assert(before == after, "resume should not rewrite completed stages")
+  }
+}
