@@ -1,0 +1,430 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tokenizer
+import graft.corpus.Turn
+import graft.index.{IndexBuilder, IndexConf, IndexPaths}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.query.QueryEngine
+
+/** The operator catalog behind SparkEntry: every query takes
+  * (SparkSession, sfDir) and reads the driver's parquet tables
+  * (`documents`, `embeddings`, ...). Queries prefixed with an index stage
+  * run through the REAL engine — transcripts-shaped input -> SPIMI ->
+  * merge -> compressed postings -> query — so the driver's DuckDB oracle
+  * exercises the entire pipeline, codecs included.
+  */
+object GraftQueries {
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ------------------------------------------------------------ the index
+
+  /** documents rows as transcript turns: one doc = one single-turn
+    * conversation with a zero-padded conv_id, so engine doc order ==
+    * original doc_id order.
+    */
+  def docsAsTurns(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Turn] = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Turn(f"conv-$id%010d", 0, "user", text, "", new Timestamp(0L))
+      }
+  }
+
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build (once per JVM per sf dir) the full index over `documents` and
+    * return an engine plus the internal->original doc_id mapping.
+    */
+  def engineFor(spark: SparkSession, dir: String): QueryEngine = {
+    val root = indexCache.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val out = s"/tmp/graft_index_$safe"
+      new IndexBuilder(spark, Map.empty,
+        IndexConf(numParts = spark.sparkContext.defaultParallelism,
+          skewDfThreshold = 100000L, nSalts = 8))
+        .build(docsAsTurns(spark, dir), out)
+      out
+    })
+    new QueryEngine(spark, root, Map.empty)
+  }
+
+  /** internal engine doc_id -> original documents.doc_id. */
+  def withOrigDocId(engine: QueryEngine, df: DataFrame): DataFrame = {
+    val mapping = engine.docs.select(col("doc_id"),
+      expr("cast(substring(conv_id, 6) as long)").as("orig_doc_id"))
+    df.join(mapping, Seq("doc_id"))
+      .drop("doc_id").withColumnRenamed("orig_doc_id", "doc_id")
+  }
+
+  // --------------------------------------------------------- query catalog
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2/P2/P3: tokenize with positions (split indices; documents text is
+    // pre-cleaned so engine tokenizer == split)
+    "q01_tokens" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          Tokenizer.tokenize(text, Map.empty).map(t => (id, t.position, t.term))
+        }.toDF("doc_id", "pos", "term")
+    }),
+
+    // A4: document frequency + collection frequency per term
+    "q02_term_df" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir).select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          Tokenizer.tokenize(text, Map.empty).map(t => (id, t.term))
+        }.toDF("doc_id", "term")
+        .groupBy($"term")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"))
+    }),
+
+    // doc stats (doc_len for BM25 norm) — through the real docs table
+    "q03_doc_stats" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng, eng.docs.select(col("doc_id"), col("doc_len")))
+        .select("doc_id", "doc_len")
+    }),
+
+    // J2: conjunctive AND, rarest-first, through compressed postings
+    "q04_conjunctive" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng, eng.conjunctive(Seq("join", "filter", "sort")))
+    }),
+
+    // J5: phrase match (consecutive positions)
+    "q05_phrase" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng, eng.phraseMatch(Seq("table", "scan")))
+    }),
+
+    // J3/J4: directional proximity pairs (pp2 > pp1, diff <= 3)
+    "q06_proximity" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng, eng.proximity("merge", "sort", 3))
+        .select("doc_id", "pos1", "pos2")
+    }),
+
+    // A6-A8 + O3: BM25 top-10; ordered by ROUNDED score so the DuckDB
+    // oracle is boundary-stable
+    "q07_bm25_topk" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      val scored = eng.bm25Scores(Seq("query", "join"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      withOrigDocId(eng, scored)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id", "score")
+    }),
+
+    // J7: fuzzy term lookup (levenshtein <= 1)
+    "q08_fuzzy" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      eng.fuzzyTerms("joib", 1).select("term", "df")
+    }),
+
+    // reference-parity tf-idf scorer (log10(N/df) * tf)
+    "q09_tfidf" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng,
+        eng.tfIdfScores(Seq("window", "hash"))
+          .select(col("doc_id"), round(col("score"), 4).as("score")))
+        .select("doc_id", "score")
+    }),
+
+    // full-pipeline round-trip: every posting decoded back out of the
+    // compressed chunks must equal the tokenize-side tf relation
+    "q10_postings_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val eng = engineFor(s, dir)
+      val dict = eng.dictionary.select(col("term_id"), col("term"))
+      val decoded = eng.postings
+        .select($"term_id", $"n_postings", $"doc_gaps", $"tfs")
+        .as[(Long, Int, Array[Byte], Seq[Int])]
+        .flatMap { case (termId, n, gaps, tfs) =>
+          val ids = graft.core.ChunkCodec.decodeDocGaps(gaps, n)
+          Iterator.tabulate(n)(i => (termId, ids(i), tfs(i)))
+        }.toDF("term_id", "doc_id", "tf")
+      withOrigDocId(eng, decoded.join(dict, Seq("term_id")))
+        .select("term", "doc_id", "tf")
+    }),
+
+    // dedup: exact content-hash groups over documents + planted dups
+    "q11_dedup_exact" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.exactDedup(docs.union(planted))
+        .select("doc_id", "group_size", "rep_id", "is_dup")
+    }),
+
+    // dedup: 3-gram jaccard of adjacent doc pairs
+    "q12_jaccard_adjacent" -> ((s, dir) =>
+      Dedup.jaccardAdjacent(documents(s, dir), 3)
+        .select("doc_a", "doc_b", "jaccard")),
+
+    // text: token statistics
+    "q13_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(documents(s, dir))),
+
+    // text: quality scoring
+    "q14_quality" -> ((s, dir) =>
+      TextOps.qualityScore(documents(s, dir))),
+
+    // text: language-ID heuristic
+    "q15_langid" -> ((s, dir) =>
+      TextOps.langId(documents(s, dir))),
+
+    // text: content fingerprint
+    "q16_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprintMd5(documents(s, dir))),
+
+    // similarity: exact cosine top-10 for vec_id 0
+    "q17_cos_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(emb, q, 10, excludeId = Some(0L))
+    }),
+
+    // ---- rows-only checks (not ANSI-SQL-expressible; ScalaTest-covered)
+
+    // dedup: MinHash signatures + LSH banding candidates (planted dups)
+    "q18_minhash_lsh" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32)
+      Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+    }),
+
+    // dedup: SimHash near-dup candidates (planted dups)
+    "q19_simhash" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.simHashCandidates(Dedup.simHash(docs.union(planted)), maxHam = 3)
+    }),
+
+    // similarity: LSH-bucketed ANN top-10 (scale path of q17)
+    "q20_ann_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.annTopK(emb, q, 10, nPlanes = 8, probeHamming = 2,
+        excludeId = Some(0L))
+    }),
+
+    // dedup: embedding-cosine near-dups via hyperplane LSH (planted dup)
+    "q21_embedding_neardups" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(emb.union(planted), minCos = 0.999,
+        nPlanes = 12, dim = 64)
+    }),
+
+    // multimodal: binary media -> batch feature extraction (stubbed decode)
+    "q22_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.synthesize(s, 500L))
+        .map(f => (f.media_id, f.kind, f.n_bytes, f.features.head))
+        .toDF("media_id", "kind", "n_bytes", "f0")
+    }),
+
+    // text: order-sensitive rolling fingerprint
+    "q23_rolling_fingerprint" -> ((s, dir) =>
+      TextOps.rollingFingerprint(documents(s, dir))),
+
+    // WAND-pruned BM25 through the engine's top-k path (exactness of the
+    // pruning is oracle-checked in ScalaTest; here rows-only)
+    "q24_bm25_wand" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng, eng.bm25TopKForTerms(Seq("the", "query", "join"), 10,
+        useWand = true)).select("doc_id", "score")
+    }))
+
+  // --------------------------------------------------------- oracle SQL
+
+  /** DuckDB-runnable equivalents. Table views are registered by the driver
+    * under the bare table names. Tokenization in SQL: documents.text is
+    * single-space-joined [a-z0-9]+ words, where split == the engine
+    * tokenizer (asserted by q01 itself).
+    */
+  private val toks =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
+      "unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos FROM documents"
+
+  private val bm25Sql: String = {
+    // N, avgdl over ALL docs; per-term df; impact identical to Bm25.impact
+    s"""WITH toks AS ($toks),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
+       |   count(*)::DOUBLE AS avgdl FROM documents),
+       |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ('query','join') GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |       WHERE term IN ('query','join') GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+       |         (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) )
+       |      AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scored
+       |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_tokens" -> s"SELECT doc_id, pos, term FROM ($toks)",
+
+    "q02_term_df" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         |FROM ($toks) GROUP BY term""".stripMargin,
+
+    "q03_doc_stats" ->
+      "SELECT doc_id, len(string_split(text, ' ')) AS doc_len FROM documents",
+
+    "q04_conjunctive" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text,' '), 'join')
+        |  AND list_contains(string_split(text,' '), 'filter')
+        |  AND list_contains(string_split(text,' '), 'sort')""".stripMargin,
+
+    "q05_phrase" ->
+      s"""WITH toks AS ($toks)
+         |SELECT DISTINCT t1.doc_id FROM toks t1
+         |JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |WHERE t1.term = 'table' AND t2.term = 'scan'""".stripMargin,
+
+    "q06_proximity" ->
+      s"""WITH toks AS ($toks)
+         |SELECT t1.doc_id, t1.pos AS pos1, t2.pos AS pos2 FROM toks t1
+         |JOIN toks t2 ON t1.doc_id = t2.doc_id
+         |WHERE t1.term = 'merge' AND t2.term = 'sort'
+         |  AND t2.pos > t1.pos AND t2.pos - t1.pos <= 3""".stripMargin,
+
+    "q07_bm25_topk" -> bm25Sql,
+
+    "q08_fuzzy" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS df FROM ($toks)
+         |WHERE abs(len(term) - 4) <= 1 AND levenshtein(term, 'joib') <= 1
+         |GROUP BY term""".stripMargin,
+
+    "q09_tfidf" ->
+      s"""WITH toks AS ($toks),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('window','hash') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('window','hash') GROUP BY term)
+         |SELECT tf.doc_id, round(sum(log10(n.n / df.df) * tf.tf), 4) AS score
+         |FROM tf JOIN df USING (term), n GROUP BY tf.doc_id""".stripMargin,
+
+    "q10_postings_roundtrip" ->
+      s"""SELECT term, doc_id, count(*)::INT AS tf FROM ($toks)
+         |GROUP BY term, doc_id""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  count(*) OVER (PARTITION BY text) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY text) AS rep_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM all_docs""".stripMargin,
+
+    "q12_jaccard_adjacent" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id = a.doc_id + 1
+        |  GROUP BY 1, 2)
+        |SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b,
+        |  round(coalesce(i.i, 0)::DOUBLE / (ca.c + cb.c - coalesce(i.i, 0)), 4) AS jaccard
+        |FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+        |LEFT JOIN inter i ON i.doc_a = ca.doc_id AND i.doc_b = cb.doc_id""".stripMargin,
+
+    "q13_token_stats" ->
+      s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         |  round(count(DISTINCT term)::DOUBLE / count(*), 4) AS ttr
+         |FROM ($toks) GROUP BY doc_id""".stripMargin,
+
+    "q14_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars_actual,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_filter(string_split(text,' '), t -> t IN
+        |      ('the','a','of','to','and','in','is','it','you','that','was',
+        |       'for','on','are','as','with','his','they','i','at','be',
+        |       'this','have','from','or','one','had','by','not','but')))
+        |      AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |derived AS (
+        |  SELECT doc_id, n_chars_actual, n_tokens,
+        |    round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio,
+        |    round(n_punct::DOUBLE / n_chars_actual, 4) AS punct_ratio,
+        |    round((n_chars_actual - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_token_len
+        |  FROM base)
+        |SELECT *,
+        |  round(least(1.0, n_tokens::DOUBLE / 20.0) * (1.0 - punct_ratio) *
+        |    (CASE WHEN stopword_ratio BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE 0.7 END), 4)
+        |    AS quality
+        |FROM derived""".stripMargin,
+
+    "q15_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit'))) AS score_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','to','and','is','it','you'))) AS score_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','una','por'))) AS score_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','et','des','une','est','dans'))) AS score_fr,
+        |    len(list_filter(toks, t -> t IN ('il','la','che','di','e','un','per','non'))) AS score_it
+        |  FROM s)
+        |SELECT doc_id,
+        |  greatest(score_de, score_en, score_es, score_fr, score_it) AS score,
+        |  CASE
+        |    WHEN greatest(score_de, score_en, score_es, score_fr, score_it) = 0 THEN 'und'
+        |    WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'de'
+        |    WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'en'
+        |    WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'es'
+        |    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'fr'
+        |    ELSE 'it' END AS lang_pred
+        |FROM scored""".stripMargin,
+
+    "q16_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' '), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q17_cos_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS cos
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) DESC,
+        |  vec_id ASC LIMIT 10""".stripMargin)
+}

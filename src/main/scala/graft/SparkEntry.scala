@@ -1,13 +1,26 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The operator catalog lives in [[GraftQueries]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: BM25 top-10 for a mixed-df query through the full engine
+    * (SPIMI build -> compressed postings -> WAND top-k) on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val eng = GraftQueries.engineFor(spark, "/root/testdata/sf0.001")
+    GraftQueries.withOrigDocId(eng,
+      eng.bm25TopKForTerms(Seq("query", "join", "the"), 10))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GraftQueries.queries
+
+  /** DuckDB-equivalent ANSI SQL per query (rows-only checks for the
+    * non-SQL-expressible LSH/ANN/codec operators).
+    */
+  def oracleSql: Map[String, String] = GraftQueries.oracleSql
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * a `documents(doc_id, text, ...)` table. Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs in the hot path),
+  * so filters/projections push down and whole-stage codegen applies.
+  */
+object TextOps {
+
+  val stopwords: Seq[String] = graft.corpus.Transcripts.stopwords
+
+  /** (doc_id, pos, term) exploded tokens; positions are 0-based split
+    * indices. For pre-cleaned single-space text this equals the engine
+    * tokenizer's output (no empty tokens); raw text goes through
+    * graft.core.Tokenizer instead.
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Document frequency per term. */
+  def termDf(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+
+  /** Per-doc token statistics: raw token count, distinct terms, TTR. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("term").as("n_distinct"),
+        round(countDistinct("term").cast("double") / count(lit(1)), 4).as("ttr"))
+
+  /** Whitespace + BPE-ish token counting: words and punctuation runs as
+    * separate tokens (`\w+` | single non-space-non-word) — a cheap,
+    * deterministic proxy for subword token counts.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(filter(split(regexp_replace(col("text"),
+        "([^\\w\\s])", " $1 "), "\\s+"), t => t =!= "")).as("n_bpeish_tokens"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length — the standard cheap pretraining-quality heuristics.
+    * All ratios rounded to 4 decimals for cross-engine comparability.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", ""))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      nTok.as("n_tokens"),
+      round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+      round((length(col("text")) - (nTok - lit(1))).cast("double") / nTok, 4)
+        .as("mean_token_len"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens").cast("double") / lit(20.0)) *
+          (lit(1.0) - col("punct_ratio")) *
+          when(col("stopword_ratio").between(0.1, 0.6), lit(1.0)).otherwise(lit(0.7)),
+          4))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "it", "you"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans"),
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non"))
+
+  /** Language-ID heuristic: argmax over per-language marker-word counts
+    * (n-gram-style scoring over the cheapest possible features); ties and
+    * all-zero scores resolve alphabetically / to "und". Deterministic and
+    * SQL-expressible, so the DuckDB oracle replicates it exactly.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), toks.as("toks"))) {
+      case (df, (lang, markers)) =>
+        val arr = array(markers.map(lit): _*)
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => array_contains(arr, t))))
+    }
+    val bestScore = greatest(langMarkers.map(m => col(s"score_${m._1}")): _*)
+    // alphabetical-first tie-break: scan langs in order, take first match
+    val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) {
+      case (lang, elseCol) =>
+        when(col(s"score_$lang") === bestScore && bestScore > 0, lit(lang))
+          .otherwise(elseCol)
+    }
+    scored.select(col("doc_id"), bestScore.as("score"), pred.as("lang_pred"))
+  }
+
+  /** Content-defined document fingerprint: md5 over the normalized token
+    * stream. Identical content (after normalization) -> identical
+    * fingerprint across any engine.
+    */
+  def fingerprintMd5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", split(col("text"), " "))).as("fingerprint"))
+
+  /** Rolling polynomial fingerprint (Karp-Rabin style) over token hashes:
+    * h = Σ token_hash(i) * B^(n-1-i) mod M — order-sensitive, incremental,
+    * and cheap to compute distributed. Scala-side (covered by ScalaTest;
+    * not SQL-expressible in the oracle).
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val M = 1000000007L
+    val B = 31L
+    docs.select(col("doc_id"),
+      aggregate(split(col("text"), " "), lit(0L),
+        (acc, t) => pmod(acc * B + pmod(hash(t).cast("long"), lit(M)), lit(M)))
+        .as("fingerprint"))
+  }
+}

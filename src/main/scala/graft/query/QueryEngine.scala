@@ -126,6 +126,14 @@ class QueryEngine(spark: SparkSession, root: String,
   private def emptyScores(): DataFrame =
     Seq.empty[(Long, Double)].toDF("doc_id", "score")
 
+  /** Exact BM25 scores for every doc matching any of `terms` (no limit) —
+    * for oracle comparisons and re-ranking under rounded scores.
+    */
+  def bm25Scores(terms: Seq[String]): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.isEmpty) emptyScores() else exactScores(entries)
+  }
+
   /** Block-max WAND, batch form (north rule). Exact top-k in two passes:
     *
     *  1. θ = k-th largest single-posting impact of the term with the

@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import org.apache.spark.sql.Row
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private lazy val docs = docsDf(Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy dog",        // exact dup of 1
+    3L -> "the quick brown fox jumps over the lazy cat",        // near dup of 1
+    4L -> "completely different text about spark and parquet",
+    5L -> "spark and parquet make completely different text",   // permuted 4
+    6L -> "unrelated words entirely here nothing shared at all"))
+
+  test("exactDedup groups identical texts, keeps min doc_id") {
+    val res = Dedup.exactDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(res(1L) == ((2L, 1L, false)))
+    assert(res(2L) == ((2L, 1L, true)))
+    assert(res(4L)._1 == 1L && !res(4L)._3)
+  }
+
+  test("shingles: correct 3-gram count and content") {
+    val sh = Dedup.shingles(docsDf(Seq(1L -> "a b c d")), 3)
+      .collect().map(_.getString(1)).toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("jaccardAdjacent matches hand-computed jaccard") {
+    val res = Dedup.jaccardAdjacent(docs, 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(res((1L, 2L)) == 1.0) // identical docs
+    // docs 1 vs... pair (2,3): near dup, 7 shingles each, 6 shared
+    assert(res((2L, 3L)) > 0.5 && res((2L, 3L)) < 1.0)
+    assert(res((5L, 6L)) == 0.0)
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val sigs = Dedup.minHashSignatures(docs, k = 3, nHashes = 32)
+    val cands = Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cands((1L, 2L)) == 1.0, "exact dup must collide in every band")
+    assert(cands.contains((1L, 3L)), "near dup should be a candidate")
+    assert(!cands.contains((1L, 6L)), "unrelated docs should not collide")
+    // verification step: exact jaccard on candidates
+    val verified = Dedup.jaccardForPairs(docs,
+      Dedup.minHashCandidates(sigs, 8, 4).select("doc_a", "doc_b"), 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(verified((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs have distance 0; near dups small distance") {
+    val sim = Dedup.simHash(docs)
+    val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(6L)),
+      s"near-dup distance ${ham(m(1L), m(3L))} should be < unrelated ${ham(m(1L), m(6L))}")
+    val cands = Dedup.simHashCandidates(sim, maxHam = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+
+  private val dim = 16
+  private def vec(id: Long): Array[Float] = {
+    // deterministic unit-ish vectors with planted clusters
+    val base = (id % 5).toInt
+    Array.tabulate(dim) { d =>
+      val centre = if (d % 5 == base) 1.0f else 0.0f
+      centre + 0.05f * ((graft.corpus.Transcripts.mix(id * 31 + d) % 100) / 100.0f)
+    }
+  }
+
+  private lazy val embeddings: DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    (0L until 200L).map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: exact cosine against scalar computation") {
+    val q = vec(0)
+    val got = Similarity.bruteForceTopK(embeddings, q, 5, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt((0 until dim).map(i => a(i).toDouble * a(i).toDouble).sum)
+      val nb = math.sqrt((0 until dim).map(i => b(i).toDouble * b(i).toDouble).sum)
+      dot / (na * nb)
+    }
+    val want = (1L until 200L).map(i => (i, math.rint(cos(q, vec(i)) * 10000) / 10000))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got.map(_._1).toSeq == want.map(_._1))
+  }
+
+  test("annTopK recall >= 0.6 vs brute force on clustered vectors") {
+    val q = vec(0)
+    val exact = Similarity.bruteForceTopK(embeddings, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annTopK(embeddings, q, 10, nPlanes = 10,
+      probeHamming = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall too low: $recall")
+  }
+
+  test("knnJoin returns <=k neighbors per vector, cosine-ranked") {
+    val res = Similarity.knnJoin(embeddings, k = 3, nPlanes = 8, dim = dim)
+    val byVec = res.collect().groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length <= 3))
+    byVec.values.foreach { rows =>
+      val coss = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embeddingNearDups finds planted duplicates") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withDup = embeddings.union(
+      Seq((9999L, vec(7).toSeq)).toDF("vec_id", "embedding"))
+    val dups = Dedup.embeddingNearDups(withDup, minCos = 0.999,
+      nPlanes = 10, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((7L, 9999L)), s"planted dup not found: $dups")
+  }
+}
+
+class TextOpsSpec extends SparkSpecBase {
+
+  private lazy val docs: DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    Seq(
+      (1L, "the quick fox and the lazy dog"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "el perro y la casa de que los una"),
+      (4L, "xyzzy plugh abracadabra")).toDF("doc_id", "text")
+  }
+
+  test("tokens: positions are split indices") {
+    val t = TextOps.tokens(docs.limit(1)).collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    assert(t.take(3).toSeq == Seq((0, "the"), (1, "quick"), (2, "fox")))
+  }
+
+  test("termDf counts docs, not occurrences") {
+    val df = TextOps.termDf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(df("the") == ((1L, 2L))) // 1 doc, 2 occurrences
+  }
+
+  test("langId picks marker-matching language, und for no match") {
+    val res = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(res(2L) == "de")
+    assert(res(3L) == "es")
+    assert(res(4L) == "und")
+  }
+
+  test("quality + fingerprints deterministic") {
+    val q1 = TextOps.qualityScore(docs).collect().map(_.toSeq).toSeq
+    val q2 = TextOps.qualityScore(docs).collect().map(_.toSeq).toSeq
+    assert(q1 == q2)
+    val f = TextOps.fingerprintMd5(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(1L).length == 32)
+    val rf = TextOps.rollingFingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order sensitivity: permuted text gives different rolling fingerprint
+    val spark0 = spark
+    import spark0.implicits._
+    val permuted = Seq((1L, "quick the fox and the lazy dog")).toDF("doc_id", "text")
+    val rfP = TextOps.rollingFingerprint(permuted).collect().head.getLong(1)
+    assert(rf(1L) != rfP)
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("extractFeatures: deterministic, fixed dim, kind preserved") {
+    val media = Multimodal.synthesize(spark, 30L)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(_.features.length == Multimodal.FeatureDim))
+    assert(f1.map(_.kind).distinct.sorted.toSeq == Seq("audio", "image", "video"))
+    assert(f1.forall(_.n_bytes >= 256))
+  }
+
+  test("sampleFrames: one row per sampled offset, videos only") {
+    val media = Multimodal.synthesize(spark, 30L)
+    val frames = Multimodal.sampleFrames(media, everyMs = 500L)
+    val kinds = frames.join(media.toDF(), Seq("media_id"))
+      .select("kind").distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("video"))
+    val one = media.filter(_.kind == "video").head()
+    val expected = one.duration_ms / 500L + 1L
+    val got = frames.filter(org.apache.spark.sql.functions.col("media_id") ===
+      one.media_id).count()
+    assert(got == expected)
+  }
+}
