@@ -57,15 +57,21 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   // ---------------------------------------------------------------- docs
 
   /** Assign dense 1-based doc_ids in stable (conv_id, turn_idx) order and
-    * compute doc lengths. Returns (docs-with-text DF for tokenization).
+    * compute doc lengths. Ranking runs FIRST, over the raw input, so
+    * RangeRank's counting/sampling passes are column-pruned key scans;
+    * tokenization (for doc_len) happens exactly once, in the final pass.
     */
   def buildDocs(turns: Dataset[Turn]): DataFrame = {
+    import org.apache.spark.sql.Row
     val lem = bcLemmas
-    val withLen = turns.map { t =>
-      val toks = Tokenizer.tokenize(t.text, lem.value)
-      (t.conv_id, t.turn_idx, t.role, t.text, toks.length)
-    }.toDF("conv_id", "turn_idx", "role", "text", "doc_len")
-    RangeRank.withRank(withLen, Seq("conv_id", "turn_idx"), "doc_id", conf.numParts)
+    val ranked = RangeRank.withRank(
+      turns.toDF().select("conv_id", "turn_idx", "role", "text"),
+      Seq("conv_id", "turn_idx"), "doc_id", conf.numParts)
+    ranked.as[(String, Int, String, String, Long)]
+      .map { case (conv, turn, role, text, docId) =>
+        val dl = Tokenizer.tokenize(text, lem.value).length
+        (docId, conv, turn, role, dl, text)
+      }.toDF("doc_id", "conv_id", "turn_idx", "role", "doc_len", "text")
   }
 
   // ------------------------------------------------------------- stage 1
@@ -83,7 +89,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         // group positions per term, insertion order = ascending positions
         val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         toks.foreach(t => byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position)
-        byTerm.iterator.map { case (term, ps) => TermDoc(term, docId, dl, ps.length, ps.toSeq) }
+        byTerm.iterator.map { case (term, ps) => TermDoc(term, docId, dl, ps.length, ps.toArray) }
       }
   }
 
@@ -92,15 +98,26 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * checkpoint as the `segments` table. The reference's 10 MB in-memory
     * spill (src/dictionary/mod.rs:31-33) is Catalyst's partial-agg spill;
     * the explicit checkpoint is what makes the build resumable.
+    * Tokenize + salt happen in ONE typed flatMap (no extra ser/deser
+    * boundary over the posting stream).
     */
-  def buildSegments(termDocs: Dataset[TermDoc], nDocs: Long,
+  def buildSegments(docsWithText: DataFrame, nDocs: Long,
       highDfTerms: Set[String]): Dataset[SegmentRow] = {
     val bcHigh = spark.sparkContext.broadcast(highDfTerms)
     val saltWidth = math.max(1L, (nDocs + conf.nSalts - 1) / conf.nSalts)
-    val salted = termDocs.map { td =>
-      val salt = if (bcHigh.value.contains(td.term)) (td.doc_id / saltWidth).toInt else 0
-      SegmentRow(td.term, salt, td.doc_id, td.dl, td.tf, td.positions)
-    }
+    val lem = bcLemmas
+    val salted = docsWithText.select($"doc_id", $"doc_len", $"text")
+      .as[(Long, Int, String)]
+      .flatMap { case (docId, dl, text) =>
+        val toks = Tokenizer.tokenize(text, lem.value)
+        val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+        toks.foreach(t => byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position)
+        val high = bcHigh.value
+        byTerm.iterator.map { case (term, ps) =>
+          val salt = if (high.contains(term)) (docId / saltWidth).toInt else 0
+          SegmentRow(term, salt, docId, dl, ps.length, ps.toArray)
+        }
+      }
     salted
       .repartition(conf.numParts, $"term", $"salt")
       .sortWithinPartitions($"term", $"salt", $"doc_id")
@@ -116,17 +133,23 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * chunk_seq = salt * 2^32 + localSeq keeps chunks globally doc-ordered
     * because salts partition the doc_id space into ranges.
     */
-  def buildRawChunks(segments: Dataset[SegmentRow], avgdl: Double): Dataset[RawChunk] = {
+  def buildRawChunks(segments: Dataset[SegmentRow], avgdl: Double): Dataset[RawChunk] =
+    chunkSorted(
+      segments
+        .repartition(conf.numParts, $"term", $"salt")
+        .sortWithinPartitions($"term", $"salt", $"doc_id"),
+      avgdl)
+
+  /** Chunker over an ALREADY (term, salt)-partitioned, (term, salt,
+    * doc_id)-sorted dataset (the stage-1 shuffle output, reused).
+    */
+  def chunkSorted(sorted: Dataset[SegmentRow], avgdl: Double): Dataset[RawChunk] = {
     val k1 = conf.k1; val b = conf.b
-    segments
-      .repartition(conf.numParts, $"term", $"salt")
-      .sortWithinPartitions($"term", $"salt", $"doc_id")
+    sorted
       .mapPartitions { it =>
         new Iterator[RawChunk] {
-          private var cur: SegmentRow = _
           private var curTerm: String = null
           private var curSalt: Int = -1
-          private var localSeq: Long = 0L
           private val ids = new scala.collection.mutable.ArrayBuffer[Long](ChunkCodec.ChunkSize)
           private val tfs = new scala.collection.mutable.ArrayBuffer[Int](ChunkCodec.ChunkSize)
           private val dls = new scala.collection.mutable.ArrayBuffer[Int](ChunkCodec.ChunkSize)
@@ -143,19 +166,21 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
               if (v > maxNorm) maxNorm = v
               i += 1
             }
+            // chunk_seq = min_doc_id: unique within a term (doc ranges of
+            // chunks are disjoint) and globally ascending in doc order —
+            // robust to any partition seam, no per-group counter needed.
             val chunk = RawChunk(
               term = curTerm,
-              chunk_seq = (curSalt.toLong << 32) | localSeq,
+              chunk_seq = docIds(0),
               min_doc_id = docIds(0),
               max_doc_id = docIds(docIds.length - 1),
               n_postings = docIds.length,
               doc_gaps = ChunkCodec.encodeDocGaps(docIds),
-              tfs = tfs.toSeq,
-              dls = dls.toSeq,
+              tfs = tfs.toArray,
+              dls = dls.toArray,
               pos_blob = ChunkCodec.encodePositions(positions),
               max_tf = tfs.max,
               max_norm = maxNorm)
-            localSeq += 1L
             ids.clear(); tfs.clear(); dls.clear(); poss.clear()
             chunk
           }
@@ -165,10 +190,10 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
               val r = it.next()
               if (r.term != curTerm || r.salt != curSalt) {
                 if (ids.nonEmpty) pending = emit()
-                curTerm = r.term; curSalt = r.salt; localSeq = 0L
+                curTerm = r.term; curSalt = r.salt
               }
               ids += r.doc_id; tfs += r.tf; dls += r.dl
-              poss += r.positions.toArray
+              poss += r.positions
               if (ids.length == ChunkCodec.ChunkSize) pending = emit()
             }
             if (pending == null && !it.hasNext && ids.nonEmpty) pending = emit()
@@ -194,7 +219,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       .groupBy($"term")
       .agg(sum($"df_part").as("df"), sum($"cf_part").as("cf"),
         max($"norm_part").as("max_norm"))
-    val ranked = RangeRank.withRank(stats, Seq("term"), "term_id", conf.numParts)
+    val ranked = RangeRank.withRank(stats, Seq("term"), "term_id",
+      conf.numParts, smallThreshold = 2000000L)
     val n = nDocs
     ranked.select($"term", $"term_id", $"df", $"cf", $"max_norm")
       .as[(String, Long, Long, Long, Double)]
@@ -205,6 +231,19 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   }
 
   // ------------------------------------------------------------ manifests
+
+  /** Row count from Parquet footers, driver-side — no Spark job. */
+  private def footerRowCount(dir: String): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 
   private def writeManifest(dir: String, fingerprint: String, rows: Long,
       wallMs: Long, extra: Map[String, String] = Map.empty): Unit = {
@@ -242,7 +281,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val t0 = System.nanoTime()
       val docsWithText = buildDocs(turns)
       docsWithText.write.mode("overwrite").parquet(paths.docs)
-      val rows = spark.read.parquet(paths.docs).count()
+      val rows = footerRowCount(paths.docs)
       writeManifest(paths.docs, fp, rows, (System.nanoTime() - t0) / 1000000)
     }
     val docsWithText = spark.read.parquet(paths.docs)
@@ -250,27 +289,42 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val nDocs = agg.getLong(0)
     val avgdl = agg.getDouble(1)
 
-    // Stage 1: SPIMI segments (sorted runs, salted for skew)
+    // Stage 1: SPIMI segments (sorted runs, salted for skew).
+    // High-df (skew) terms are detected on a DOC SAMPLE — a full df
+    // pre-pass would tokenize the corpus twice; sampling errs toward
+    // salting slightly more terms, which is harmless (a few extra
+    // sub-128 chunks), while missing a true heavy hitter only costs
+    // balance, never correctness.
     if (!manifestComplete(paths.segments, fp)) {
       val t0 = System.nanoTime()
-      val termDocs = tokenizeDocs(docsWithText)
-      // exact df (partial aggregation collapses skew before the shuffle)
-      val highDf = termDocs.groupBy($"term").count()
-        .filter($"count" > conf.skewDfThreshold)
-        .select($"term").as[String].collect().toSet
-      buildSegments(termDocs, nDocs, highDf)
+      val fraction = math.min(1.0, math.max(0.02, 200000.0 / math.max(1L, nDocs)))
+      val cutoff = math.max(1L, (conf.skewDfThreshold * fraction * 0.5).toLong)
+      val lem = bcLemmas
+      val highDf = docsWithText.sample(withReplacement = false, fraction, 42L)
+        .select($"text").as[String]
+        .flatMap(t => Tokenizer.tokenize(t, lem.value).map(_.term).distinct)
+        .groupBy($"value").count()
+        .filter($"count" >= cutoff)
+        .select($"value").as[String].collect().toSet
+      buildSegments(docsWithText, nDocs, highDf)
         .write.mode("overwrite").parquet(paths.segments)
-      val rows = spark.read.parquet(paths.segments).count()
+      val rows = footerRowCount(paths.segments)
       writeManifest(paths.segments, fp, rows, (System.nanoTime() - t0) / 1000000,
         Map("salted_terms" -> highDf.size.toString))
     }
-    val segments = spark.read.parquet(paths.segments).as[SegmentRow]
 
-    // Stage 2: merge + chunk + dictionary + final postings
+    // Stage 2: merge + chunk + dictionary + final postings. The segments
+    // checkpoint was written one sorted file per (term, salt)-hash
+    // partition, and the Parquet reader preserves row order within each
+    // file/split — so the chunker runs DIRECTLY on the read, with no
+    // second shuffle. A group straddling a split seam just yields an
+    // extra sub-128 seam chunk (chunk_seq = min_doc_id keeps identities
+    // unique and ordered).
     if (!manifestComplete(paths.dictionary, fp) || !manifestComplete(paths.postings, fp)) {
       val t0 = System.nanoTime()
-      val rawChunks = buildRawChunks(segments, avgdl)
-      rawChunks.cache()
+      val rawChunks = chunkSorted(
+        spark.read.parquet(paths.segments).as[SegmentRow], avgdl)
+      rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dict = buildDictionary(rawChunks, nDocs)
       dict.write.mode("overwrite").parquet(paths.dictionary)
       val dictDf = spark.read.parquet(paths.dictionary)
@@ -285,13 +339,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         .sortWithinPartitions($"term_id", $"chunk_seq")
         .write.mode("overwrite").parquet(paths.postings)
       rawChunks.unpersist()
-      val dictRows = dictDf.count()
-      val postRows = spark.read.parquet(paths.postings).count()
+      val dictRows = footerRowCount(paths.dictionary)
+      val postRows = footerRowCount(paths.postings)
       writeManifest(paths.dictionary, fp, dictRows, (System.nanoTime() - t0) / 1000000)
       writeManifest(paths.postings, fp, postRows, (System.nanoTime() - t0) / 1000000)
     }
 
-    val nTerms = spark.read.parquet(paths.dictionary).count()
+    val nTerms = footerRowCount(paths.dictionary)
     val nPostings = spark.read.parquet(paths.postings)
       .agg(sum($"n_postings")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)

@@ -41,10 +41,26 @@ object RangeRank {
     * on keyCols (postings/doc identity guarantees this at call sites).
     */
   def withRank(df: DataFrame, keyCols: Seq[String], rankCol: String,
-      numParts: Int, sampleSeed: Long = 42L): DataFrame = {
+      numParts: Int, sampleSeed: Long = 42L,
+      smallThreshold: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val total = df.count()
     if (total == 0) return df.withColumn(rankCol, lit(0L))
+
+    // Opt-in small-relation fast path (narrow rows only, e.g. the term
+    // dictionary): a single sorted partition, skipping the sample +
+    // per-range count jobs. Above the threshold (or when rows are wide,
+    // like documents with text), the scalable boundary path runs.
+    if (total <= smallThreshold) {
+      val sortCols = keyCols.map(col)
+      val sorted = df.repartition(1).sortWithinPartitions(sortCols: _*)
+      val outSchema = sorted.schema.add(rankCol, org.apache.spark.sql.types.LongType)
+      implicit val enc = Encoders.row(outSchema)
+      return sorted.mapPartitions { it =>
+        var counter = 0L
+        it.map { r => counter += 1L; Row.fromSeq(r.toSeq :+ counter) }
+      }.repartition(numParts)
+    }
 
     // 1. explicit boundaries from a driver-collected sample
     val targetSample = math.min(total, math.max(numParts * 200L, 10000L))

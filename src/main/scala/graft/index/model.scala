@@ -27,7 +27,7 @@ final case class TermDoc(
     doc_id: Long,
     dl: Int,
     tf: Int,
-    positions: Seq[Int])
+    positions: Array[Int])
 
 /** Stage-1 SPIMI segment row (the spill-run analog, reference
   * src/spimi.rs:148-179). `salt` partitions a high-df term's postings by
@@ -40,7 +40,7 @@ final case class SegmentRow(
     doc_id: Long,
     dl: Int,
     tf: Int,
-    positions: Seq[Int])
+    positions: Array[Int])
 
 /** One compressed posting chunk — a row of the `postings` table. Mirrors
   * the reference Chunk (src/indexer/chunk.rs:6-15) with block-max
@@ -52,13 +52,14 @@ final case class SegmentRow(
   */
 final case class ChunkRow(
     term_id: Long,
-    chunk_seq: Long,
+    chunk_seq: Long, // = min_doc_id: unique per term, globally doc-ordered
+
     min_doc_id: Long,
     max_doc_id: Long,
     n_postings: Int,
     doc_gaps: Array[Byte],
-    tfs: Seq[Int],
-    dls: Seq[Int],
+    tfs: Array[Int],
+    dls: Array[Int],
     pos_blob: Array[Byte],
     max_tf: Int,
     max_impact: Double)
@@ -75,8 +76,8 @@ final case class RawChunk(
     max_doc_id: Long,
     n_postings: Int,
     doc_gaps: Array[Byte],
-    tfs: Seq[Int],
-    dls: Seq[Int],
+    tfs: Array[Int],
+    dls: Array[Int],
     pos_blob: Array[Byte],
     max_tf: Int,
     max_norm: Double)

@@ -107,20 +107,35 @@ class QueryEngine(spark: SparkSession, root: String,
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
 
-  /** Disjunctive (free-text) BM25 top-k. `useWand = true` applies the
-    * two-pass block-max pruning; both paths return identical results
-    * (proof sketch in the wand() scaladoc; asserted in tests).
+  /** Cache the query-hot tables (dictionary + postings). What a serving
+    * deployment would keep resident; at full scale only the dictionary
+    * fits and the postings scan relies on term_id range pruning instead.
     */
-  def bm25TopK(query: String, k: Int, useWand: Boolean = true): DataFrame = {
-    val entries = lookupTerms(queryTerms(query))
-    if (entries.isEmpty) return emptyScores()
-    if (useWand) wand(entries, k) else topK(exactScores(entries), k)
+  def warm(): this.type = {
+    dictionary.cache().count()
+    postings.cache().count()
+    this
   }
+
+  /** Below this many total postings across the query's terms, block-max
+    * pruning costs more Spark jobs than it saves — score directly. WAND
+    * engages for stopword-scale terms, exactly where it pays off.
+    */
+  var wandMinPostings: Long = 100000L
+
+  /** Disjunctive (free-text) BM25 top-k. `useWand = true` applies the
+    * two-pass block-max pruning (when the posting volume warrants it);
+    * both paths return identical results (proof sketch in the wand()
+    * scaladoc; asserted in tests).
+    */
+  def bm25TopK(query: String, k: Int, useWand: Boolean = true): DataFrame =
+    bm25TopKForTerms(queryTerms(query), k, useWand)
 
   def bm25TopKForTerms(terms: Seq[String], k: Int, useWand: Boolean = true): DataFrame = {
     val entries = lookupTerms(terms)
     if (entries.isEmpty) return emptyScores()
-    if (useWand) wand(entries, k) else topK(exactScores(entries), k)
+    if (useWand && entries.map(_.df).sum >= wandMinPostings) wand(entries, k)
+    else topK(exactScores(entries), k)
   }
 
   private def emptyScores(): DataFrame =

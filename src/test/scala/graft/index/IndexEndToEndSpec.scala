@@ -87,8 +87,13 @@ class IndexEndToEndSpec extends SparkSpecBase {
     chunks.sliding(2).foreach { case Array(a, b) =>
       assert(a._3 < b._2, s"chunk doc ranges overlap: $a vs $b")
     }
-    // multiple salts actually used (chunk_seq = salt << 32 | local)
-    assert(chunks.map(_._1 >> 32).distinct.length > 1, "salting did not engage")
+    // chunk_seq = min_doc_id: strictly increasing
+    assert(chunks.map(_._1).toSeq == chunks.map(_._2).toSeq.sorted)
+    // multiple salt buckets actually used for the stopword (skew path)
+    val salts = spark.read.parquet(IndexPaths(indexDir).segments)
+      .filter(org.apache.spark.sql.functions.col("term") === "the")
+      .select("salt").distinct().count()
+    assert(salts > 1, "salting did not engage")
   }
 
   private val queries = Seq(
@@ -99,6 +104,7 @@ class IndexEndToEndSpec extends SparkSpecBase {
     "fraba")
 
   test("BM25 top-k rank-identical to oracle (ids AND scores), WAND on and off") {
+    engine.wandMinPostings = 0L // force the block-max path at test scale
     queries.foreach { q =>
       val want = oracle.bm25TopK(q, 10)
       Seq(true, false).foreach { useWand =>
@@ -107,6 +113,7 @@ class IndexEndToEndSpec extends SparkSpecBase {
         assert(got == want, s"top-k mismatch for '$q' (wand=$useWand)\n got=$got\nwant=$want")
       }
     }
+    engine.wandMinPostings = 100000L
   }
 
   test("conjunctive AND matches oracle") {
