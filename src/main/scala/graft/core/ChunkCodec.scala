@@ -33,6 +33,41 @@ object ChunkCodec {
 
   def decodeDocGaps(blob: Array[Byte], n: Int): Array[Long] = Gaps.decode(blob, n)
 
+  /** One posting's position-list unit: vb(nPositions) + delta-gapped
+    * VByte positions. `encodePositions` output is exactly the
+    * concatenation of these units, so pre-encoded units can be
+    * concatenated without re-encoding (the SPIMI segments carry them).
+    */
+  def encodePostingUnit(ps: Array[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(ps.length * 2 + 4)
+    VByte.encodeTo(ps.length.toLong, out)
+    var prev = 0L
+    var j = 0
+    while (j < ps.length) {
+      val v = ps(j).toLong
+      if (j == 0) VByte.encodeTo(v, out) else VByte.encodeTo(v - prev, out)
+      prev = v
+      j += 1
+    }
+    out.toByteArray
+  }
+
+  /** Concatenate pre-encoded posting units into a chunk pos_blob. */
+  def concatUnits(units: Array[Array[Byte]]): Array[Byte] = {
+    var total = 0
+    var i = 0
+    while (i < units.length) { total += units(i).length; i += 1 }
+    val out = new Array[Byte](total)
+    var off = 0
+    i = 0
+    while (i < units.length) {
+      System.arraycopy(units(i), 0, out, off, units(i).length)
+      off += units(i).length
+      i += 1
+    }
+    out
+  }
+
   /** Encode per-posting position lists: for each posting,
     * vb(nPositions) then delta-gapped VByte positions.
     */

@@ -115,7 +115,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         val high = bcHigh.value
         byTerm.iterator.map { case (term, ps) =>
           val salt = if (high.contains(term)) (docId / saltWidth).toInt else 0
-          SegmentRow(term, salt, docId, dl, ps.length, ps.toArray)
+          SegmentRow(term, salt, docId, dl, ps.length,
+            ChunkCodec.encodePostingUnit(ps.toArray))
         }
       }
     salted
@@ -153,7 +154,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           private val ids = new scala.collection.mutable.ArrayBuffer[Long](ChunkCodec.ChunkSize)
           private val tfs = new scala.collection.mutable.ArrayBuffer[Int](ChunkCodec.ChunkSize)
           private val dls = new scala.collection.mutable.ArrayBuffer[Int](ChunkCodec.ChunkSize)
-          private val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]](ChunkCodec.ChunkSize)
+          private val poss = new scala.collection.mutable.ArrayBuffer[Array[Byte]](ChunkCodec.ChunkSize)
           private var pending: RawChunk = null
 
           private def emit(): RawChunk = {
@@ -178,7 +179,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
               doc_gaps = ChunkCodec.encodeDocGaps(docIds),
               tfs = tfs.toArray,
               dls = dls.toArray,
-              pos_blob = ChunkCodec.encodePositions(positions),
+              pos_blob = ChunkCodec.concatUnits(positions),
               max_tf = tfs.max,
               max_norm = maxNorm)
             ids.clear(); tfs.clear(); dls.clear(); poss.clear()
@@ -193,7 +194,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
                 curTerm = r.term; curSalt = r.salt
               }
               ids += r.doc_id; tfs += r.tf; dls += r.dl
-              poss += r.positions
+              poss += r.pos_enc
               if (ids.length == ChunkCodec.ChunkSize) pending = emit()
             }
             if (pending == null && !it.hasNext && ids.nonEmpty) pending = emit()
@@ -270,6 +271,14 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   // ----------------------------------------------------------- full build
 
+  private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+  private def vtime[T](tag: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (verbose) println(f"BUILDSTEP $tag sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    r
+  }
+
   /** End-to-end build with per-stage resumable checkpoints. Returns meta. */
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
@@ -280,12 +289,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     if (!manifestComplete(paths.docs, fp)) {
       val t0 = System.nanoTime()
       val docsWithText = buildDocs(turns)
-      docsWithText.write.mode("overwrite").parquet(paths.docs)
+      vtime("docs_write") { docsWithText.write.mode("overwrite").parquet(paths.docs) }
       val rows = footerRowCount(paths.docs)
       writeManifest(paths.docs, fp, rows, (System.nanoTime() - t0) / 1000000)
     }
     val docsWithText = spark.read.parquet(paths.docs)
-    val agg = docsWithText.agg(count(lit(1)), avg($"doc_len"), sum($"doc_len")).head()
+    val agg = vtime("meta_agg") {
+      docsWithText.agg(count(lit(1)), avg($"doc_len"), sum($"doc_len")).head() }
     val nDocs = agg.getLong(0)
     val avgdl = agg.getDouble(1)
 
@@ -300,14 +310,16 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val fraction = math.min(1.0, math.max(0.02, 200000.0 / math.max(1L, nDocs)))
       val cutoff = math.max(1L, (conf.skewDfThreshold * fraction * 0.5).toLong)
       val lem = bcLemmas
-      val highDf = docsWithText.sample(withReplacement = false, fraction, 42L)
-        .select($"text").as[String]
-        .flatMap(t => Tokenizer.tokenize(t, lem.value).map(_.term).distinct)
-        .groupBy($"value").count()
-        .filter($"count" >= cutoff)
-        .select($"value").as[String].collect().toSet
-      buildSegments(docsWithText, nDocs, highDf)
-        .write.mode("overwrite").parquet(paths.segments)
+      val highDf = vtime("highdf_sample") {
+        docsWithText.sample(withReplacement = false, fraction, 42L)
+          .select($"text").as[String]
+          .flatMap(t => Tokenizer.tokenize(t, lem.value).map(_.term).distinct)
+          .groupBy($"value").count()
+          .filter($"count" >= cutoff)
+          .select($"value").as[String].collect().toSet }
+      vtime("segments_write") {
+        buildSegments(docsWithText, nDocs, highDf)
+          .write.mode("overwrite").parquet(paths.segments) }
       val rows = footerRowCount(paths.segments)
       writeManifest(paths.segments, fp, rows, (System.nanoTime() - t0) / 1000000,
         Map("salted_terms" -> highDf.size.toString))
@@ -325,8 +337,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val rawChunks = chunkSorted(
         spark.read.parquet(paths.segments).as[SegmentRow], avgdl)
       rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vtime("chunk_materialize") { rawChunks.count() }
       val dict = buildDictionary(rawChunks, nDocs)
-      dict.write.mode("overwrite").parquet(paths.dictionary)
+      vtime("dict_write") { dict.write.mode("overwrite").parquet(paths.dictionary) }
       val dictDf = spark.read.parquet(paths.dictionary)
       val postings = rawChunks.toDF()
         .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
@@ -334,10 +347,11 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
           $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
           $"max_impact")
-      postings
-        .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
-        .sortWithinPartitions($"term_id", $"chunk_seq")
-        .write.mode("overwrite").parquet(paths.postings)
+      vtime("postings_write") {
+        postings
+          .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
+          .sortWithinPartitions($"term_id", $"chunk_seq")
+          .write.mode("overwrite").parquet(paths.postings) }
       rawChunks.unpersist()
       val dictRows = footerRowCount(paths.dictionary)
       val postRows = footerRowCount(paths.postings)

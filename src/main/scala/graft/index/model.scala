@@ -40,7 +40,7 @@ final case class SegmentRow(
     doc_id: Long,
     dl: Int,
     tf: Int,
-    positions: Array[Int])
+    pos_enc: Array[Byte]) // vb(n)+delta-gap unit (ChunkCodec.encodePostingUnit)
 
 /** One compressed posting chunk — a row of the `postings` table. Mirrors
   * the reference Chunk (src/indexer/chunk.rs:6-15) with block-max
