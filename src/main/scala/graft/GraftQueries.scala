@@ -253,6 +253,25 @@ object GraftQueries {
       val eng = engineFor(s, dir)
       withOrigDocId(eng, eng.bm25TopKForTerms(Seq("the", "query", "join"), 10,
         useWand = true)).select("doc_id", "score")
+    }),
+
+    // reference handle_query: phrase-tier precedence, then BM25 order
+    // (src/search_engine/mod.rs:118-206); rounded-score ordering so the
+    // DuckDB oracle is boundary-stable
+    "q25_handle_query" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      val terms = Seq("table", "scan")
+      val scored = eng.bm25Scores(terms)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      val phrase = eng.phraseMatch(terms)
+      val tiered = scored.join(phrase, Seq("doc_id"), "left_semi")
+        .withColumn("tier", lit(0))
+        .unionByName(scored.join(phrase, Seq("doc_id"), "left_anti")
+          .withColumn("tier", lit(1)))
+      withOrigDocId(eng, tiered)
+        .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "score", "tier")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -419,6 +438,32 @@ object GraftQueries {
       """SELECT doc_id,
         |  md5(array_to_string(string_split(text,' '), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q25_handle_query" ->
+      s"""WITH toks AS ($toks),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
+         |   count(*)::DOUBLE AS avgdl FROM documents),
+         |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('table','scan') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('table','scan') GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    round(sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4)
+         |      AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+         |  GROUP BY tf.doc_id),
+         |phrase AS (
+         |  SELECT DISTINCT t1.doc_id FROM toks t1
+         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  WHERE t1.term = 'table' AND t2.term = 'scan')
+         |SELECT s.doc_id, s.score,
+         |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 1 END AS tier
+         |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
+         |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin,
 
     "q17_cos_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

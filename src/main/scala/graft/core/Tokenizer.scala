@@ -59,6 +59,12 @@ object Tokenizer {
     b.result()
   }
 
+  /** Load a lemma file in the reference's lemmas.txt format (S7). */
+  def loadLemmasFile(path: String): Map[String, String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parseLemmas(src.getLines()) finally src.close()
+  }
+
   private def isWs(c: Char): Boolean = Character.isWhitespace(c)
 
   /** Split on whitespace runs, yielding (rawPosition, word). Matches Rust

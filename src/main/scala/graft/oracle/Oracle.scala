@@ -84,6 +84,23 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     scored.sortBy { case (docId, score) => (-score, docId) }.take(k)
   }
 
+  /** Reference handle_query semantics (src/search_engine/mod.rs:118-206):
+    * phrase-matching docs first (tier 0), then the rest (tier 1), each
+    * tier BM25-ordered with the deterministic tie-break.
+    */
+  def handleQuery(query: String, k: Int): Seq[(Long, Double, Int)] = {
+    val terms = Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
+    if (terms.isEmpty) return Nil
+    val present = terms.filter(postings.contains)
+    val scoredAll = bm25TopKForTerms(terms, Int.MaxValue)
+    val phraseDocs = if (terms.size > 1 && present.size == terms.size)
+      phraseMatch(terms) else Set.empty[Long]
+    scoredAll
+      .map { case (d, s) => (d, s, if (terms.size > 1 && phraseDocs(d)) 0 else 1) }
+      .sortBy { case (d, s, t) => (t, -s, d) }
+      .take(k)
+  }
+
   /** tf-idf parity scorer (reference src/scoring/mod.rs:34-48). */
   def tfIdfScores(terms: Seq[String]): Map[Long, Double] = {
     val present = terms.distinct.filter(postings.contains).sortBy(termId)

@@ -123,6 +123,44 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   var wandMinPostings: Long = 100000L
 
+  /** Below this many total postings, skip Spark jobs entirely: collect the
+    * (term_id-pruned) chunk rows and score on the driver with the exact
+    * same formulas and fold order — millisecond latency for rare-term
+    * queries, bit-identical results (asserted in tests). 0 disables.
+    */
+  var localMaxPostings: Long = 20000L
+
+  /** Driver-local BM25 top-k over collected chunks (rank-identical to the
+    * distributed path: same Bm25.impact, same ascending-term_id fold,
+    * same (score desc, doc_id asc) tie-break).
+    */
+  private def bm25TopKLocal(entries: Seq[DictRow], k: Int): DataFrame = {
+    val avgdl = meta.avgdl
+    val byId = entries.sortBy(_.term_id)
+    val rows = postings
+      .filter($"term_id".isin(entries.map(_.term_id): _*))
+      .select($"term_id", $"n_postings", $"doc_gaps", $"tfs", $"dls")
+      .as[(Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+      .collect()
+    val perDoc = scala.collection.mutable.HashMap.empty[Long, List[(Long, Double)]]
+    byId.foreach { e =>
+      rows.iterator.filter(_._1 == e.term_id).foreach { case (_, n, gaps, tfs, dls) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        var i = 0
+        while (i < n) {
+          val imp = Bm25.impact(e.idf, tfs(i), dls(i), avgdl)
+          perDoc(ids(i)) = (e.term_id, imp) :: perDoc.getOrElse(ids(i), Nil)
+          i += 1
+        }
+      }
+    }
+    val scored = perDoc.iterator.map { case (docId, imps) =>
+      (docId, imps.sortBy(_._1).foldLeft(0.0)((acc, x) => acc + x._2))
+    }.toSeq
+    val top = scored.sortBy { case (d, s) => (-s, d) }.take(k)
+    spark.createDataFrame(top).toDF("doc_id", "score")
+  }
+
   /** Disjunctive (free-text) BM25 top-k. `useWand = true` applies the
     * two-pass block-max pruning (when the posting volume warrants it);
     * both paths return identical results (proof sketch in the wand()
@@ -134,8 +172,32 @@ class QueryEngine(spark: SparkSession, root: String,
   def bm25TopKForTerms(terms: Seq[String], k: Int, useWand: Boolean = true): DataFrame = {
     val entries = lookupTerms(terms)
     if (entries.isEmpty) return emptyScores()
-    if (useWand && entries.map(_.df).sum >= wandMinPostings) wand(entries, k)
+    val totalDf = entries.map(_.df).sum
+    if (totalDf <= localMaxPostings && localMaxPostings > 0) bm25TopKLocal(entries, k)
+    else if (useWand && totalDf >= wandMinPostings) wand(entries, k)
     else topK(exactScores(entries), k)
+  }
+
+  /** The reference's intended handle_query (src/search_engine/mod.rs:
+    * 118-206, three scoring strategies appended with phrase precedence):
+    * exact-phrase matches first (BM25-scored), then the disjunctive BM25
+    * top-k, de-duplicated, truncated to k.
+    */
+  def handleQuery(query: String, k: Int): DataFrame = {
+    val terms = queryTerms(query)
+    if (terms.isEmpty) return emptyScores()
+    val scored = bm25Scores(terms)
+    val ranked =
+      if (terms.size > 1) {
+        val phraseDocs = phraseMatch(terms).withColumnRenamed("doc_id", "doc_id")
+        val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
+          .withColumn("tier", lit(0))
+        val rest = scored.join(phraseDocs, Seq("doc_id"), "left_anti")
+          .withColumn("tier", lit(1))
+        inPhrase.unionByName(rest)
+      } else scored.withColumn("tier", lit(1))
+    ranked.orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+      .select($"doc_id", $"score", $"tier")
   }
 
   private def emptyScores(): DataFrame =

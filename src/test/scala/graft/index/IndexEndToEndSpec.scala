@@ -103,17 +103,44 @@ class IndexEndToEndSpec extends SparkSpecBase {
     "kelba sorro",
     "fraba")
 
-  test("BM25 top-k rank-identical to oracle (ids AND scores), WAND on and off") {
-    engine.wandMinPostings = 0L // force the block-max path at test scale
+  test("BM25 top-k rank-identical to oracle on all three paths (local, WAND, direct)") {
     queries.foreach { q =>
       val want = oracle.bm25TopK(q, 10)
+      // path 1: driver-local fast path (default at this scale)
+      val local = engine.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(local == want, s"local-path mismatch for '$q'\n got=$local\nwant=$want")
+      // paths 2+3: distributed, block-max WAND forced on and off
+      engine.localMaxPostings = 0L
+      engine.wandMinPostings = 0L
       Seq(true, false).foreach { useWand =>
         val got = engine.bm25TopK(q, 10, useWand = useWand)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(got == want, s"top-k mismatch for '$q' (wand=$useWand)\n got=$got\nwant=$want")
       }
+      engine.localMaxPostings = 20000L
+      engine.wandMinPostings = 100000L
     }
-    engine.wandMinPostings = 100000L
+  }
+
+  test("handle_query: phrase-tier precedence matches oracle") {
+    // a query whose first two tokens form a real phrase somewhere
+    val t = turnsLocal.find(_.text.split(" ").length > 3).get
+    val toks = graft.core.Tokenizer.tokenize(t.text, lemmas).take(2).map(_.term)
+    val q = toks.mkString(" ")
+    val want = oracle.handleQuery(q, 10)
+    val got = engine.handleQuery(q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got == want, s"handleQuery mismatch for '$q'\n got=$got\nwant=$want")
+    assert(got.exists(_._3 == 0), "expected at least one phrase-tier hit")
+  }
+
+  test("lemma file round-trip (reference lemmas.txt format)") {
+    val f = java.nio.file.Files.createTempFile("lemmas", ".txt")
+    java.nio.file.Files.write(f,
+      Transcripts.lemmaFileLines.mkString("\n").getBytes("UTF-8"))
+    val loaded = graft.core.Tokenizer.loadLemmasFile(f.toString)
+    assert(loaded == Transcripts.lemmas)
   }
 
   test("conjunctive AND matches oracle") {

@@ -1,0 +1,68 @@
+package graft.query
+
+import graft.SparkSpecBase
+import graft.corpus.Transcripts
+import graft.index.{IndexBuilder, IndexConf}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the things that make the design hold at
+  * 100 TB must be visible in `explain` — predicate pushdown into the
+  * postings Parquet scan, column pruning, and whole-stage codegen on the
+  * scoring path.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private lazy val indexDir: String = {
+    val dir = tmpDir("graft-plan-index")
+    new IndexBuilder(spark, Transcripts.lemmas, IndexConf(numParts = 4))
+      .build(Transcripts.generate(spark, 30L), dir)
+    dir
+  }
+  private lazy val engine = new QueryEngine(spark, indexDir, Transcripts.lemmas)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("term_id predicate pushes down to the postings Parquet scan") {
+    val plan = planOf(engine.postings.filter(col("term_id") === 7L))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(term_id,7)"), s"no pushdown in:\n$plan")
+  }
+
+  test("fuzzy term-length prefilter pushes down to the dictionary scan") {
+    val plan = planOf(engine.fuzzyTerms("alba", 1))
+    // length() itself is not pushable, but the scan must NOT read all
+    // columns: ReadSchema is pruned to the selected ones
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("pos_blob"), "dictionary scan must not touch postings columns")
+  }
+
+  test("scoring path pruned: decode reads only the needed columns") {
+    val entries = engine.lookupTerms(Seq("the"))
+    val plan = planOf(
+      engine.postings.filter(col("term_id").isin(entries.map(_.term_id): _*))
+        .select(col("term_id"), col("n_postings"), col("doc_gaps"),
+          col("tfs"), col("dls")))
+    assert(plan.contains("ReadSchema") && !plan.contains("pos_blob"),
+      s"scoring scan should not read pos_blob:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject (bounded heap, no full sort)") {
+    val scored = engine.bm25Scores(Seq("the", "alba"))
+    val plan = planOf(scored.orderBy(col("score").desc, col("doc_id").asc).limit(10))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k in:\n$plan")
+  }
+
+  test("conjunctive chain broadcasts the rare side") {
+    val plan = planOf(engine.conjunctive(Seq("the", "alba")))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the quality-scoring expressions") {
+    // parquet-backed input (a literal local relation constant-folds away)
+    val docs = engine.docs.select(col("doc_id"), col("text"))
+    val plan = planOf(graft.ops.TextOps.qualityScore(docs))
+    // executedPlan.toString renders WholeStageCodegen stages as "*(n)"
+    assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
+  }
+}
