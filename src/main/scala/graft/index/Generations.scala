@@ -1,0 +1,171 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Turn
+
+/** Incremental indexing: each appended batch of turns becomes one
+  * immutable index GENERATION (Lucene-segment style), with a disjoint
+  * doc_id range. Queries run across all generations with globally
+  * consistent BM25 statistics; `Compactor.compact` merges generations
+  * back into one fully-optimized index (the distributed analog of the
+  * reference's k-way merge of SPIMI run files, src/spimi.rs:50-121 —
+  * the per-generation `segments` checkpoints ARE the runs).
+  */
+object Generations {
+
+  def genDirs(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return Nil
+    Files.list(p).iterator().asScala
+      .filter(d => d.getFileName.toString.startsWith("gen-") &&
+        Files.exists(d.resolve("index_meta.json")))
+      .map(_.toString).toSeq.sorted
+  }
+
+  def totalDocs(root: String): Long =
+    genDirs(root).map(IndexBuilder.readMeta(_).n_docs).sum
+
+  /** Append a batch as a new generation; returns its directory. */
+  def append(spark: SparkSession, turns: Dataset[Turn], root: String,
+      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
+    val existing = genDirs(root)
+    val offset = existing.map(IndexBuilder.readMeta(_).n_docs).sum
+    val dir = f"$root/gen-${existing.size}%05d"
+    new IndexBuilder(spark, lemmas, conf.copy(docIdOffset = offset))
+      .build(turns, dir)
+    dir
+  }
+}
+
+/** Query engine over all generations of an incremental index. BM25 idf
+  * and avgdl are recomputed GLOBALLY at query time (per-generation df
+  * summed; avgdl doc-weighted), so scores equal a from-scratch build over
+  * the concatenated corpus bit-for-bit — asserted in tests. Block-max
+  * metadata is generation-local and therefore not used here; compact
+  * first for WAND-pruned queries.
+  */
+class MultiGenEngine(spark: SparkSession, root: String,
+    lemmas: Map[String, String] = Map.empty) {
+  import spark.implicits._
+  import graft.query.QueryEngine
+
+  val gens: Seq[String] = Generations.genDirs(root)
+  require(gens.nonEmpty, s"no generations under $root")
+  val engines: Seq[QueryEngine] = gens.map(new QueryEngine(spark, _, lemmas))
+
+  val nDocs: Long = engines.map(_.meta.n_docs).sum
+  val avgdl: Double = {
+    // identical expression shape to the single-build avg: Long sum / count
+    val totalLen = engines.map(e => math.round(e.meta.avgdl * e.meta.n_docs)).sum
+    totalLen.toDouble / nDocs
+  }
+
+  def queryTerms(query: String): Seq[String] =
+    graft.core.Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
+
+  /** BM25 top-k across generations, deterministic fold order by query-term
+    * rank in byte-order term sort (term_ids are generation-local, so the
+    * global fold key is the term's sorted position among the query terms).
+    */
+  def bm25TopKForTerms(terms: Seq[String], k: Int): DataFrame = {
+    val uniq = terms.distinct
+    // global df per term
+    val perGen = engines.map(e => e.lookupTerms(uniq).map(t => t.term -> t).toMap)
+    val globalDf: Map[String, Long] = uniq.map { t =>
+      t -> perGen.map(_.get(t).map(_.df).getOrElse(0L)).sum
+    }.toMap.filter(_._2 > 0)
+    if (globalDf.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val ordered = globalDf.keys.toSeq.sorted // byte-order = global fold order
+    val foldKey = ordered.zipWithIndex.toMap
+    val idf = ordered.map(t => t -> Bm25.idf(nDocs, globalDf(t))).toMap
+    val avg = avgdl
+
+    val perGenScored = engines.zip(perGen).flatMap { case (e, dict) =>
+      val present = ordered.filter(dict.contains)
+      if (present.isEmpty) None
+      else {
+        val keyOf = present.map(t => dict(t).term_id -> foldKey(t)).toMap
+        val idfOf = present.map(t => dict(t).term_id -> idf(t)).toMap
+        val bcKey = spark.sparkContext.broadcast(keyOf)
+        val bcIdf = spark.sparkContext.broadcast(idfOf)
+        Some(e.scoredPostings(present.map(dict(_).term_id))
+          .map(p => (p.doc_id, bcKey.value(p.term_id),
+            Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg)))
+          .toDF("doc_id", "fold_key", "impact"))
+      }
+    }
+    val all = perGenScored.reduce(_ unionByName _)
+    all.groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"fold_key", $"impact"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("impact")).as("score"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  def bm25TopK(query: String, k: Int): DataFrame =
+    bm25TopKForTerms(queryTerms(query), k)
+}
+
+/** Merge all generations into one optimized index: the per-generation
+  * SPIMI `segments` checkpoints (sorted runs with globally-disjoint
+  * doc_ids) are unioned and re-merged through the standard chunk pipeline,
+  * with dictionary/statistics recomputed globally — after which block-max
+  * WAND and single-root QueryEngine apply again.
+  */
+object Compactor {
+
+  def compact(spark: SparkSession, root: String, outDir: String,
+      lemmas: Map[String, String], conf: IndexConf = IndexConf()): IndexMeta = {
+    import spark.implicits._
+    val gens = Generations.genDirs(root)
+    require(gens.nonEmpty, s"no generations under $root")
+    val builder = new IndexBuilder(spark, lemmas, conf)
+
+    // docs: union of per-generation docs tables (doc_ids already global)
+    val paths = IndexPaths(outDir)
+    Files.createDirectories(Paths.get(outDir))
+    val docs = gens.map(g => spark.read.parquet(IndexPaths(g).docs))
+      .reduce(_ unionByName _)
+    docs.write.mode("overwrite").parquet(paths.docs)
+
+    // segments: union of the generations' sorted runs; the builder's
+    // resume path re-shuffles + re-sorts by (term, salt, doc_id), which is
+    // exactly the k-way merge (disjoint doc ranges make it a merge, not a
+    // re-group — reference src/positional_intersect/mod.rs:108-131 / J1).
+    val segs = gens.map(g => spark.read.parquet(IndexPaths(g).segments))
+      .reduce(_ unionByName _).as[SegmentRow]
+    val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()
+    val nDocs = agg.getLong(0)
+    val avgdl = agg.getDouble(1)
+    val rawChunks = builder.buildRawChunks(segs, avgdl)
+    rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = builder.buildDictionary(rawChunks, nDocs)
+    dict.write.mode("overwrite").parquet(paths.dictionary)
+    val dictDf = spark.read.parquet(paths.dictionary)
+    rawChunks.toDF()
+      .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
+      .withColumn("max_impact", col("idf") * col("max_norm"))
+      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
+        $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
+        $"max_impact")
+      .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
+      .sortWithinPartitions($"term_id", $"chunk_seq")
+      .write.mode("overwrite").parquet(paths.postings)
+    rawChunks.unpersist()
+    val nTerms = dictDf.count()
+    val nPostings = spark.read.parquet(paths.postings)
+      .agg(sum($"n_postings")).head().getLong(0)
+    val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
+    Files.writeString(Paths.get(paths.meta),
+      s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
+      s""""n_postings":$nPostings,"k1":${conf.k1},"b":${conf.b},"fingerprint":"compacted"}""")
+    meta
+  }
+}

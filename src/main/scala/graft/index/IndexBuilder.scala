@@ -22,7 +22,11 @@ final case class IndexConf(
     skewDfThreshold: Long = 50000L,
     nSalts: Int = 16,
     k1: Double = Bm25.K1,
-    b: Double = Bm25.B)
+    b: Double = Bm25.B,
+    /** doc_ids start at docIdOffset + 1 — generation appends keep the
+      * global doc_id space disjoint (Generations.append).
+      */
+    docIdOffset: Long = 0L)
 
 final case class IndexPaths(root: String) {
   def docs = s"$root/docs"
@@ -67,10 +71,11 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val ranked = RangeRank.withRank(
       turns.toDF().select("conv_id", "turn_idx", "role", "text"),
       Seq("conv_id", "turn_idx"), "doc_id", conf.numParts)
+    val offset = conf.docIdOffset
     ranked.as[(String, Int, String, String, Long)]
       .map { case (conv, turn, role, text, docId) =>
         val dl = Tokenizer.tokenize(text, lem.value).length
-        (docId, conv, turn, role, dl, text)
+        (docId + offset, conv, turn, role, dl, text)
       }.toDF("doc_id", "conv_id", "turn_idx", "role", "doc_len", "text")
   }
 
@@ -283,7 +288,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
-    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}"
+    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {

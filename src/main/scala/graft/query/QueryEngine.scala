@@ -66,6 +66,10 @@ class QueryEngine(spark: SparkSession, root: String,
       }
   }
 
+  /** Public decoded-postings accessor (MultiGenEngine, diagnostics). */
+  def scoredPostings(termIds: Seq[Long]): Dataset[ScoredPosting] =
+    decodedPostings(termIds)
+
   /** Postings with positions decoded (for phrase / proximity). */
   def positionedPostings(termIds: Seq[Long]): Dataset[PositionedPosting] = {
     postings

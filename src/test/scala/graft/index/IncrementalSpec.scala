@@ -1,0 +1,94 @@
+package graft.index
+
+import graft.SparkSpecBase
+import graft.corpus.Transcripts
+import graft.oracle.Oracle
+import graft.query.QueryEngine
+
+/** Incremental indexing: generation appends, multi-generation querying
+  * with globally-consistent BM25, compaction, and streaming ingest. The
+  * bar: multi-gen and compacted results are BIT-IDENTICAL to a
+  * from-scratch build of the whole corpus (and to the scalar oracle),
+  * because batches arrive in (conv_id, turn_idx) order here.
+  */
+class IncrementalSpec extends SparkSpecBase {
+
+  private val lemmas = Transcripts.lemmas
+  private val conf = IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4)
+  private lazy val allTurns = Transcripts.generateLocal(40L)
+  private lazy val oracle = new Oracle(allTurns, lemmas)
+
+  private lazy val root: String = {
+    val dir = tmpDir("graft-incr")
+    import spark.implicits._
+    // two batches in conv order -> generation doc_ids == full-build ids
+    val batch1 = allTurns.filter(_.conv_id < "conv-00000020")
+    val batch2 = allTurns.filterNot(_.conv_id < "conv-00000020")
+    Generations.append(spark, spark.createDataset(batch1), dir, lemmas, conf)
+    Generations.append(spark, spark.createDataset(batch2), dir, lemmas, conf)
+    dir
+  }
+
+  test("generations have disjoint, consecutive doc_id ranges") {
+    val gens = Generations.genDirs(root)
+    assert(gens.size == 2)
+    val metas = gens.map(IndexBuilder.readMeta)
+    assert(metas.map(_.n_docs).sum == oracle.nDocs)
+    val e0 = new QueryEngine(spark, gens(0), lemmas)
+    val e1 = new QueryEngine(spark, gens(1), lemmas)
+    val max0 = e0.docs.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    val min1 = e1.docs.agg(org.apache.spark.sql.functions.min("doc_id")).head().getLong(0)
+    assert(min1 == max0 + 1, s"gap/overlap between generations: $max0 -> $min1")
+  }
+
+  test("multi-gen BM25 top-k == oracle over the full corpus (bit-identical)") {
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    assert(multi.nDocs == oracle.nDocs)
+    assert(multi.avgdl == oracle.avgdl)
+    Seq("alba corba", "the of", "kelba the sorro").foreach { q =>
+      val got = multi.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = oracle.bm25TopK(q, 10)
+      assert(got == want, s"multi-gen mismatch for '$q'\n got=$got\nwant=$want")
+    }
+  }
+
+  test("compaction produces a single index identical to a full rebuild") {
+    val out = tmpDir("graft-compact")
+    val meta = Compactor.compact(spark, root, out, lemmas, conf)
+    assert(meta.n_docs == oracle.nDocs)
+    val eng = new QueryEngine(spark, out, lemmas)
+    eng.wandMinPostings = 0L
+    eng.localMaxPostings = 0L
+    Seq("alba corba", "the of", "kelba the sorro").foreach { q =>
+      val got = eng.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = oracle.bm25TopK(q, 10)
+      assert(got == want, s"compacted mismatch for '$q'\n got=$got\nwant=$want")
+    }
+    // dictionary df equals oracle df after the merge
+    val dict = eng.dictionary.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    oracle.postings.keys.take(50).foreach { t =>
+      assert(dict(t) == oracle.df(t), s"df mismatch for '$t' after compaction")
+    }
+  }
+
+  test("streaming ingest: each micro-batch becomes a queryable generation") {
+    import spark.implicits._
+    val inDir = tmpDir("graft-stream-in")
+    val idxRoot = tmpDir("graft-stream-idx")
+    // two files BEFORE the stream starts; AvailableNow drains both
+    val batch1 = allTurns.filter(_.conv_id < "conv-00000020")
+    val batch2 = allTurns.filterNot(_.conv_id < "conv-00000020")
+    spark.createDataset(batch1).coalesce(1).write.mode("append").parquet(inDir)
+    spark.createDataset(batch2).coalesce(1).write.mode("append").parquet(inDir)
+    val q = graft.streaming.StreamIngest.start(spark, inDir, idxRoot, lemmas, conf)
+    q.awaitTermination(120000)
+    assert(Generations.genDirs(idxRoot).nonEmpty)
+    assert(Generations.totalDocs(idxRoot) == oracle.nDocs)
+    val multi = new MultiGenEngine(spark, idxRoot, lemmas)
+    val got = multi.bm25TopK("alba corba", 5).collect().map(_.getLong(0)).toSeq
+    assert(got == oracle.bm25TopK("alba corba", 5).map(_._1))
+  }
+}
