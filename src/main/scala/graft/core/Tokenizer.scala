@@ -104,6 +104,28 @@ object Tokenizer {
   /** Raw whitespace-token count (positions domain size). */
   def rawTokenCount(text: String): Int = splitWhitespace(text).size
 
+  /** Document-side bigram tokens: consecutive SURVIVING lemmas joined by
+    * one space, at position (currentRawPos - 1) — the doc-side version of
+    * the reference's commented-out index bigrams (tokenizer.rs:159-164,
+    * 211-217) whose query side is live in tokenizeQuery.
+    */
+  def bigrams(text: String, lemmas: Map[String, String]): Seq[Token] = {
+    if (text.trim.isEmpty) return Nil
+    val out = Seq.newBuilder[Token]
+    var position = 0
+    var prev: Option[String] = None
+    splitWhitespace(text).foreach { word =>
+      val cleaned = cleanWord(word)
+      if (cleaned.nonEmpty) {
+        val term = lemmas.getOrElse(cleaned, cleaned)
+        prev.foreach(p => out += Token(position - 1, s"$p $term"))
+        prev = Some(term)
+      }
+      position += 1
+    }
+    out.result()
+  }
+
   final case class QueryTokens(unigrams: Seq[Token], bigrams: Seq[Token])
 
   /** Query tokenization: unigrams + skip-over-empty bigrams

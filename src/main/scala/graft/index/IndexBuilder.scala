@@ -26,7 +26,13 @@ final case class IndexConf(
     /** doc_ids start at docIdOffset + 1 — generation appends keep the
       * global doc_id space disjoint (Generations.append).
       */
-    docIdOffset: Long = 0L)
+    docIdOffset: Long = 0L,
+    /** Also index consecutive-lemma bigrams as terms ("a b", position of
+      * the first word) — the reference's commented-out design
+      * (tokenizer.rs:211-217): phrase queries for indexed bigrams become
+      * a single dictionary probe instead of a positional intersect.
+      */
+    indexBigrams: Boolean = false)
 
 final case class IndexPaths(root: String) {
   def docs = s"$root/docs"
@@ -111,17 +117,23 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val bcHigh = spark.sparkContext.broadcast(highDfTerms)
     val saltWidth = math.max(1L, (nDocs + conf.nSalts - 1) / conf.nSalts)
     val lem = bcLemmas
+    val bigramsOn = conf.indexBigrams
     val salted = docsWithText.select($"doc_id", $"doc_len", $"text")
       .as[(Long, Int, String)]
       .flatMap { case (docId, dl, text) =>
-        val toks = Tokenizer.tokenize(text, lem.value)
+        val toks =
+          if (bigramsOn) Tokenizer.tokenize(text, lem.value) ++
+            Tokenizer.bigrams(text, lem.value)
+          else Tokenizer.tokenize(text, lem.value)
         val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         toks.foreach(t => byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position)
         val high = bcHigh.value
         byTerm.iterator.map { case (term, ps) =>
           val salt = if (high.contains(term)) (docId / saltWidth).toInt else 0
-          SegmentRow(term, salt, docId, dl, ps.length,
-            ChunkCodec.encodePostingUnit(ps.toArray))
+          val sorted = ps.toArray
+          java.util.Arrays.sort(sorted) // bigram positions may interleave
+          SegmentRow(term, salt, docId, dl, sorted.length,
+            ChunkCodec.encodePostingUnit(sorted))
         }
       }
     salted
@@ -288,7 +300,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
-    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}"
+    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {

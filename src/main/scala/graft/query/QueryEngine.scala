@@ -253,12 +253,13 @@ class QueryEngine(spark: SparkSession, root: String,
       $"term_id" === e.term_id && $"max_impact" >= minSurvive(e.term_id)
     }.reduce(_ || _)
 
-    // prunedMax per term: the largest impact a pruned chunk could hide.
-    val prunedMaxRows = postings
-      .filter($"term_id".isin(entries.map(_.term_id): _*) && !survivePred)
-      .groupBy($"term_id").agg(max($"max_impact").as("pm"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val missingBound = entries.map(e => prunedMaxRows.getOrElse(e.term_id, 0.0)).sum
+    // Bound on what pruned chunks can hide, per term, WITHOUT a Spark job:
+    // every pruned chunk of t satisfies max_impact < theta - (totalMax -
+    // max_t), so prunedMax(t) <= min(that bound, global max_t). Driver-side
+    // arithmetic replaces a full postings-metadata aggregation.
+    val missingBound = entries.map { e =>
+      math.max(0.0, math.min(minSurvive(e.term_id), e.max_impact))
+    }.sum
 
     // Pass 1: approximate scores over surviving chunks only.
     val pass1 = exactScores(entries, survivePred)
