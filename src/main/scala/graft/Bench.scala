@@ -76,7 +76,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "4000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 

@@ -59,6 +59,15 @@ object Tokenizer {
     b.result()
   }
 
+  /** Tag-strip projection (P1): remove markup before tokenizing, the
+    * reference's extract_plaintext regex `<[^>]*>`
+    * (src/indexer/indexer.rs:59-70). Relational form:
+    * regexp_replace(col, "<[^>]*>", "").
+    */
+  private val TagPattern = java.util.regex.Pattern.compile("<[^>]*>")
+  def stripTags(text: String): String =
+    TagPattern.matcher(text).replaceAll("")
+
   /** Load a lemma file in the reference's lemmas.txt format (S7). */
   def loadLemmasFile(path: String): Map[String, String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")

@@ -306,6 +306,25 @@ class QueryEngine(spark: SparkSession, root: String,
     }.distinct()
   }
 
+  /** J6 variant: shortest-list-driven semi-join probe (reference
+    * find_documents_optimized, src/positional_intersect/mod.rs:38-105):
+    * the min-df term's doc set drives a chain of LEFT SEMI joins against
+    * the other terms' postings — Catalyst broadcasts the probe side when
+    * small, which is the distributed analog of the reference's
+    * binary-search probing.
+    */
+  def conjunctiveSemi(terms: Seq[String]): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.size < terms.distinct.size) return Seq.empty[Long].toDF("doc_id")
+    val byDf = entries.sortBy(e => (e.df, e.term_id))
+    var acc = decodedPostings(Seq(byDf.head.term_id)).select($"doc_id")
+    byDf.tail.foreach { e =>
+      acc = acc.join(decodedPostings(Seq(e.term_id)).select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    acc.distinct()
+  }
+
   /** Phrase match (strictly consecutive positions, reference
     * src/positional_intersect/mod.rs:11-35): conjunctive intersection with
     * positions carried, then an `exists` over the first term's positions

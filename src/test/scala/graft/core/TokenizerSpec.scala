@@ -59,6 +59,12 @@ class TokenizerSpec extends AnyFunSuite {
     assert(rawTokenCount("") == 0)
   }
 
+  test("stripTags removes markup like extract_plaintext (indexer.rs:59-70)") {
+    assert(stripTags("a <b>bold</b> move <br/> here") == "a bold move  here")
+    assert(stripTags("no tags at all") == "no tags at all")
+    assert(stripTags("<unclosed") == "<unclosed") // no '>' -> untouched
+  }
+
   test("byte-order case-sensitive term sort (dictionary/mod.rs:193-203)") {
     // Spark StringType default binary collation matches Rust String Ord.
     val sorted = Seq("apple", "Banana", "Zebra").sorted

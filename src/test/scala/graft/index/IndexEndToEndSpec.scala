@@ -143,10 +143,13 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(loaded == Transcripts.lemmas)
   }
 
-  test("conjunctive AND matches oracle") {
+  test("conjunctive AND matches oracle (inner-join and semi-join variants)") {
     Seq(Seq("the", "albast"), Seq("kelba", "of"), Seq("the", "of", "and")).foreach { ts =>
+      val want = oracle.conjunctive(ts)
       val got = engine.conjunctive(ts).collect().map(_.getLong(0)).toSet
-      assert(got == oracle.conjunctive(ts), s"conjunctive mismatch for $ts")
+      assert(got == want, s"conjunctive mismatch for $ts")
+      val gotSemi = engine.conjunctiveSemi(ts).collect().map(_.getLong(0)).toSet
+      assert(gotSemi == want, s"conjunctiveSemi mismatch for $ts")
     }
   }
 
