@@ -16,7 +16,7 @@ object BuildOnly {
       .config("spark.local.dir", "/dev/shm/graft/spark-local").config("spark.ui.enabled", "false").config("spark.driver.host", "localhost")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val turns = s.read.parquet("/dev/shm/graft/bench_turns_50000").as(
+    val turns = s.read.parquet(sys.env.getOrElse("GRAFT_TURNS", "/dev/shm/graft/bench_turns_20000")).as(
       org.apache.spark.sql.Encoders.product[graft.corpus.Turn])
     val t0 = System.nanoTime()
     val meta = new IndexBuilder(s, Transcripts.lemmas,

@@ -354,7 +354,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val rawChunks = chunkSorted(
         spark.read.parquet(paths.segments).as[SegmentRow], avgdl)
       rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      vtime("chunk_materialize") { rawChunks.count() }
+      // (no explicit materialize: the dictionary stats agg below is the
+      // first consumer and fills the cache in the same pass)
       val dict = buildDictionary(rawChunks, nDocs)
       vtime("dict_write") { dict.write.mode("overwrite").parquet(paths.dictionary) }
       val dictDf = spark.read.parquet(paths.dictionary)
@@ -377,8 +378,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     }
 
     val nTerms = footerRowCount(paths.dictionary)
-    val nPostings = spark.read.parquet(paths.postings)
-      .agg(sum($"n_postings")).head().getLong(0)
+    // total postings = sum of per-term document frequencies (tiny scan)
+    val nPostings = spark.read.parquet(paths.dictionary)
+      .agg(sum($"df")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
     Files.writeString(Paths.get(paths.meta),
       s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
