@@ -114,20 +114,29 @@ object Dedup {
     * distance. Bit-majority is computed with array expressions (no UDF).
     */
   def simHash(docs: DataFrame): DataFrame = {
-    val termTf = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("term")))
-    // per (doc, bit): weight = sum(tf * (bit ? +1 : -1)); simhash bit = weight > 0
-    val bits = termTf.select(col("doc_id"), col("tf"), col("h"),
-        posexplode(transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", col("h"), j).bitwiseAND(1) === 1, col("tf"))
-            .otherwise(-col("tf")))).as(Seq("bit", "w")))
-      .groupBy(col("doc_id"), col("bit")).agg(sum(col("w")).as("w"))
-      .withColumn("bitval", when(col("w") > 0, lit(1L)).otherwise(lit(0L)))
-    bits.groupBy("doc_id")
-      .agg(sum(col("bitval") * call_function("shiftleft", lit(1L),
-        col("bit").cast("int"))).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // One typed map, ZERO shuffles: a doc's token stream fits in a task,
+    // so the tf-weighted bit-majority folds locally. Term hash = SplitMix64
+    // of the JVM string hash (spec-stable across JVMs/executors).
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val tf = scala.collection.mutable.HashMap.empty[String, Int]
+        text.split(' ').foreach(t => if (t.nonEmpty) tf(t) = tf.getOrElse(t, 0) + 1)
+        val w = new Array[Long](64)
+        tf.foreach { case (term, n) =>
+          val h = mix(term.hashCode.toLong)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) w(j) += n else w(j) -= n
+            j += 1
+          }
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 64) { if (w(j) > 0) sig |= (1L << j); j += 1 }
+        (id, sig)
+      }.toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup candidate pairs: band the 64-bit signature into 4

@@ -51,16 +51,32 @@ object Similarity {
     (mix(0x9E37L * (p.toLong << 20) + d).toDouble / Long.MaxValue)
 
   /** Adds an integer LSH signature column `sig`: bit p = sign of the dot
-    * product with hyperplane p.
+    * product with hyperplane p. Typed mapPartitions with a precomputed
+    * plane matrix — a (nPlanes x dim) expression tree would defeat
+    * codegen and was ~10x slower at sf0.1.
     */
   def withHyperplaneSig(embeddings: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
-    val sigBits = (0 until nPlanes).map { p =>
-      val planeDot = (0 until dim).map { d =>
-        element_at(col("embedding"), d + 1) * lit(planeWeight(p, d))
-      }.reduce(_ + _)
-      when(planeDot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    embeddings.withColumn("sig", sigBits)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(nPlanes, dim)((p, d) => planeWeight(p, d))
+        it.map { case (id, emb) =>
+          var sig = 0L
+          var p = 0
+          while (p < nPlanes) {
+            var dot = 0.0
+            val w = planes(p)
+            var d = 0
+            val n = math.min(dim, emb.length)
+            while (d < n) { dot += emb(d) * w(d); d += 1 }
+            if (dot > 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, emb, sig)
+        }
+      }.toDF("vec_id", "embedding", "sig")
   }
 
   /** ANN top-k: candidates = vectors whose signature is within Hamming
