@@ -215,21 +215,24 @@ class QueryEngine(spark: SparkSession, root: String,
     if (entries.isEmpty) emptyScores() else exactScores(entries)
   }
 
-  /** Block-max WAND, batch form (north rule). Exact top-k in two passes:
+  /** Exact block-max top-k pruning — the batch MaxScore strategy (Turtle
+    * & Flood '95; block-max refinement after Ding & Suel '11), on top of
+    * the chunk metadata columns:
     *
     *  1. θ = k-th largest single-posting impact of the term with the
     *     highest global max_impact — a valid lower bound on the true k-th
-    *     best total score (those k docs score at least their single-term
-    *     impact).
-    *  2. Prune every chunk c of term t with
-    *       c.max_impact + Σ_{t' ≠ t} global_max(t') < θ:
-    *     any doc confined to pruned chunks has total < θ, so it cannot be
-    *     in the top-k. Score the surviving chunks; keep docs with
-    *     pass1 + Σ_t prunedMax(t) ≥ θ (prunedMax = max impact among the
-    *     chunks of t that were pruned — the most a doc can be missing).
-    *  3. Re-score the (small) candidate set EXACTLY over unpruned
-    *     postings via a broadcast semi-join, then top-k with the
-    *     deterministic (score desc, doc_id asc) tie-break.
+    *     best total score (those k docs score at least that one impact).
+    *  2. NON-ESSENTIAL terms: order terms by ascending max_impact and
+    *     take the longest prefix whose cumulative max_impact < θ. A doc
+    *     containing only non-essential terms scores < θ, so every true
+    *     top-k doc appears in some ESSENTIAL term's postings.
+    *  3. Candidates = essential terms' doc_ids. Non-essential (stopword-
+    *     scale) postings are then read with TWO levels of skipping:
+    *     chunks whose [min_doc_id, max_doc_id] contains no candidate are
+    *     never decoded (the reference's skip pointer, src/indexer/
+    *     block.rs:73-86, driven by the candidate set), and decoded
+    *     postings are filtered to candidates before scoring.
+    *  4. Exact fixed-order fold + top-k with the deterministic tie-break.
     */
   private def wand(entries: Seq[DictRow], k: Int): DataFrame = {
     val avgdl = meta.avgdl
@@ -241,40 +244,75 @@ class QueryEngine(spark: SparkSession, root: String,
       .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avgdl))
       .orderBy($"value".desc).limit(k).collect()
     val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
-
     if (theta <= 0.0) return topK(exactScores(entries), k)
 
-    // Per-term pruning predicate: chunk survives iff
-    // max_impact >= theta - sum(other terms' global max).
-    val totalMax = entries.map(_.max_impact).sum
-    val minSurvive: Map[Long, Double] =
-      entries.map(e => e.term_id -> (theta - (totalMax - e.max_impact))).toMap
-    val survivePred = entries.map { e =>
-      $"term_id" === e.term_id && $"max_impact" >= minSurvive(e.term_id)
-    }.reduce(_ || _)
+    // Essential / non-essential split (driver-side arithmetic).
+    val asc = entries.sortBy(e => (e.max_impact, e.term_id))
+    var cum = 0.0
+    val nonEssential = asc.takeWhile { e =>
+      val keep = cum + e.max_impact < theta
+      if (keep) cum += e.max_impact
+      keep
+    }.map(_.term_id).toSet
+    val essential = entries.filterNot(e => nonEssential(e.term_id))
+    if (nonEssential.isEmpty) return topK(exactScores(entries), k)
 
-    // Bound on what pruned chunks can hide, per term, WITHOUT a Spark job:
-    // every pruned chunk of t satisfies max_impact < theta - (totalMax -
-    // max_t), so prunedMax(t) <= min(that bound, global max_t). Driver-side
-    // arithmetic replaces a full postings-metadata aggregation.
-    val missingBound = entries.map { e =>
-      math.max(0.0, math.min(minSurvive(e.term_id), e.max_impact))
-    }.sum
+    // Candidates from essential postings only.
+    val candIds = decodedPostings(essential.map(_.term_id))
+      .select($"doc_id").distinct().as[Long].collect()
+    if (candIds.isEmpty) return emptyScores()
+    if (candIds.length > 2000000) // pruning not worth the broadcast
+      return topK(exactScores(entries), k)
+    java.util.Arrays.sort(candIds)
+    val bcCand = spark.sparkContext.broadcast(candIds)
 
-    // Pass 1: approximate scores over surviving chunks only.
-    val pass1 = exactScores(entries, survivePred)
-    val candidates = pass1.filter($"score" + lit(missingBound) >= lit(theta))
-      .select($"doc_id")
+    @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean = {
+      var lo = 0
+      var hi = cand.length
+      while (lo < hi) { // first candidate >= minDoc
+        val mid = (lo + hi) >>> 1
+        if (cand(mid) < minDoc) lo = mid + 1 else hi = mid
+      }
+      lo < cand.length && cand(lo) <= maxDoc
+    }
+    @inline def isCandidate(doc: Long, cand: Array[Long]): Boolean =
+      java.util.Arrays.binarySearch(cand, doc) >= 0
 
-    // Pass 2: exact re-score of candidates over ALL chunks.
-    val candidateIds = candidates.as[Long].collect()
-    if (candidateIds.isEmpty) return emptyScores()
-    val bcCand = spark.sparkContext.broadcast(candidateIds.toSet)
-    val avg = avgdl
+    // Non-essential postings, two-level skip:
+    //  (a) metadata-only pre-pass (term_id/chunk_seq/min/max columns —
+    //      no blob bytes read) finds the chunks containing candidates;
+    //  (b) the blob scan is then pruned by a pushed-down chunk_seq IN
+    //      filter (the table is sorted by (term_id, chunk_seq), so row
+    //      groups of skipped chunks never leave the Parquet reader);
+    //  (c) decoded postings are filtered to candidates before scoring.
+    val survivors = postings
+      .filter($"term_id".isin(nonEssential.toSeq: _*))
+      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+      .as[(Long, Long, Long, Long)]
+      .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
+      .select($"chunk_seq").as[Long].collect()
+    val nonEssBase = postings.filter($"term_id".isin(nonEssential.toSeq: _*))
+    val nonEssChunks =
+      if (survivors.length <= 100000)
+        nonEssBase.filter($"chunk_seq".isin(survivors.toSeq: _*))
+      else nonEssBase // too many survivors: single-pass typed filter below
+    val nonEssPostings = nonEssChunks
+      .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
+        $"doc_gaps", $"tfs", $"dls")
+      .as[(Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+      .filter(c => anyCandidateIn(c._2, c._3, bcCand.value))
+      .flatMap { case (termId, _, _, n, gaps, tfs, dls) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        val cand = bcCand.value
+        Iterator.tabulate(n)(i => i).filter(i => isCandidate(ids(i), cand))
+          .map(i => ScoredPosting(termId, ids(i), tfs(i), dls(i)))
+      }
+    val essPostings = decodedPostings(essential.map(_.term_id))
+
     val idfById = entries.map(e => e.term_id -> e.idf).toMap
     val bcIdf = spark.sparkContext.broadcast(idfById)
-    val exact = decodedPostings(entries.map(_.term_id))
-      .filter(p => bcCand.value.contains(p.doc_id))
+    val avg = avgdl
+    val exact = essPostings.union(nonEssPostings)
       .map(p => (p.doc_id, p.term_id,
         Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg)))
       .toDF("doc_id", "term_id", "impact")
@@ -300,9 +338,13 @@ class QueryEngine(spark: SparkSession, root: String,
     val docSets = byDf.map { e =>
       decodedPostings(Seq(e.term_id)).select($"doc_id")
     }
+    // rarest-first: the accumulator is bounded by the min df. Broadcast it
+    // only when that bound is broadcast-sized — an all-stopword query
+    // (df ~ N) must shuffle-join instead (AQE picks the strategy).
+    val hint: DataFrame => DataFrame =
+      if (byDf.head.df <= 1000000L) broadcast _ else identity _
     docSets.reduceLeft { (acc, next) =>
-      // rarest-first: acc stays small; broadcast it into the next probe
-      broadcast(acc).join(next, Seq("doc_id"), "inner")
+      hint(acc).join(next, Seq("doc_id"), "inner")
     }.distinct()
   }
 
