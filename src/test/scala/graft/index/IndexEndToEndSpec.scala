@@ -190,6 +190,32 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(got == oracle.tfIdfScores(terms))
   }
 
+  test("resume after a crash between stages: docs+segments kept, merge redone") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("graft-crash")
+    val conf = IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4)
+    val turns = Transcripts.generate(spark, 20L)
+    new IndexBuilder(spark, lemmas, conf).build(turns, dir)
+    val paths = IndexPaths(dir)
+    // simulate a crash after stage 1: later-stage outputs are lost
+    def rmrf(p: String): Unit = {
+      val f = Paths.get(p)
+      if (Files.exists(f)) Files.walk(f)
+        .sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    }
+    rmrf(paths.dictionary); rmrf(paths.postings); Files.delete(Paths.get(paths.meta))
+    val docsMtime = Files.getLastModifiedTime(Paths.get(paths.docs, "_manifest.json"))
+    val segsMtime = Files.getLastModifiedTime(Paths.get(paths.segments, "_manifest.json"))
+    val meta = new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    // stages 0/1 untouched; stage 2 rebuilt; index queryable again
+    assert(Files.getLastModifiedTime(Paths.get(paths.docs, "_manifest.json")) == docsMtime)
+    assert(Files.getLastModifiedTime(Paths.get(paths.segments, "_manifest.json")) == segsMtime)
+    assert(meta.n_docs == Transcripts.generateLocal(20L).size)
+    val eng = new QueryEngine(spark, dir, lemmas)
+    assert(eng.bm25TopK("the", 3).count() == 3)
+  }
+
   test("resume: a second build() skips completed stages") {
     // capture manifest mtimes, rebuild, assert untouched
     import java.nio.file.{Files, Paths}
