@@ -255,6 +255,16 @@ object GraftQueries {
         useWand = true)).select("doc_id", "score")
     }),
 
+    // similarity: IVF-Flat ANN (deterministic k-means cells, nProbe=3)
+    "q26_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val model = Similarity.trainIvf(emb, k = 16)
+      val cells = Similarity.withIvfCell(emb, model)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.ivfTopK(cells, model, q, 10, nProbe = 3, excludeId = Some(0L))
+    }),
+
     // reference handle_query: phrase-tier precedence, then BM25 order
     // (src/search_engine/mod.rs:118-206); rounded-score ordering so the
     // DuckDB oracle is boundary-stable

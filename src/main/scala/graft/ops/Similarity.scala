@@ -111,6 +111,107 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index: deterministic Lloyd k-means (fixed
+    * seeded init from SplitMix64-picked rows, fixed iteration count — no
+    * RNG state, identical on every run/executor), producing a `cell`
+    * column. Queries probe the nProbe nearest centroids and exact-score
+    * only those cells — the classic IVF-Flat layout; at scale, writing
+    * the table partitioned by `cell` turns a query into a few partition
+    * reads.
+    */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def nearestCells(q: Array[Double], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, cosineScalar(q, c)) }
+        .sortBy { case (i, s) => (-s, i) }
+        .take(nProbe).map(_._1).toSeq
+  }
+
+  private[ops] def cosineScalar(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Train deterministic k-means centroids (driver-side Lloyd over a
+    * collected sample — the centroid set is tiny; assignments stay
+    * distributed).
+    */
+  def trainIvf(embeddings: DataFrame, k: Int, iters: Int = 8,
+      sampleSize: Int = 4096): IvfModel = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val total = embeddings.count()
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, total))
+    val sample = embeddings.select(col("embedding"))
+      .sample(withReplacement = false, fraction, 42L)
+      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    // deterministic init: SplitMix64-picked sample rows
+    var centroids = Array.tabulate(math.min(k, sample.length))(i =>
+      sample((mix(0xCE11L + i).abs % sample.length).toInt).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cosineScalar(v, centroids(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    IvfModel(centroids)
+  }
+
+  /** Assign each vector to its nearest centroid (adds `cell`). */
+  def withIvfCell(embeddings: DataFrame, model: IvfModel): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, emb) =>
+          val v = emb.map(_.toDouble).toArray
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val s = cosineScalar(v, cents(c))
+            if (s > bestScore) { bestScore = s; best = c }
+            c += 1
+          }
+          (id, emb, best)
+        }
+      }.toDF("vec_id", "embedding", "cell")
+  }
+
+  /** IVF ANN top-k: probe the nProbe nearest cells, exact cosine within. */
+  def ivfTopK(cells: DataFrame, model: IvfModel, query: Array[Float], k: Int,
+      nProbe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val probes = model.nearestCells(query.map(_.toDouble), nProbe)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val base = excludeId.map(id => cells.filter(col("vec_id") =!= id))
+      .getOrElse(cells)
+    base.filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"),
+        round(cosineCol(col("embedding").cast("array<double>"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors via LSH buckets (batch kNN join): each
     * vector meets only its bucket's vectors; exact cosine within bucket,
     * per-vector top-k via window rank. The at-scale alternative to a

@@ -117,6 +117,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.6, s"ANN recall too low: $recall")
   }
 
+  test("IVF ANN: deterministic training, recall >= 0.6 vs brute force") {
+    val model1 = Similarity.trainIvf(embeddings, k = 8)
+    val model2 = Similarity.trainIvf(embeddings, k = 8)
+    assert(model1.centroids.map(_.toSeq).toSeq == model2.centroids.map(_.toSeq).toSeq,
+      "k-means training must be deterministic")
+    val cells = Similarity.withIvfCell(embeddings, model1)
+    assert(cells.select("cell").distinct().count() > 1)
+    val q = vec(0)
+    val exact = Similarity.bruteForceTopK(embeddings, q, 10, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(cells, model1, q, 10, nProbe = 3,
+      excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
   test("knnJoin returns <=k neighbors per vector, cosine-ranked") {
     val res = Similarity.knnJoin(embeddings, k = 3, nPlanes = 8, dim = dim)
     val byVec = res.collect().groupBy(_.getLong(0))
