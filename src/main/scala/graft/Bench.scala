@@ -79,6 +79,8 @@ object Bench {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/dev/shm/graft/spark-local"))
 
     // ---- stage the input table once (in production the input IS a
     // table on disk; corpus generation is not part of build throughput)
@@ -128,8 +130,12 @@ object Bench {
       if (c != cpus) s.stop()
     }
     def thr(c: Int) = results(s"index_build_turns_per_sec_c$c")
-    results("scaling_efficiency_2_to_8") = thr(lowCpus) / (4.0 * thr(2))
-    results("scaling_efficiency_8_to_32") = thr(cpus) / ((cpus.toDouble / lowCpus) * thr(lowCpus))
+    levels.sliding(2).foreach {
+      case Seq(a, b) =>
+        results(s"scaling_efficiency_${a}_to_$b") =
+          thr(b) / ((b.toDouble / a) * thr(a))
+      case _ => ()
+    }
 
     // ---- BM25 query latency over the frozen query set (warm index)
     val spark = newSession(cpus) // same session as high-parallelism build
