@@ -21,6 +21,27 @@ object Tokenizer {
 
   final case class Token(position: Int, term: String)
 
+  /** UTF-8 byte-wise string comparison — Rust `String: Ord` and Spark's
+    * default binary collation order. Java's String.compareTo is UTF-16
+    * code-unit order, which DIFFERS for supplementary characters
+    * (e.g. emoji sort below U+E000 in UTF-16 but above it in UTF-8), so
+    * every term ordering in this engine must go through this comparator.
+    */
+  def compareUtf8(a: String, b: String): Int = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(ab.length, bb.length)
+  }
+
+  val utf8Ordering: Ordering[String] = (a, b) => compareUtf8(a, b)
+
   /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. */
   def isAlnum(c: Char): Boolean =
     Character.isLetter(c) || {

@@ -81,7 +81,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
     }.toMap.filter(_._2 > 0)
     if (globalDf.isEmpty)
       return Seq.empty[(Long, Double)].toDF("doc_id", "score")
-    val ordered = globalDf.keys.toSeq.sorted // byte-order = global fold order
+    val ordered = globalDf.keys.toSeq
+      .sorted(graft.core.Tokenizer.utf8Ordering) // byte-order fold, as oracle
     val foldKey = ordered.zipWithIndex.toMap
     val idf = ordered.map(t => t -> Bm25.idf(nDocs, globalDf(t))).toMap
     val avg = avgdl

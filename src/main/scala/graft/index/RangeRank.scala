@@ -20,15 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeRank {
 
-  /** Compare two key tuples field-wise. Supports String/Int/Long. */
+  /** Compare two key tuples field-wise. Strings compare as UTF-8 BYTES
+    * (graft.core.Tokenizer.compareUtf8) so the driver-side boundary
+    * routing agrees with Spark's binary StringType collation used by
+    * sortWithinPartitions — Java's UTF-16 compareTo would mis-route keys
+    * containing supplementary characters.
+    */
   private def cmpKey(a: Seq[Any], b: Seq[Any]): Int = {
     var i = 0
     while (i < a.length) {
       val c = (a(i), b(i)) match {
-        case (x: String, y: String) => x.compareTo(y)
+        case (x: String, y: String) => graft.core.Tokenizer.compareUtf8(x, y)
         case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
         case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-        case (x, y) => x.toString.compareTo(y.toString)
+        case (x, y) => graft.core.Tokenizer.compareUtf8(x.toString, y.toString)
       }
       if (c != 0) return c
       i += 1

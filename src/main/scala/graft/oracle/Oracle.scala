@@ -49,9 +49,11 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     m.map { case (t, v) => t -> v.sortBy(_._1).toVector }.toMap
   }
 
-  /** term_id = dense 1-based rank in byte-order term sort. */
+  /** term_id = dense 1-based rank in UTF-8 byte-order term sort (Rust
+    * String Ord / Spark binary collation — NOT Java UTF-16 order).
+    */
   val termId: Map[String, Long] =
-    postings.keys.toVector.sorted.zipWithIndex
+    postings.keys.toVector.sorted(Tokenizer.utf8Ordering).zipWithIndex
       .map { case (t, i) => t -> (i + 1L) }.toMap
 
   def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
