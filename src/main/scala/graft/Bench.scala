@@ -150,6 +150,21 @@ object Bench {
     results("bm25_p50_sec") = lat(lat.length / 2)
     results("bm25_p95_sec") = lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
 
+    // ---- north-rule rank identity across parallelism levels: the
+    // indexes built at N and 4N cores must answer every reference query
+    // with IDENTICAL doc_ids AND bit-identical Double scores
+    val engineLow = new QueryEngine(spark,
+      s"/dev/shm/graft/bench_idx_c$lowCpus", Transcripts.lemmas)
+    val matched = referenceQueries.count { q =>
+      val a = engine.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = engineLow.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      a == b
+    }
+    results("rank_identity_queries_matched") = matched.toDouble
+    results("rank_identity_queries_total") = referenceQueries.size.toDouble
+
     // ---- the driver catalog over sfDir
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
     catalog.foreach { case (name, fn) =>
