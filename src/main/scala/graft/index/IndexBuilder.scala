@@ -324,7 +324,11 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // balance, never correctness.
     if (!manifestComplete(paths.segments, fp)) {
       val t0 = System.nanoTime()
-      val fraction = math.min(1.0, math.max(0.02, 200000.0 / math.max(1L, nDocs)))
+      // ~20k sampled docs suffice: a term at the skew threshold (df rate
+      // thr/N) is expected ~20000*thr/N times in the sample; the 0.5
+      // cutoff factor absorbs sampling variance (salting an extra
+      // borderline term is harmless).
+      val fraction = math.min(1.0, math.max(1e-6, 20000.0 / math.max(1L, nDocs)))
       val cutoff = math.max(1L, (conf.skewDfThreshold * fraction * 0.5).toLong)
       val lem = bcLemmas
       val highDf = vtime("highdf_sample") {
