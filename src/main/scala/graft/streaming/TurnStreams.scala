@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.corpus.Turn
+
+/** Streaming analytics over a transcript turn stream — the Structured
+  * Streaming surface of the engine (watermarks + event-time windows +
+  * custom state via flatMapGroupsWithState), beyond the reference (which
+  * has no streaming, SURVEY.md §2.8).
+  *
+  * All transforms take a streaming OR batch Dataset[Turn] — identical
+  * code path, which is how the batch tests pin the streaming semantics.
+  */
+object TurnStreams {
+
+  /** Event-time windowed turn counts with a watermark: turns later than
+    * `watermark` past the max event time are dropped; windows finalize
+    * incrementally (append-mode compatible).
+    */
+  def windowedTurnStats(turns: Dataset[Turn], windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    turns.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("role"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(length(col("text"))).as("n_chars"))
+  }
+
+  final case class ConvSession(
+      conv_id: String,
+      n_turns: Int,
+      n_user: Int,
+      n_tool_calls: Int,
+      first_ts: Timestamp,
+      last_ts: Timestamp,
+      duration_ms: Long)
+
+  /** Conversation sessionization: fold each conv_id's turns in a
+    * GroupState, emit the finished session when the conversation has been
+    * idle past `gapMs` (event-time timeout in streaming; end-of-group in
+    * batch). The custom-state analog of the reference's per-document
+    * accumulation loop, lifted to conversations.
+    */
+  def sessionize(turns: Dataset[Turn], gapMs: Long = 10 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[ConvSession] = {
+    import turns.sparkSession.implicits._
+
+    def fold(state: Option[ConvSession], batch: Iterator[Turn]): Option[ConvSession] =
+      batch.foldLeft(state) { (acc, t) =>
+        acc match {
+          case None => Some(ConvSession(t.conv_id, 1,
+            if (t.role == "user") 1 else 0,
+            if (t.tool != null && t.tool.nonEmpty) 1 else 0,
+            t.ts, t.ts, 0L))
+          case Some(s) =>
+            val first = if (t.ts.before(s.first_ts)) t.ts else s.first_ts
+            val last = if (t.ts.after(s.last_ts)) t.ts else s.last_ts
+            Some(s.copy(
+              n_turns = s.n_turns + 1,
+              n_user = s.n_user + (if (t.role == "user") 1 else 0),
+              n_tool_calls = s.n_tool_calls +
+                (if (t.tool != null && t.tool.nonEmpty) 1 else 0),
+              first_ts = first,
+              last_ts = last,
+              duration_ms = last.getTime - first.getTime))
+        }
+      }
+
+    if (turns.isStreaming) {
+      turns
+        .withWatermark("ts", watermark)
+        .groupByKey(_.conv_id)
+        .flatMapGroupsWithState[ConvSession, ConvSession](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (convId: String, batch: Iterator[Turn], state: GroupState[ConvSession]) =>
+            if (state.hasTimedOut) {
+              val out = state.getOption
+              state.remove()
+              out.iterator
+            } else {
+              fold(state.getOption, batch).foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last_ts.getTime + gapMs)
+              }
+              Iterator.empty
+            }
+        }
+    } else {
+      // batch semantics: every group ends, so every session emits
+      turns.groupByKey(_.conv_id).flatMapGroups {
+        (convId: String, batch: Iterator[Turn]) => fold(None, batch).iterator
+      }
+    }
+  }
+}
