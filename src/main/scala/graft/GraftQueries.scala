@@ -78,6 +78,7 @@ object GraftQueries {
         .flatMap { case (id, text) =>
           Tokenizer.tokenize(text, Map.empty).map(t => (id, t.position, t.term))
         }.toDF("doc_id", "pos", "term")
+        .orderBy("doc_id", "pos")
     }),
 
     // A4: document frequency + collection frequency per term
@@ -89,32 +90,35 @@ object GraftQueries {
         }.toDF("doc_id", "term")
         .groupBy($"term")
         .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("cf"))
+        .orderBy("term")
     }),
 
     // doc stats (doc_len for BM25 norm) — through the real docs table
     "q03_doc_stats" -> ((s, dir) => {
       val eng = engineFor(s, dir)
       withOrigDocId(eng, eng.docs.select(col("doc_id"), col("doc_len")))
-        .select("doc_id", "doc_len")
+        .select("doc_id", "doc_len").orderBy("doc_id")
     }),
 
     // J2: conjunctive AND, rarest-first, through compressed postings
     "q04_conjunctive" -> ((s, dir) => {
       val eng = engineFor(s, dir)
       withOrigDocId(eng, eng.conjunctive(Seq("join", "filter", "sort")))
+        .orderBy("doc_id")
     }),
 
     // J5: phrase match (consecutive positions)
     "q05_phrase" -> ((s, dir) => {
       val eng = engineFor(s, dir)
       withOrigDocId(eng, eng.phraseMatch(Seq("table", "scan")))
+        .orderBy("doc_id")
     }),
 
     // J3/J4: directional proximity pairs (pp2 > pp1, diff <= 3)
     "q06_proximity" -> ((s, dir) => {
       val eng = engineFor(s, dir)
       withOrigDocId(eng, eng.proximity("merge", "sort", 3))
-        .select("doc_id", "pos1", "pos2")
+        .select("doc_id", "pos1", "pos2").orderBy("doc_id", "pos1", "pos2")
     }),
 
     // A6-A8 + O3: BM25 top-10; ordered by ROUNDED score so the DuckDB
@@ -131,7 +135,7 @@ object GraftQueries {
     // J7: fuzzy term lookup (levenshtein <= 1)
     "q08_fuzzy" -> ((s, dir) => {
       val eng = engineFor(s, dir)
-      eng.fuzzyTerms("joib", 1).select("term", "df")
+      eng.fuzzyTerms("joib", 1).select("term", "df").orderBy("term")
     }),
 
     // reference-parity tf-idf scorer (log10(N/df) * tf)
@@ -140,7 +144,7 @@ object GraftQueries {
       withOrigDocId(eng,
         eng.tfIdfScores(Seq("window", "hash"))
           .select(col("doc_id"), round(col("score"), 4).as("score")))
-        .select("doc_id", "score")
+        .select("doc_id", "score").orderBy("doc_id")
     }),
 
     // full-pipeline round-trip: every posting decoded back out of the
@@ -157,7 +161,7 @@ object GraftQueries {
           Iterator.tabulate(n)(i => (termId, ids(i), tfs(i)))
         }.toDF("term_id", "doc_id", "tf")
       withOrigDocId(eng, decoded.join(dict, Seq("term_id")))
-        .select("term", "doc_id", "tf")
+        .select("term", "doc_id", "tf").orderBy("term", "doc_id")
     }),
 
     // dedup: exact content-hash groups over documents + planted dups
@@ -166,29 +170,29 @@ object GraftQueries {
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       Dedup.exactDedup(docs.union(planted))
-        .select("doc_id", "group_size", "rep_id", "is_dup")
+        .select("doc_id", "group_size", "rep_id", "is_dup").orderBy("doc_id")
     }),
 
     // dedup: 3-gram jaccard of adjacent doc pairs
     "q12_jaccard_adjacent" -> ((s, dir) =>
       Dedup.jaccardAdjacent(documents(s, dir), 3)
-        .select("doc_a", "doc_b", "jaccard")),
+        .select("doc_a", "doc_b", "jaccard").orderBy("doc_a")),
 
     // text: token statistics
     "q13_token_stats" -> ((s, dir) =>
-      TextOps.tokenStats(documents(s, dir))),
+      TextOps.tokenStats(documents(s, dir)).orderBy("doc_id")),
 
     // text: quality scoring
     "q14_quality" -> ((s, dir) =>
-      TextOps.qualityScore(documents(s, dir))),
+      TextOps.qualityScore(documents(s, dir)).orderBy("doc_id")),
 
     // text: language-ID heuristic
     "q15_langid" -> ((s, dir) =>
-      TextOps.langId(documents(s, dir))),
+      TextOps.langId(documents(s, dir)).orderBy("doc_id")),
 
     // text: content fingerprint
     "q16_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprintMd5(documents(s, dir))),
+      TextOps.fingerprintMd5(documents(s, dir)).orderBy("doc_id")),
 
     // similarity: exact cosine top-10 for vec_id 0
     "q17_cos_topk" -> ((s, dir) => {
@@ -318,40 +322,41 @@ object GraftQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "q01_tokens" -> s"SELECT doc_id, pos, term FROM ($toks)",
+    "q01_tokens" -> s"SELECT doc_id, pos, term FROM ($toks) ORDER BY doc_id, pos",
 
     "q02_term_df" ->
       s"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
-         |FROM ($toks) GROUP BY term""".stripMargin,
+         |FROM ($toks) GROUP BY term ORDER BY term""".stripMargin,
 
     "q03_doc_stats" ->
-      "SELECT doc_id, len(string_split(text, ' ')) AS doc_len FROM documents",
+      "SELECT doc_id, len(string_split(text, ' ')) AS doc_len FROM documents ORDER BY doc_id",
 
     "q04_conjunctive" ->
       """SELECT doc_id FROM documents
         |WHERE list_contains(string_split(text,' '), 'join')
         |  AND list_contains(string_split(text,' '), 'filter')
-        |  AND list_contains(string_split(text,' '), 'sort')""".stripMargin,
+        |  AND list_contains(string_split(text,' '), 'sort') ORDER BY doc_id""".stripMargin,
 
     "q05_phrase" ->
       s"""WITH toks AS ($toks)
          |SELECT DISTINCT t1.doc_id FROM toks t1
          |JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-         |WHERE t1.term = 'table' AND t2.term = 'scan'""".stripMargin,
+         |WHERE t1.term = 'table' AND t2.term = 'scan' ORDER BY t1.doc_id""".stripMargin,
 
     "q06_proximity" ->
       s"""WITH toks AS ($toks)
          |SELECT t1.doc_id, t1.pos AS pos1, t2.pos AS pos2 FROM toks t1
          |JOIN toks t2 ON t1.doc_id = t2.doc_id
          |WHERE t1.term = 'merge' AND t2.term = 'sort'
-         |  AND t2.pos > t1.pos AND t2.pos - t1.pos <= 3""".stripMargin,
+         |  AND t2.pos > t1.pos AND t2.pos - t1.pos <= 3
+         |ORDER BY t1.doc_id, pos1, pos2""".stripMargin,
 
     "q07_bm25_topk" -> bm25Sql,
 
     "q08_fuzzy" ->
       s"""SELECT term, count(DISTINCT doc_id) AS df FROM ($toks)
          |WHERE abs(len(term) - 4) <= 1 AND levenshtein(term, 'joib') <= 1
-         |GROUP BY term""".stripMargin,
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     "q09_tfidf" ->
       s"""WITH toks AS ($toks),
@@ -361,11 +366,12 @@ object GraftQueries {
          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
          |       WHERE term IN ('window','hash') GROUP BY term)
          |SELECT tf.doc_id, round(sum(log10(n.n / df.df) * tf.tf), 4) AS score
-         |FROM tf JOIN df USING (term), n GROUP BY tf.doc_id""".stripMargin,
+         |FROM tf JOIN df USING (term), n GROUP BY tf.doc_id
+         |ORDER BY tf.doc_id""".stripMargin,
 
     "q10_postings_roundtrip" ->
       s"""SELECT term, doc_id, count(*)::INT AS tf FROM ($toks)
-         |GROUP BY term, doc_id""".stripMargin,
+         |GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin,
 
     "q11_dedup_exact" ->
       """WITH all_docs AS (
@@ -376,7 +382,7 @@ object GraftQueries {
         |  count(*) OVER (PARTITION BY text) AS group_size,
         |  min(doc_id) OVER (PARTITION BY text) AS rep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
-        |FROM all_docs""".stripMargin,
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
 
     "q12_jaccard_adjacent" ->
       """WITH sh AS (
@@ -392,12 +398,13 @@ object GraftQueries {
         |SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b,
         |  round(coalesce(i.i, 0)::DOUBLE / (ca.c + cb.c - coalesce(i.i, 0)), 4) AS jaccard
         |FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
-        |LEFT JOIN inter i ON i.doc_a = ca.doc_id AND i.doc_b = cb.doc_id""".stripMargin,
+        |LEFT JOIN inter i ON i.doc_a = ca.doc_id AND i.doc_b = cb.doc_id
+        |ORDER BY doc_a""".stripMargin,
 
     "q13_token_stats" ->
       s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
          |  round(count(DISTINCT term)::DOUBLE / count(*), 4) AS ttr
-         |FROM ($toks) GROUP BY doc_id""".stripMargin,
+         |FROM ($toks) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q14_quality" ->
       """WITH base AS (
@@ -420,7 +427,7 @@ object GraftQueries {
         |  round(least(1.0, n_tokens::DOUBLE / 20.0) * (1.0 - punct_ratio) *
         |    (CASE WHEN stopword_ratio BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE 0.7 END), 4)
         |    AS quality
-        |FROM derived""".stripMargin,
+        |FROM derived ORDER BY doc_id""".stripMargin,
 
     "q15_langid" ->
       """WITH s AS (
@@ -442,12 +449,12 @@ object GraftQueries {
         |    WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'es'
         |    WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_it) THEN 'fr'
         |    ELSE 'it' END AS lang_pred
-        |FROM scored""".stripMargin,
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q16_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(string_split(text,' '), ' ')) AS fingerprint
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q25_handle_query" ->
       s"""WITH toks AS ($toks),
