@@ -255,6 +255,7 @@ class QueryEngine(spark: SparkSession, root: String,
       keep
     }.map(_.term_id).toSet
     val essential = entries.filterNot(e => nonEssential(e.term_id))
+    val nonEssEntries = entries.filter(e => nonEssential(e.term_id))
     if (nonEssential.isEmpty) return topK(exactScores(entries), k)
 
     // Candidates from essential postings only.
@@ -291,6 +292,17 @@ class QueryEngine(spark: SparkSession, root: String,
       .as[(Long, Long, Long, Long)]
       .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
       .select($"chunk_seq").as[Long].collect()
+
+    // Dense-candidate fallback: when candidates touch most chunks (a
+    // mid-df essential term), skipping buys nothing — the per-posting
+    // candidate filter would only add binary-search overhead. Exactness
+    // never depended on the filter (non-candidates simply lose in the
+    // top-k), so score everything directly.
+    val totalNonEssChunks =
+      nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
+    if (survivors.length > 0.5 * totalNonEssChunks)
+      return topK(exactScores(entries), k)
+
     val nonEssBase = postings.filter($"term_id".isin(nonEssential.toSeq: _*))
     val nonEssChunks =
       if (survivors.length <= 100000)
