@@ -259,6 +259,10 @@ object GraftQueries {
         useWand = true)).select("doc_id", "score")
     }),
 
+    // text: training normalization (tokenize -> drop stopwords -> rejoin)
+    "q27_normalize" -> ((s, dir) =>
+      TextOps.normalizeText(documents(s, dir)).orderBy("doc_id")),
+
     // similarity: IVF-Flat ANN (deterministic k-means cells, nProbe=3)
     "q26_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -481,6 +485,18 @@ object GraftQueries {
          |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 1 END AS tier
          |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
          |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin,
+
+    "q27_normalize" ->
+      """WITH kept AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text,' '), t -> t NOT IN
+        |      ('the','a','of','to','and','in','is','it','you','that','was',
+        |       'for','on','are','as','with','his','they','i','at','be',
+        |       'this','have','from','or','one','had','by','not','but')) AS toks
+        |  FROM documents)
+        |SELECT doc_id, array_to_string(toks, ' ') AS text_norm,
+        |  len(toks) AS n_tokens_kept
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     "q17_cos_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)

@@ -99,6 +99,24 @@ object TextOps {
     scored.select(col("doc_id"), bestScore.as("score"), pred.as("lang_pred"))
   }
 
+  /** Training-text normalization: engine tokenization (cleanWord +
+    * optional lemmas), optional stopword removal, single-space rejoin —
+    * the standard cleaning step before corpus dedup/packing.
+    */
+  def normalizeText(docs: DataFrame, lemmas: Map[String, String] = Map.empty,
+      dropStopwords: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcLem = spark.sparkContext.broadcast(lemmas)
+    val stop = stopwords.toSet
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.core.Tokenizer.tokenize(text, bcLem.value).map(_.term)
+        val kept = if (dropStopwords) toks.filterNot(stop) else toks
+        (id, kept.mkString(" "), kept.length)
+      }.toDF("doc_id", "text_norm", "n_tokens_kept")
+  }
+
   /** Content-defined document fingerprint: md5 over the normalized token
     * stream. Identical content (after normalization) -> identical
     * fingerprint across any engine.
