@@ -433,6 +433,16 @@ class QueryEngine(spark: SparkSession, root: String,
       .select($"term", $"term_id", $"df")
   }
 
+  /** Attach document metadata to a result with a `doc_id` column — the
+    * reference's DocumentMetadata retrieval (doc_name/doc_url per result,
+    * src/indexer/indexer.rs:46-50): here (conv_id, turn_idx, role). The
+    * result set is top-k-sized, so the docs side is joined via its
+    * doc_id-sorted parquet (row-group pruned by the small side's range).
+    */
+  def withDocMeta(results: DataFrame): DataFrame =
+    results.join(
+      docs.select($"doc_id", $"conv_id", $"turn_idx", $"role"), Seq("doc_id"))
+
   /** Reference-parity tf-idf scorer (src/scoring/mod.rs:34-48):
     * score(doc) = Σ_t log10(N/df_t) * tf_{t,doc}.
     */

@@ -176,6 +176,18 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(got.forall { case (_, p1, p2) => p2 > p1 && p2 - p1 <= 3 })
   }
 
+  test("withDocMeta attaches (conv_id, turn_idx, role) to top-k results") {
+    val res = engine.withDocMeta(engine.bm25TopK("alba", 5)).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val docId = r.getAs[Long]("doc_id")
+      val conv = r.getAs[String]("conv_id")
+      val turn = r.getAs[Int]("turn_idx")
+      assert(oracle.docIdOf((conv, turn)) == docId)
+      assert(Set("user", "assistant", "tool").contains(r.getAs[String]("role")))
+    }
+  }
+
   test("fuzzy term lookup matches oracle") {
     val got = engine.fuzzyTerms("alba", 1).collect().map(_.getString(0)).toSet
     val want = oracle.fuzzyTerms("alba", 1)
