@@ -42,13 +42,22 @@ object GraftQueries {
 
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private def safeName(dir: String): String = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+
+  /** Side-output directory for oracle-auxiliary tables (persisted
+    * candidate sets, synthesized media): per-sf-dir so concurrent runs at
+    * different scales never clobber each other. Verify substitutes this
+    * path for the `{AUX}` placeholder in oracle SQL, so DuckDB reads the
+    * exact tables the queries wrote.
+    */
+  def auxDir(dir: String): String = s"/tmp/graft_aux_${safeName(dir)}"
+
   /** Build (once per JVM per sf dir) the full index over `documents` and
     * return an engine plus the internal->original doc_id mapping.
     */
   def engineFor(spark: SparkSession, dir: String): QueryEngine = {
     val root = indexCache.getOrElseUpdate(dir, {
-      val safe = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-      val out = s"/tmp/graft_index_$safe"
+      val out = s"/tmp/graft_index_${safeName(dir)}"
       new IndexBuilder(spark, Map.empty,
         IndexConf(numParts = spark.sparkContext.defaultParallelism,
           skewDfThreshold = 100000L, nSalts = 8))
@@ -56,6 +65,30 @@ object GraftQueries {
       out
     })
     new QueryEngine(spark, root, Map.empty)
+  }
+
+  /** The lemma map used by the lemma/bigram driver checks (q28/q29):
+    * 'small' and 'big' are variants of the lemma 'size' — chosen so the
+    * map both REWRITES tokens and MERGES two dictionary terms into one
+    * (the harder property: merged df/cf aggregation must agree).
+    */
+  val testLemmas: Map[String, String] = Map("small" -> "size", "big" -> "size")
+
+  /** Second cached engine: lemmatized + bigram-indexed (IndexConf
+    * indexBigrams; reference tokenizer.rs:211-217), for the S7/F8/F9
+    * driver correctness rows.
+    */
+  def engineLemmaFor(spark: SparkSession, dir: String): QueryEngine = {
+    val key = s"lemma:$dir"
+    val root = indexCache.getOrElseUpdate(key, {
+      val out = s"/tmp/graft_index_lemma_${safeName(dir)}"
+      new IndexBuilder(spark, testLemmas,
+        IndexConf(numParts = spark.sparkContext.defaultParallelism,
+          skewDfThreshold = 100000L, nSalts = 8, indexBigrams = true))
+        .build(docsAsTurns(spark, dir), out)
+      out
+    })
+    new QueryEngine(spark, root, testLemmas)
   }
 
   /** internal engine doc_id -> original documents.doc_id. */
@@ -202,75 +235,150 @@ object GraftQueries {
       Similarity.bruteForceTopK(emb, q, 10, excludeId = Some(0L))
     }),
 
-    // ---- rows-only checks (not ANSI-SQL-expressible; ScalaTest-covered)
-
-    // dedup: MinHash signatures + LSH banding candidates (planted dups)
+    // dedup: MinHash signatures + LSH banding candidates (planted dups).
+    // md5-derived hash family (StableHash.h60) => the DuckDB oracle
+    // recomputes every signature and band bucket bit-for-bit.
     "q18_minhash_lsh" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32)
       Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
     }),
 
-    // dedup: SimHash near-dup candidates (planted dups)
+    // dedup: SimHash near-dup candidates (planted dups); md5-derived term
+    // hash (StableHash.u64) => oracle-reproducible signatures.
     "q19_simhash" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       Dedup.simHashCandidates(Dedup.simHash(docs.union(planted)), maxHam = 3)
+        .orderBy("doc_a", "doc_b")
     }),
 
-    // similarity: LSH-bucketed ANN top-10 (scale path of q17)
+    // similarity: LSH-bucketed ANN top-10 (scale path of q17). The pruned
+    // candidate set is persisted to {AUX}/q20_cand, and the top-k is the
+    // exact cosine order over it — DuckDB re-scores the same set, so the
+    // driver verifies the whole post-prune pipeline (recall of the prune
+    // itself is asserted against bruteForceTopK in AnnSpec).
     "q20_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      Similarity.annTopK(emb, q, 10, nPlanes = 8, probeHamming = 2,
+      val candPath = s"${auxDir(dir)}/q20_cand"
+      Similarity.annCandidates(emb, q, nPlanes = 8, probeHamming = 2)
+        .select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(candPath)
+      val cand = s.read.parquet(candPath)
+      Similarity.bruteForceTopK(emb.join(cand, Seq("vec_id")), q, 10,
         excludeId = Some(0L))
     }),
 
-    // dedup: embedding-cosine near-dups via hyperplane LSH (planted dup)
+    // dedup: embedding-cosine near-dups via BANDED hyperplane LSH
+    // (planted dups). The oracle is the exact all-pairs answer: at
+    // minCos=0.999 the only qualifying pairs are identical vectors (the
+    // corpus has none above cos 0.99 naturally — verified), which share
+    // every band by construction, so candidate recall is provably 1.0
+    // and LSH output == exact output.
     "q21_embedding_neardups" -> ((s, dir) => {
       val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 5)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDups(emb.union(planted), minCos = 0.999,
-        nPlanes = 12, dim = 64)
+        nPlanes = 24, bands = 3, dim = 64)
+        .orderBy("id_a", "id_b")
     }),
 
-    // multimodal: binary media -> batch feature extraction (stubbed decode)
+    // multimodal: binary media -> batch feature extraction (stubbed
+    // decode). The synthesized media table is persisted to
+    // {AUX}/q22_media and both engines read THE SAME bytes back: Spark
+    // runs the real mapPartitions feature pipeline (n_bytes from it),
+    // DuckDB recomputes n_bytes/hex from the blobs.
     "q22_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      Multimodal.extractFeatures(Multimodal.synthesize(s, 500L))
-        .map(f => (f.media_id, f.kind, f.n_bytes, f.features.head))
-        .toDF("media_id", "kind", "n_bytes", "f0")
+      val mediaPath = s"${auxDir(dir)}/q22_media"
+      Multimodal.synthesize(s, 500L).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(mediaPath)
+      val back = s.read.parquet(mediaPath)
+      val feats = Multimodal.extractFeatures(back.as[Multimodal.MediaRow])
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"))
+      feats.join(back.select(col("media_id"),
+          lower(hex(col("bytes"))).as("content_hex")), Seq("media_id"))
+        .orderBy("media_id")
     }),
 
-    // text: order-sensitive rolling fingerprint
+    // text: order-sensitive rolling fingerprint (md5-based token hash =>
+    // DuckDB list_reduce replicates the fold exactly)
     "q23_rolling_fingerprint" -> ((s, dir) =>
-      TextOps.rollingFingerprint(documents(s, dir))),
+      TextOps.rollingFingerprint(documents(s, dir)).orderBy("doc_id")),
 
-    // WAND-pruned BM25 through the engine's top-k path (exactness of the
-    // pruning is oracle-checked in ScalaTest; here rows-only)
+    // BM25 through the engine's block-max (MaxScore) pruned top-k path,
+    // forced on (thresholds floored) so the driver oracle checks the
+    // PRUNING path's exactness, not just the direct path: exact top-100,
+    // then the q07 rounded-score reorder for boundary stability.
     "q24_bm25_wand" -> ((s, dir) => {
       val eng = engineFor(s, dir)
-      withOrigDocId(eng, eng.bm25TopKForTerms(Seq("the", "query", "join"), 10,
-        useWand = true)).select("doc_id", "score")
+      eng.localMaxPostings = 0
+      eng.wandMinPostings = 1
+      val top = eng.bm25TopKForTerms(Seq("the", "query", "join"), 100,
+        useWand = true)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      withOrigDocId(eng, top)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id", "score")
     }),
 
     // text: training normalization (tokenize -> drop stopwords -> rejoin)
     "q27_normalize" -> ((s, dir) =>
       TextOps.normalizeText(documents(s, dir)).orderBy("doc_id")),
 
-    // similarity: IVF-Flat ANN (deterministic k-means cells, nProbe=3)
+    // similarity: IVF-Flat ANN (deterministic k-means cells, nProbe=3).
+    // Probed-cell candidate set persisted to {AUX}/q26_cand; the oracle
+    // re-scores it exactly, like q20.
     "q26_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val model = Similarity.trainIvf(emb, k = 16)
       val cells = Similarity.withIvfCell(emb, model)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      Similarity.ivfTopK(cells, model, q, 10, nProbe = 3, excludeId = Some(0L))
+      val probes = model.nearestCells(q.map(_.toDouble), 3)
+      val candPath = s"${auxDir(dir)}/q26_cand"
+      cells.filter(col("cell").isin(probes: _*)).select(col("vec_id"))
+        .coalesce(1).write.mode("overwrite").parquet(candPath)
+      val cand = s.read.parquet(candPath)
+      Similarity.bruteForceTopK(emb.join(cand, Seq("vec_id")), q, 10,
+        excludeId = Some(0L))
+    }),
+
+    // S7/F8: lemmatization through the REAL index build — the lemma map
+    // merges 'small' and 'big' into 'size'; dictionary df/cf of the
+    // merged term must equal the oracle's CASE-mapped aggregation.
+    "q28_lemma_df" -> ((s, dir) => {
+      val eng = engineLemmaFor(s, dir)
+      eng.dictionary
+        .filter(col("term").isin("size", "small", "big", "merge", "scan"))
+        .select(col("term"), col("df"), col("cf"))
+        .orderBy("term")
+    }),
+
+    // F9: bigram terms (consecutive surviving lemmas) indexed as first-
+    // class dictionary entries; df of a probe set of bigrams.
+    "q29_bigram_df" -> ((s, dir) => {
+      val eng = engineLemmaFor(s, dir)
+      eng.dictionary
+        .filter(col("term").isin("size join", "hash join", "table scan",
+          "merge sort", "size size"))
+        .select(col("term"), col("df"))
+        .orderBy("term")
+    }),
+
+    // J6: shortest-list-driven semi-join intersection (same answer set as
+    // q04's join chain, different physical plan — both driver-verified).
+    "q30_conjunctive_semi" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      withOrigDocId(eng, eng.conjunctiveSemi(Seq("join", "filter", "sort")))
+        .orderBy("doc_id")
     }),
 
     // reference handle_query: phrase-tier precedence, then BM25 order
@@ -303,17 +411,21 @@ object GraftQueries {
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
       "unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos FROM documents"
 
-  private val bm25Sql: String = {
-    // N, avgdl over ALL docs; per-term df; impact identical to Bm25.impact
+  /** BM25 top-10 oracle for a given term set: N, avgdl over ALL docs;
+    * per-term df; impact identical to Bm25.impact; rounded-score ordering
+    * (boundary-stable across engines).
+    */
+  private def bm25SqlFor(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(",")
     s"""WITH toks AS ($toks),
        |stats AS (SELECT count(*)::DOUBLE AS n,
        |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
        |   count(*)::DOUBLE AS avgdl FROM documents),
        |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-       |       WHERE term IN ('query','join') GROUP BY doc_id, term),
+       |       WHERE term IN ($inList) GROUP BY doc_id, term),
        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
-       |       WHERE term IN ('query','join') GROUP BY term),
+       |       WHERE term IN ($inList) GROUP BY term),
        |scored AS (
        |  SELECT tf.doc_id,
        |    sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
@@ -324,6 +436,8 @@ object GraftQueries {
        |SELECT doc_id, round(score, 4) AS score FROM scored
        |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin
   }
+
+  private val bm25Sql: String = bm25SqlFor(Seq("query", "join"))
 
   val oracleSql: Map[String, String] = Map(
     "q01_tokens" -> s"SELECT doc_id, pos, term FROM ($toks) ORDER BY doc_id, pos",
@@ -504,5 +618,153 @@ object GraftQueries {
         |  round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS cos
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) DESC,
-        |  vec_id ASC LIMIT 10""".stripMargin)
+        |  vec_id ASC LIMIT 10""".stripMargin,
+
+    // full MinHash+LSH replication: md5-derived hash family and band
+    // buckets (StableHash conventions), same banding arithmetic.
+    "q18_minhash_lsh" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM all_docs),
+        |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |mh AS (
+        |  SELECT doc_id, f,
+        |    min(('0x' || substring(md5(f::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS v
+        |  FROM sh, LATERAL (SELECT unnest(range(0, 32)) AS f)
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT doc_id, list(v ORDER BY f) AS s FROM mh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, s, bd,
+        |    md5(array_to_string(s[bd*4+1 : bd*4+4], ',')) AS bucket
+        |  FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS bd)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+        |  FROM banded x JOIN banded y ON x.bd = y.bd AND x.bucket = y.bucket
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(len(list_filter(range(1, 33), j -> sa[j] = sb[j])) / 32.0, 4) AS est_jaccard
+        |FROM cand
+        |WHERE len(list_filter(range(1, 33), j -> sa[j] = sb[j])) / 32.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // full SimHash replication: md5-derived 64-bit term hash, tf-weighted
+    // bit majority, 4x16-bit band keys, hamming on candidates.
+    "q19_simhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM all_docs)
+        |       GROUP BY doc_id, term),
+        |th AS (SELECT doc_id, tf,
+        |         ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN tf ELSE -tf END) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM th, LATERAL (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |sigl AS (SELECT doc_id, list(bit ORDER BY j) AS bl FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, j // 16 AS bd, sum(bit << (j % 16)) AS key
+        |  FROM bits GROUP BY doc_id, j // 16),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.bd = y.bd AND x.key = y.key
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  len(list_filter(range(1, 65), j -> sa.bl[j] <> sb.bl[j]))::BIGINT AS hamming
+        |FROM cand c
+        |JOIN sigl sa ON sa.doc_id = c.doc_a
+        |JOIN sigl sb ON sb.doc_id = c.doc_b
+        |WHERE len(list_filter(range(1, 65), j -> sa.bl[j] <> sb.bl[j])) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // exact cosine top-k over the persisted ANN candidate set ({AUX} is
+    // substituted by Verify with the aux dir for the verified sf).
+    "q20_ann_topk" ->
+      """WITH cand AS (SELECT vec_id FROM read_parquet('{AUX}/q20_cand/*.parquet')),
+        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) DESC,
+        |  e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // exact all-pairs near-dup answer (candidate recall is provably 1.0
+    // at this threshold: only identical vectors qualify, and those share
+    // every LSH band).
+    "q21_embedding_neardups" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // both engines read the SAME persisted media blobs back.
+    "q22_multimodal_features" ->
+      """SELECT media_id, kind, octet_length(bytes) AS n_bytes,
+        |  lower(hex(bytes)) AS content_hex
+        |FROM read_parquet('{AUX}/q22_media/*.parquet')
+        |ORDER BY media_id""".stripMargin,
+
+    // rolling Karp-Rabin fold over md5-derived token hashes (list_reduce
+    // replicates Spark's aggregate() fold exactly).
+    "q23_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ' '),
+        |        t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_bm25_wand" -> bm25SqlFor(Seq("the", "query", "join")),
+
+    "q26_ivf_topk" ->
+      """WITH cand AS (SELECT vec_id FROM read_parquet('{AUX}/q26_cand/*.parquet')),
+        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS cos
+        |FROM embeddings e JOIN cand USING (vec_id), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) DESC,
+        |  e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // lemma map {small->size, big->size} as a CASE rewrite over tokens.
+    "q28_lemma_df" ->
+      s"""WITH lt AS (SELECT doc_id,
+         |    CASE WHEN term IN ('small','big') THEN 'size' ELSE term END AS term
+         |  FROM ($toks))
+         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+         |FROM lt WHERE term IN ('size','small','big','merge','scan')
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    // bigram df: adjacent lemmatized token pairs (positions are dense in
+    // this pre-cleaned corpus, so adjacency = pos + 1).
+    "q29_bigram_df" ->
+      s"""WITH lt AS (SELECT doc_id, pos,
+         |    CASE WHEN term IN ('small','big') THEN 'size' ELSE term END AS term
+         |  FROM ($toks)),
+         |bg AS (SELECT a.doc_id, a.term || ' ' || b.term AS term
+         |       FROM lt a JOIN lt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+         |SELECT term, count(DISTINCT doc_id) AS df FROM bg
+         |WHERE term IN ('size join','hash join','table scan','merge sort','size size')
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q30_conjunctive_semi" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text,' '), 'join')
+        |  AND list_contains(string_split(text,' '), 'filter')
+        |  AND list_contains(string_split(text,' '), 'sort') ORDER BY doc_id""".stripMargin)
 }

@@ -42,21 +42,29 @@ object Tokenizer {
 
   val utf8Ordering: Ordering[String] = (a, b) => compareUtf8(a, b)
 
-  /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. */
-  def isAlnum(c: Char): Boolean =
-    Character.isLetter(c) || {
-      val t = Character.getType(c)
+  /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. Operates
+    * on full code points (Rust chars are scalar values), so
+    * supplementary-plane letters/digits (e.g. U+1D49C, CJK Ext-B) count.
+    */
+  def isAlnum(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
       t == Character.DECIMAL_DIGIT_NUMBER ||
       t == Character.LETTER_NUMBER ||
       t == Character.OTHER_NUMBER
     }
 
+  /** Code-point-wise edge strip (a UTF-16 code-unit loop would strip the
+    * surrogate halves of supplementary-plane alphanumerics).
+    */
   def cleanWord(word: String): String = {
     val lower = word.toLowerCase(Locale.ROOT)
     var start = 0
     var end = lower.length
-    while (start < end && !isAlnum(lower.charAt(start))) start += 1
-    while (end > start && !isAlnum(lower.charAt(end - 1))) end -= 1
+    while (start < end && !isAlnum(lower.codePointAt(start)))
+      start += Character.charCount(lower.codePointAt(start))
+    while (end > start && !isAlnum(lower.codePointBefore(end)))
+      end -= Character.charCount(lower.codePointBefore(end))
     lower.substring(start, end)
   }
 

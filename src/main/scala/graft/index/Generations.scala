@@ -32,10 +32,22 @@ object Generations {
 
   /** Append a batch as a new generation; returns its directory. */
   def append(spark: SparkSession, turns: Dataset[Turn], root: String,
-      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
-    val existing = genDirs(root)
-    val offset = existing.map(IndexBuilder.readMeta(_).n_docs).sum
-    val dir = f"$root/gen-${existing.size}%05d"
+      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String =
+    appendAt(spark, turns, root, f"$root/gen-${genDirs(root).size}%05d",
+      lemmas, conf)
+
+  /** Append a batch as a generation at an EXPLICIT directory — idempotent:
+    * if the directory already holds a complete generation (its
+    * index_meta.json exists), the batch is a replay and is skipped. This
+    * is the exactly-once seam for Structured Streaming's foreachBatch,
+    * where a crash between append and checkpoint commit re-delivers the
+    * same batchId.
+    */
+  def appendAt(spark: SparkSession, turns: Dataset[Turn], root: String,
+      dir: String, lemmas: Map[String, String],
+      conf: IndexConf = IndexConf()): String = {
+    if (Files.exists(Paths.get(IndexPaths(dir).meta))) return dir
+    val offset = totalDocs(root)
     new IndexBuilder(spark, lemmas, conf.copy(docIdOffset = offset))
       .build(turns, dir)
     dir

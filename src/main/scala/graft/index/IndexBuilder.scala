@@ -148,8 +148,10 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * merge src/spimi.rs:50-121 + chunk cut index_merge_writer.rs:148).
     * Works partition-locally after a (term, salt) shuffle; memory is
     * bounded by one chunk, not one term (stopword-safe).
-    * chunk_seq = salt * 2^32 + localSeq keeps chunks globally doc-ordered
-    * because salts partition the doc_id space into ranges.
+    * chunk_seq = the chunk's min_doc_id (see emit()): unique within a
+    * term because chunk doc ranges are disjoint, globally ascending in
+    * doc order (salts partition the doc_id space into ranges), and
+    * robust to partition/split seams — no per-group counter needed.
     */
   def buildRawChunks(segments: Dataset[SegmentRow], avgdl: Double): Dataset[RawChunk] =
     chunkSorted(
@@ -296,11 +298,33 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     r
   }
 
+  /** Cheap input-identity fingerprint: source file list + sizes, read
+    * driver-side from the dataset's lineage (no Spark job). Folding this
+    * into the stage fingerprint makes `manifestComplete` invalidate when
+    * the INPUT changes at an unchanged root (e.g. a /tmp index cache
+    * surviving across runs over regenerated data) — config-only
+    * fingerprints would silently serve a stale index. Non-file sources
+    * (in-memory datasets) have no stable identity (typed-map plans hash
+    * per closure instance), so they get a constant: resume for those
+    * keeps round-1's config-only semantics.
+    */
+  private def inputFingerprint(turns: Dataset[Turn]): String = {
+    val files = try turns.inputFiles.sorted.toSeq catch { case _: Throwable => Nil }
+    if (files.isEmpty) "mem"
+    else {
+      val sizes = files.map { f =>
+        try Files.size(Paths.get(new java.net.URI(f).getPath))
+        catch { case _: Throwable => -1L }
+      }
+      f"f${files.length}-b${sizes.sum}-h${(files.mkString(",").hashCode)}%08x"
+    }
+  }
+
   /** End-to-end build with per-stage resumable checkpoints. Returns meta. */
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
-    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}"
+    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-in${inputFingerprint(turns)}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {

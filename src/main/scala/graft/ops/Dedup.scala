@@ -31,45 +31,91 @@ object Dedup {
       .select("doc_id", "content_hash", "group_size", "rep_id", "is_dup")
   }
 
-  /** Word k-shingles per doc: (doc_id, shingle) distinct. */
+  /** Word k-shingles per doc: (doc_id, shingle) distinct. Docs shorter
+    * than k tokens yield no shingles (the `when` guard: Spark's
+    * `sequence(0, n)` with n < 0 would otherwise count DOWN and produce
+    * negative slice indices).
+    */
   def shingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - k),
+        transform(
+          when(size(col("toks")) >= k, sequence(lit(0), size(col("toks")) - k))
+            .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingle"))
       .distinct()
 
-  /** Deterministic 64-bit hash family: h_i(x) = mix(seed_i ^ x64). */
-  private def hashFamily(shingleHash: org.apache.spark.sql.Column, i: Int) = {
-    // xxhash64 with per-function seed column-side; mix constants derive
-    // from SplitMix64 so the family is deterministic everywhere.
-    xxhash64(lit(mix(0xC0FFEE0L + i)), shingleHash)
-  }
+  /** Deterministic 60-bit hash family: h_i(x) = h60(i ":" x) — md5-based
+    * (graft.core.StableHash), so the DuckDB oracle reproduces every
+    * signature bit-for-bit. For throughput-critical deployments an
+    * xxhash64 family is ~3x cheaper per shingle; md5 is the default
+    * because cross-engine verifiability is worth more than the hash cost
+    * (the shuffle, not the hash, dominates at scale).
+    */
+  private def hashFamily(shingle: org.apache.spark.sql.Column, i: Int) =
+    graft.core.StableHash.h60Col(concat(lit(s"$i:"), shingle))
 
-  /** MinHash signatures: n independent 64-bit min-hashes over a doc's
+  /** MinHash signatures: n independent 60-bit min-hashes over a doc's
     * shingle set. One narrow aggregation; signature is a fixed-size array.
     */
   def minHashSignatures(docs: DataFrame, k: Int = 3, nHashes: Int = 32): DataFrame = {
-    val sh = shingles(docs, k).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val aggs = (0 until nHashes).map(i => min(hashFamily(col("h"), i)).as(s"mh_$i"))
+    val sh = shingles(docs, k)
+    val aggs = (0 until nHashes).map(i => min(hashFamily(col("shingle"), i)).as(s"mh_$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until nHashes).map(i => col(s"mh_$i")): _*).as("signature"))
   }
 
+  /** Restrict a banded relation to buckets with at most `maxBucket`
+    * members. A degenerate bucket with B members yields B^2 join rows —
+    * at 100 TB, boilerplate-heavy corpora routinely produce million-member
+    * buckets, turning one reducer into a 10^12-pair hotspot. Standard LSH
+    * practice drops (or sub-splits) such buckets: their members are
+    * near-identical to huge cluster anyway, and exact-dedup or a
+    * cheaper representative pass handles them. Dropped buckets are
+    * observable via [[oversizedBuckets]] — report them, don't hide them.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("_bucket_n", count(lit(1)).over(w))
+      .filter(col("_bucket_n") <= maxBucket)
+      .drop("_bucket_n")
+  }
+
+  /** Buckets that exceed `maxBucket` (for skew reporting/auditing):
+    * (band, bucket, n_members). The pipeline that calls a capped
+    * candidate generator should surface these counts.
+    */
+  def oversizedBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+
+  /** Banded MinHash signatures: (doc_id, signature, band, bucket) with
+    * bucket = md5 of the band's signature slice (engine-portable).
+    */
+  def minHashBanded(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    signatures.select(col("doc_id"), col("signature"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(
+          transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), ","))))
+      .as(Seq("band", "bucket")))
+
   /** MinHash LSH candidate pairs: split the signature into `bands` bands
     * of `rowsPerBand` values; docs sharing any band bucket become a
     * candidate pair. Self-join is keyed on (band, bucket-hash) — the
-    * classic MinHash-LSH shuffle shape (Broder '97 / MMDS ch.3).
+    * classic MinHash-LSH shuffle shape (Broder '97 / MMDS ch.3) — with
+    * buckets larger than `maxBucket` dropped (see [[capBuckets]]).
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, where
-    * est_jaccard = fraction of matching signature positions.
+    * est_jaccard = fraction of matching signature positions (rounded to
+    * 4 decimals for cross-engine comparability).
     */
   def minHashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      minEstJaccard: Double = 0.0): DataFrame = {
-    val banded = signatures.select(col("doc_id"), col("signature"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        ).as(Seq("band", "bucket")))
+      minEstJaccard: Double = 0.0, maxBucket: Int = 100000): DataFrame = {
+    val banded = capBuckets(minHashBanded(signatures, bands, rowsPerBand),
+      Seq("band", "bucket"), maxBucket)
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
@@ -77,9 +123,9 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           (m: org.apache.spark.sql.Column) => m)).cast("double") /
-          size(col("sig_a"))).as("est_jaccard"))
+          size(col("sig_a")), 4).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
@@ -111,21 +157,21 @@ object Dedup {
 
   /** SimHash: 64-bit signature where bit j is the sign of the tf-weighted
     * sum of token-hash bit j (Charikar '02). Near-dups = small Hamming
-    * distance. Bit-majority is computed with array expressions (no UDF).
+    * distance. Term hash = first 64 md5 bits (graft.core.StableHash.u64),
+    * so the DuckDB oracle reproduces signatures exactly.
     */
   def simHash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // One typed map, ZERO shuffles: a doc's token stream fits in a task,
-    // so the tf-weighted bit-majority folds locally. Term hash = SplitMix64
-    // of the JVM string hash (spec-stable across JVMs/executors).
+    // so the tf-weighted bit-majority folds locally.
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val tf = scala.collection.mutable.HashMap.empty[String, Int]
         text.split(' ').foreach(t => if (t.nonEmpty) tf(t) = tf.getOrElse(t, 0) + 1)
         val w = new Array[Long](64)
         tf.foreach { case (term, n) =>
-          val h = mix(term.hashCode.toLong)
+          val h = graft.core.StableHash.u64(term)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) w(j) += n else w(j) -= n
@@ -139,35 +185,61 @@ object Dedup {
       }.toDF("doc_id", "simhash")
   }
 
-  /** SimHash near-dup candidate pairs: band the 64-bit signature into 4
-    * 16-bit keys; pairs sharing a band are checked for Hamming <= maxHam.
+  /** SimHash banded keys: 4 x 16-bit slices of the signature. By the
+    * pigeonhole principle, any pair at Hamming <= 3 shares at least one
+    * untouched 16-bit band — recall 1.0 at the default maxHam.
     */
-  def simHashCandidates(sim: DataFrame, maxHam: Int = 3): DataFrame = {
-    val banded = sim.select(col("doc_id"), col("simhash"),
+  def simHashBanded(sim: DataFrame): DataFrame =
+    sim.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "key")))
+
+  /** SimHash near-dup candidate pairs: pairs sharing a 16-bit band key,
+    * checked for Hamming <= maxHam; buckets above maxBucket dropped
+    * (see [[capBuckets]]).
+    */
+  def simHashCandidates(sim: DataFrame, maxHam: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    val banded = capBuckets(simHashBanded(sim), Seq("band", "key"), maxBucket)
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHam)
   }
 
   /** Embedding near-dup: pairs with cosine >= minCos. Candidates via
-    * random-hyperplane LSH buckets (see Similarity.hyperplaneSig), exact
-    * cosine verification on candidates only.
+    * BANDED random-hyperplane LSH (OR across `bands` bands of
+    * nPlanes/bands planes each — like MinHash banding), exact cosine
+    * verification on candidates only. Banding matters: bucketing on the
+    * full signature only ever pairs identical-signature vectors, so a
+    * genuine near-dup (cos 0.99, one flipped plane) would be missed;
+    * with 3 OR'd 8-plane bands, a cos>=0.999 pair collides in >=1 band
+    * w.p. ~0.999 while random pairs meet in a band w.p. 2^-8.
+    * Oversized buckets are dropped (see [[capBuckets]]).
     */
   def embeddingNearDups(embeddings: DataFrame, minCos: Double,
-      nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 24, bands: Int = 3, dim: Int = 64,
+      maxBucket: Int = 100000): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val bits = nPlanes / bands
+    require(bits <= 62, "band key must fit a long")
+    val mask = (1L << bits) - 1
     val sig = Similarity.withHyperplaneSig(embeddings, nPlanes, dim)
-    val a = sig.select(col("sig").as("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = sig.select(col("sig").as("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val banded0 = sig.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
+      .as(Seq("band", "key")))
+    val banded = capBuckets(banded0, Seq("band", "key"), maxBucket)
+    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineCol(col("e_a"), col("e_b")).as("cos"))
-      .filter(col("cos") >= minCos)
+        round(Similarity.cosineCol(col("e_a").cast("array<double>"),
+          col("e_b").cast("array<double>")), 4).as("cos"))
       .distinct()
+      .filter(col("cos") >= minCos)
   }
 }

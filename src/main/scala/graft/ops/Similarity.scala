@@ -87,6 +87,22 @@ object Similarity {
   def annTopK(embeddings: DataFrame, query: Array[Float], k: Int,
       nPlanes: Int = 12, probeHamming: Int = 2,
       excludeId: Option[Long] = None): DataFrame = {
+    val cand = annCandidates(embeddings, query, nPlanes, probeHamming)
+    val base = excludeId.map(id => cand.filter(col("vec_id") =!= id)).getOrElse(cand)
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    base.select(col("vec_id"),
+        round(cosineCol(col("embedding").cast("array<double>"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** The ANN candidate set alone (vec_id, embedding, sig): vectors whose
+    * signature lies within `probeHamming` of the query's. Exposed so a
+    * pipeline can persist/audit the pruned set — e.g. the driver oracle
+    * re-scores exactly this set in DuckDB to verify the top-k math.
+    */
+  def annCandidates(embeddings: DataFrame, query: Array[Float],
+      nPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
     val dim = query.length
     val qSig = (0 until nPlanes).map { p =>
       val dot = (0 until dim).map(d => query(d) * planeWeight(p, d)).sum
@@ -101,14 +117,8 @@ object Similarity {
       for (i <- 0 until nPlanes; j <- (i + 1) until nPlanes)
         buckets += (qSig ^ (1L << i) ^ (1L << j))
 
-    val sig = withHyperplaneSig(embeddings, nPlanes, dim)
-    val base = excludeId.map(id => sig.filter(col("vec_id") =!= id)).getOrElse(sig)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    base.filter(col("sig").isin(buckets.toSeq: _*))
-      .select(col("vec_id"),
-        round(cosineCol(col("embedding").cast("array<double>"), q), 4).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(k)
+    withHyperplaneSig(embeddings, nPlanes, dim)
+      .filter(col("sig").isin(buckets.toSeq: _*))
   }
 
   /** IVF (inverted-file) ANN index: deterministic Lloyd k-means (fixed
@@ -212,18 +222,34 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-pairs top-k neighbors via LSH buckets (batch kNN join): each
-    * vector meets only its bucket's vectors; exact cosine within bucket,
-    * per-vector top-k via window rank. The at-scale alternative to a
+  /** All-pairs top-k neighbors via BANDED LSH buckets (batch kNN join):
+    * each vector meets only vectors sharing at least one band key (OR
+    * across `bands` bands of nPlanes/bands planes — full-signature
+    * bucketing would only ever pair identical-signature vectors), exact
+    * cosine on the distinct candidate pairs, per-vector top-k via window
+    * rank. Buckets above `maxBucket` members are dropped (B^2 join-row
+    * blowup guard; see Dedup.capBuckets). The at-scale alternative to a
     * quadratic cross join.
     */
-  def knnJoin(embeddings: DataFrame, k: Int, nPlanes: Int = 10,
-      dim: Int = 64): DataFrame = {
+  def knnJoin(embeddings: DataFrame, k: Int, nPlanes: Int = 24,
+      bands: Int = 3, dim: Int = 64, maxBucket: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val bits = nPlanes / bands
+    val mask = (1L << bits) - 1
     val sig = withHyperplaneSig(embeddings, nPlanes, dim)
-    val a = sig.select(col("sig"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = sig.select(col("sig"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    val pairs = a.join(b, Seq("sig")).filter(col("id_a") =!= col("id_b"))
+    val banded0 = sig.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
+      .as(Seq("band", "key")))
+    val bw = Window.partitionBy(col("band"), col("key"))
+    val banded = banded0.withColumn("_n", count(lit(1)).over(bw))
+      .filter(col("_n") <= maxBucket).drop("_n")
+    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val pairs = a.join(b, Seq("band", "key")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("e_a"), col("e_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         cosineCol(col("e_a").cast("array<double>"), col("e_b").cast("array<double>")).as("cos"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)

@@ -44,8 +44,13 @@ object StreamIngest {
       .trigger(trigger)
       .option("checkpointLocation", s"$indexRoot/_stream_checkpoint")
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
+        // Generation dir keyed by batchId => micro-batch REPLAY after a
+        // crash between append and checkpoint commit is idempotent
+        // (appendAt skips dirs with a complete index_meta.json) instead
+        // of duplicating the batch under fresh doc_ids.
         if (!batch.isEmpty)
-          Generations.append(batch.sparkSession, batch, indexRoot, lemmas, conf)
+          Generations.appendAt(batch.sparkSession, batch, indexRoot,
+            f"$indexRoot/gen-$batchId%05d", lemmas, conf)
         ()
       }
       .start()

@@ -60,6 +60,33 @@ class DedupSpec extends SparkSpecBase {
     assert(verified((1L, 2L)) == 1.0)
   }
 
+  test("LSH bucket cap bounds degenerate buckets, keeps small-bucket dups") {
+    // 60 identical boilerplate docs (one degenerate bucket) + one true dup
+    // pair + filler: the cap must drop the boilerplate B^2 blowup while
+    // keeping the small-bucket dup pair.
+    val boiler = (100L until 160L).map(i =>
+      i -> "terms of service apply to all users of this web site today")
+    val rare = Seq(
+      900L -> "rare unique duplicated sentence appears exactly twice here yes",
+      901L -> "rare unique duplicated sentence appears exactly twice here yes")
+    val filler = (200L until 220L).map(i =>
+      i -> s"filler document number $i with its own distinct words ${i * 7}")
+    val df = docsDf(boiler ++ rare ++ filler)
+    val sigs = Dedup.minHashSignatures(df, k = 3, nHashes = 32)
+    val uncapped = Dedup.minHashCandidates(sigs, 8, 4).count()
+    assert(uncapped >= 60L * 59 / 2, s"uncapped should blow up: $uncapped")
+    val capped = Dedup.minHashCandidates(sigs, 8, 4, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((900L, 901L)), "small-bucket dup must survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 100 && a < 160 && b < 160 },
+      "degenerate-bucket pairs must be dropped")
+    // and the dropped buckets are observable for reporting
+    val over = Dedup.oversizedBuckets(
+      Dedup.minHashBanded(sigs, 8, 4), Seq("band", "bucket"), 10)
+      .collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) == 60L))
+  }
+
   test("simhash: identical docs have distance 0; near dups small distance") {
     val sim = Dedup.simHash(docs)
     val m = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -134,7 +161,7 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("knnJoin returns <=k neighbors per vector, cosine-ranked") {
-    val res = Similarity.knnJoin(embeddings, k = 3, nPlanes = 8, dim = dim)
+    val res = Similarity.knnJoin(embeddings, k = 3, nPlanes = 8, bands = 2, dim = dim)
     val byVec = res.collect().groupBy(_.getLong(0))
     assert(byVec.values.forall(_.length <= 3))
     byVec.values.foreach { rows =>
@@ -149,9 +176,42 @@ class SimilaritySpec extends SparkSpecBase {
     val withDup = embeddings.union(
       Seq((9999L, vec(7).toSeq)).toDF("vec_id", "embedding"))
     val dups = Dedup.embeddingNearDups(withDup, minCos = 0.999,
-      nPlanes = 10, dim = dim)
+      nPlanes = 10, bands = 2, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.contains((7L, 9999L)), s"planted dup not found: $dups")
+  }
+
+  test("banded embedding LSH finds PERTURBED near-dups, not just identical") {
+    val spark0 = spark
+    import spark0.implicits._
+    // plant 40 perturbed copies (small per-dim noise => cos ~0.995-0.9999)
+    def perturbed(id: Long): Array[Float] = {
+      val v = vec(id)
+      Array.tabulate(dim)(d =>
+        v(d) + 0.01f * ((graft.corpus.Transcripts.mix(id * 7 + d) % 100) / 100.0f))
+    }
+    val all = (0L until 200L).map(i => (i, vec(i).toSeq)) ++
+      (0L until 40L).map(i => (1000L + i, perturbed(i).toSeq))
+    val df = all.toDF("vec_id", "embedding")
+    def cosS(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val minCos = 0.995
+    val exactPairs = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if math.rint(cosS(all(i)._2, all(j)._2) * 10000) / 10000 >= minCos
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))).toSet
+    assert(exactPairs.size >= 30, s"test setup: want many near-dup pairs, got ${exactPairs.size}")
+    assert(exactPairs.exists { case (a, b) => b == a + 1000 },
+      "test setup: perturbed copies must qualify")
+    val found = Dedup.embeddingNearDups(df, minCos = minCos,
+      nPlanes = 24, bands = 3, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(exactPairs), "no false positives (exact verify step)")
+    val recall = (found intersect exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.85, s"banded recall too low: $recall over ${exactPairs.size} pairs")
   }
 }
 
