@@ -134,6 +134,13 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   var localMaxPostings: Long = 20000L
 
+  /** Above this many surviving chunks, chunk pruning switches from a
+    * literal `chunk_seq IN (...)` pushed filter to a broadcast LEFT SEMI
+    * join on (term_id, chunk_seq) — a 100k-literal filter makes Parquet
+    * row-group stats evaluation itself the bottleneck on a wide cluster.
+    */
+  var chunkInMaxLiterals: Int = 1000
+
   /** Driver-local BM25 top-k over collected chunks (rank-identical to the
     * distributed path: same Bm25.impact, same ascending-term_id fold,
     * same (score desc, doc_id asc) tie-break).
@@ -258,9 +265,26 @@ class QueryEngine(spark: SparkSession, root: String,
     val nonEssEntries = entries.filter(e => nonEssential(e.term_id))
     if (nonEssential.isEmpty) return topK(exactScores(entries), k)
 
-    // Candidates from essential postings only.
+    // Candidates from essential postings — with SECOND-TIER pruning: a
+    // doc can only reach the top-k if its essential score plus the sum of
+    // the non-essential terms' max_impacts reaches θ (per-posting upper
+    // bound), so docs below that line are dropped BEFORE the candidate
+    // broadcast. Exactness: every true top-k doc has total >= θ and
+    // essSum + cumNonEssMax >= total, so it survives; a dropped doc's
+    // true total < θ <= the k-th best, so even its (possibly partial)
+    // computed score can never displace a top-k doc. This is what tames
+    // the mid-df worst case — a dense essential term floods tier 1, but
+    // few of its docs clear the θ line once essential impacts are known.
+    val cumNonEssMax = nonEssEntries.map(_.max_impact).sum
+    val essIdf = essential.map(e => e.term_id -> e.idf).toMap
+    val bcEssIdf = spark.sparkContext.broadcast(essIdf)
+    val avgdlLoc = avgdl
     val candIds = decodedPostings(essential.map(_.term_id))
-      .select($"doc_id").distinct().as[Long].collect()
+      .map(p => (p.doc_id, Bm25.impact(bcEssIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+      .toDF("doc_id", "impact")
+      .groupBy($"doc_id").agg(sum($"impact").as("ess_sum"))
+      .filter($"ess_sum" + cumNonEssMax >= theta)
+      .select($"doc_id").as[Long].collect()
     if (candIds.isEmpty) return emptyScores()
     if (candIds.length > 2000000) // pruning not worth the broadcast
       return topK(exactScores(entries), k)
@@ -291,7 +315,7 @@ class QueryEngine(spark: SparkSession, root: String,
       .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
       .as[(Long, Long, Long, Long)]
       .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
-      .select($"chunk_seq").as[Long].collect()
+      .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
 
     // Dense-candidate fallback: when candidates touch most chunks (a
     // mid-df essential term), skipping buys nothing — the per-posting
@@ -303,11 +327,20 @@ class QueryEngine(spark: SparkSession, root: String,
     if (survivors.length > 0.5 * totalNonEssChunks)
       return topK(exactScores(entries), k)
 
+    // Surviving-chunk pruning, sized to the survivor count:
+    //  - few: a literal chunk_seq IN pushes into Parquet row-group stats;
+    //  - many: a 100k-literal pushed filter would make stats evaluation
+    //    itself the bottleneck on a wide cluster — a BROADCAST LEFT SEMI
+    //    join on (term_id, chunk_seq) is the scale-safe form (the
+    //    survivor table is chunk metadata, KBs even at 10^12 docs).
     val nonEssBase = postings.filter($"term_id".isin(nonEssential.toSeq: _*))
     val nonEssChunks =
-      if (survivors.length <= 100000)
-        nonEssBase.filter($"chunk_seq".isin(survivors.toSeq: _*))
-      else nonEssBase // too many survivors: single-pass typed filter below
+      if (survivors.length <= chunkInMaxLiterals)
+        nonEssBase.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+      else {
+        val survDf = survivors.toSeq.toDF("term_id", "chunk_seq")
+        nonEssBase.join(broadcast(survDf), Seq("term_id", "chunk_seq"), "left_semi")
+      }
     val nonEssPostings = nonEssChunks
       .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
         $"doc_gaps", $"tfs", $"dls")
@@ -381,8 +414,16 @@ class QueryEngine(spark: SparkSession, root: String,
 
   /** Phrase match (strictly consecutive positions, reference
     * src/positional_intersect/mod.rs:11-35): conjunctive intersection with
-    * positions carried, then an `exists` over the first term's positions
-    * with `array_contains(pos_i, p + i)` for every later term.
+    * positions carried, then an `exists` over the RAREST term's positions
+    * with offset-adjusted `array_contains(pos_i, p + (i - anchor))` for
+    * every other term.
+    *
+    * The positional join chain runs in ASCENDING-df order (not query
+    * order), so a leading stopword ("the big join") never drags its full
+    * positional lists through every join — the intermediate result is
+    * bounded by the min df from the first join on, and the rare side is
+    * broadcast when small (the distributed form of the reference's
+    * min-df seeding, src/query_processor/query_processor.rs:62-69).
     */
   def phraseMatch(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
@@ -390,13 +431,17 @@ class QueryEngine(spark: SparkSession, root: String,
     val entries = lookupTerms(terms)
     val byTerm = entries.map(e => e.term -> e).toMap
     if (terms.exists(t => !byTerm.contains(t))) return Seq.empty[Long].toDF("doc_id")
-    val cols = terms.indices.map(i => s"pos$i")
-    val joined = terms.zipWithIndex.map { case (t, i) =>
-      positionedPostings(Seq(byTerm(t).term_id))
-        .select($"doc_id", $"positions".as(cols(i)))
-    }.reduceLeft((a, b) => a.join(b, Seq("doc_id"), "inner"))
-    val consecutive = exists(col(cols.head), p =>
-      terms.indices.tail.map(i => array_contains(col(cols(i)), p + i))
+    val idxByDf = terms.indices.sortBy(i => (byTerm(terms(i)).df, i))
+    val anchor = idxByDf.head
+    val hint: DataFrame => DataFrame =
+      if (byTerm(terms(anchor)).df <= 100000L) df => broadcast(df) else identity _
+    val joined = idxByDf.map { i =>
+      positionedPostings(Seq(byTerm(terms(i)).term_id))
+        .select($"doc_id", $"positions".as(s"pos$i")).toDF()
+    }.reduceLeft((a, b) => hint(a).join(b, Seq("doc_id"), "inner"))
+    val consecutive = exists(col(s"pos$anchor"), p =>
+      terms.indices.filter(_ != anchor)
+        .map(i => array_contains(col(s"pos$i"), p + (i - anchor)))
         .reduce(_ && _))
     joined.filter(consecutive).select($"doc_id").distinct()
   }
@@ -420,17 +465,59 @@ class QueryEngine(spark: SparkSession, root: String,
         explode(filter($"ps2", p => p > $"pos1" && p - $"pos1" <= lit(k))).as("pos2"))
   }
 
+  /** Max edit distance served by the persisted deletion-neighborhood
+    * index; larger distances fall back to the dictionary scan.
+    */
+  val maxFuzzyDistance: Int = 1
+
+  /** Deletion-neighborhood fuzzy index (SymSpell; Garbe 2012) — the
+    * Spark-native equivalent of the reference's BK-tree
+    * (src/my_bk_tree/mod.rs:3-26): every dictionary term is expanded to
+    * its <=maxFuzzyDistance-deletion variants and persisted ONCE next to
+    * the index, range-partitioned and sorted by variant. A fuzzy lookup
+    * is then a pushed-down `variant IN (...)` probe over a sorted table
+    * (row-group pruned), not a full-dictionary levenshtein scan — the
+    * difference between O(|q|) and O(|lexicon|) per query at the
+    * 10^8-term lexicons a 100 TB corpus produces. At full scale this
+    * table is built by the indexer, not lazily.
+    */
+  private lazy val fuzzyIndex: DataFrame = {
+    val path = s"$root/fuzzy_d$maxFuzzyDistance"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val d = maxFuzzyDistance
+      dictionary.select($"term", $"term_id", $"df")
+        .as[(String, Long, Long)]
+        .flatMap { case (t, id, df) =>
+          QueryEngine.deleteVariants(t, d).iterator.map(v => (v, t, id, df)) }
+        .toDF("variant", "term", "term_id", "df")
+        .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism),
+          $"variant")
+        .sortWithinPartitions($"variant")
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Fuzzy term lookup: all dictionary terms within Levenshtein distance d
-    * (reference BK-tree, src/my_bk_tree/mod.rs:14-21). The |len - len(q)|
-    * <= d length prefilter is pushed into the Parquet scan before the
-    * levenshtein evaluation.
+    * (reference BK-tree, src/my_bk_tree/mod.rs:14-21). Within
+    * maxFuzzyDistance this probes the deletion-neighborhood index (the
+    * SymSpell guarantee: lev(a,b) <= d implies a and b share a string
+    * reachable by <= d deletions from each), then verifies candidates
+    * with exact levenshtein. Larger d falls back to a length-prefiltered
+    * dictionary scan.
     */
   def fuzzyTerms(q: String, d: Int): DataFrame = {
-    dictionary
-      .filter(length($"term") >= lit(q.length - d) &&
-        length($"term") <= lit(q.length + d))
+    if (d > maxFuzzyDistance)
+      return dictionary
+        .filter(length($"term") >= lit(q.length - d) &&
+          length($"term") <= lit(q.length + d))
+        .filter(levenshtein($"term", lit(q)) <= d)
+        .select($"term", $"term_id", $"df")
+    val qVars = QueryEngine.deleteVariants(q, d).toSeq
+    fuzzyIndex
+      .filter($"variant".isin(qVars: _*))
+      .select($"term", $"term_id", $"df").distinct()
       .filter(levenshtein($"term", lit(q)) <= d)
-      .select($"term", $"term_id", $"df")
   }
 
   /** Attach document metadata to a result with a `doc_id` column — the
@@ -460,5 +547,34 @@ class QueryEngine(spark: SparkSession, root: String,
         sort_array(collect_list(struct($"term_id", $"w"))),
         lit(0.0),
         (acc, x) => acc + x.getField("w")).as("score"))
+  }
+}
+
+object QueryEngine {
+
+  /** All strings reachable from `s` by deleting up to d code points,
+    * INCLUDING s itself (SymSpell requires 0..d deletions on both sides).
+    * Deletions operate on code points, matching Spark's levenshtein.
+    * Static (object) so executor closures don't capture an engine.
+    */
+  def deleteVariants(s: String, d: Int): Set[String] = {
+    def delOne(w: String): Iterator[String] = {
+      val cps = w.codePoints().toArray
+      cps.indices.iterator.map { j =>
+        val rest = new Array[Int](cps.length - 1)
+        System.arraycopy(cps, 0, rest, 0, j)
+        System.arraycopy(cps, j + 1, rest, j, cps.length - 1 - j)
+        new String(rest, 0, rest.length)
+      }
+    }
+    var cur = Set(s)
+    var all = Set(s)
+    var i = 0
+    while (i < d) {
+      cur = cur.flatMap(delOne)
+      all ++= cur
+      i += 1
+    }
+    all
   }
 }

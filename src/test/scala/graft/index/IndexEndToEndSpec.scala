@@ -123,6 +123,43 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
+  test("WAND with broadcast semi-join chunk pruning: identical results") {
+    engine.localMaxPostings = 0L
+    engine.wandMinPostings = 0L
+    engine.chunkInMaxLiterals = 0 // force the semi-join form
+    try {
+      queries.foreach { q =>
+        val want = oracle.bm25TopK(q, 10)
+        val df = engine.bm25TopK(q, 10, useWand = true)
+        val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"semi-join wand mismatch for '$q'\n got=$got\nwant=$want")
+      }
+      // and the plan actually contains the broadcast semi-join (when the
+      // wand path did not early-return to direct scoring)
+      val plan = engine.bm25TopK("the of and", 10, useWand = true)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi") || !plan.contains("chunk_seq IN"),
+        s"expected LeftSemi pruning in:\n$plan")
+    } finally {
+      engine.localMaxPostings = 20000L
+      engine.wandMinPostings = 100000L
+      engine.chunkInMaxLiterals = 1000
+    }
+  }
+
+  test("SymSpell fuzzy index: parity with full-dictionary levenshtein scan") {
+    Seq("albae", "crba", "kelba", "xx", "the").foreach { q =>
+      val viaIndex = engine.fuzzyTerms(q, 1).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      import org.apache.spark.sql.functions.{col, levenshtein, lit}
+      val viaScan = engine.dictionary
+        .filter(levenshtein(col("term"), lit(q)) <= 1)
+        .select(col("term"), col("term_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(viaIndex == viaScan, s"fuzzy mismatch for '$q'")
+    }
+  }
+
   test("handle_query: phrase-tier precedence matches oracle") {
     // a query whose first two tokens form a real phrase somewhere
     val t = turnsLocal.find(_.text.split(" ").length > 3).get

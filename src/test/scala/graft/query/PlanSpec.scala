@@ -29,10 +29,17 @@ class PlanSpec extends SparkSpecBase {
       plan.contains("EqualTo(term_id,7)"), s"no pushdown in:\n$plan")
   }
 
-  test("fuzzy term-length prefilter pushes down to the dictionary scan") {
+  test("fuzzy lookup is a keyed probe of the deletion index, not a dictionary scan") {
     val plan = planOf(engine.fuzzyTerms("alba", 1))
-    // length() itself is not pushable, but the scan must NOT read all
-    // columns: ReadSchema is pruned to the selected ones
+    // the SymSpell path probes the persisted variant table with a pushed
+    // IN filter (row-group pruned: the table is sorted by variant)
+    assert(plan.contains("PushedFilters") && plan.contains("In(variant"),
+      s"no variant-IN pushdown in:\n$plan")
+    assert(!plan.contains("pos_blob"), "fuzzy probe must not touch postings columns")
+  }
+
+  test("fuzzy fallback (d > indexed) keeps the length-prefiltered scan") {
+    val plan = planOf(engine.fuzzyTerms("alba", 2))
     assert(plan.contains("ReadSchema"), plan)
     assert(!plan.contains("pos_blob"), "dictionary scan must not touch postings columns")
   }
