@@ -77,6 +77,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
+    // dev knobs (unset in driver runs): restrict build levels / skip stages
+    val levelsOverride = sys.env.get("SPARK_GRAFT_BENCH_LEVELS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+    val buildOnly = sys.env.contains("SPARK_GRAFT_BENCH_BUILD_ONLY")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     java.nio.file.Files.createDirectories(
@@ -102,7 +106,7 @@ object Bench {
     // JIT-compiled code is shared — the analog of a long-lived cluster's
     // warm executors. One small untimed build warms the hot paths first.
     var nTurns = 0L
-    val levels = Seq(2, lowCpus, cpus).distinct.sorted
+    val levels = levelsOverride.getOrElse(Seq(2, lowCpus, cpus).distinct.sorted)
     rmrf("/dev/shm/graft/warmup_idx")
     val warm = newSession(cpus)
     new IndexBuilder(warm, Transcripts.lemmas, IndexConf(numParts = cpus))
@@ -115,9 +119,10 @@ object Bench {
         org.apache.spark.sql.Encoders.product[graft.corpus.Turn])
       // best-of-2: the sandbox shares its host, so single runs swing by
       // >30%; the minimum is the faithful estimate of machine capability
-      val sec = (1 to 2).map { _ =>
+      val reuse = sys.env.contains("SPARK_GRAFT_BENCH_REUSE_IDX") // dev knob
+      val sec = (1 to (if (reuse) 1 else 2)).map { _ =>
         val dir = s"/dev/shm/graft/bench_idx_c$c"
-        rmrf(dir)
+        if (!reuse) rmrf(dir)
         val builder = new IndexBuilder(s, Transcripts.lemmas,
           IndexConf(numParts = math.max(c, 8), skewDfThreshold = 20000L, nSalts = 8))
         val t0 = System.nanoTime()
@@ -137,6 +142,13 @@ object Bench {
       case _ => ()
     }
 
+    if (buildOnly) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":0,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_turns":$nTurns}""")
+      return
+    }
+
     // ---- BM25 query latency over the frozen query set (warm index)
     val spark = newSession(cpus) // same session as high-parallelism build
     val engine = new QueryEngine(spark, s"/dev/shm/graft/bench_idx_c$cpus",
@@ -153,20 +165,52 @@ object Bench {
     // ---- north-rule rank identity across parallelism levels: the
     // indexes built at N and 4N cores must answer every reference query
     // with IDENTICAL doc_ids AND bit-identical Double scores
-    val engineLow = new QueryEngine(spark,
-      s"/dev/shm/graft/bench_idx_c$lowCpus", Transcripts.lemmas)
-    val matched = referenceQueries.count { q =>
-      val a = engine.bm25TopK(q, 10).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val b = engineLow.bm25TopK(q, 10).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      a == b
+    if (levels.contains(lowCpus) && lowCpus != cpus) {
+      val engineLow = new QueryEngine(spark,
+        s"/dev/shm/graft/bench_idx_c$lowCpus", Transcripts.lemmas)
+      val matched = referenceQueries.count { q =>
+        val a = engine.bm25TopK(q, 10).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val b = engineLow.bm25TopK(q, 10).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        a == b
+      }
+      results("rank_identity_queries_matched") = matched.toDouble
+      results("rank_identity_queries_total") = referenceQueries.size.toDouble
     }
-    results("rank_identity_queries_matched") = matched.toDouble
-    results("rank_identity_queries_total") = referenceQueries.size.toDouble
+
+    // ---- MaxScore mid-df worst case: a mid-df content term (dense
+    // candidates, the pruning-hostile shape) plus a stopword tail, with
+    // the block-max path forced on, vs the direct path on the same query.
+    val midQ = Seq(Transcripts.contentWords(2), "the", "of", "and")
+    engine.localMaxPostings = 0L
+    engine.wandMinPostings = 1L
+    results("bm25_middf_wand_sec") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      engine.bm25TopKForTerms(midQ, 10, useWand = true).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    results("bm25_middf_direct_sec") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      engine.bm25TopKForTerms(midQ, 10, useWand = false).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    engine.localMaxPostings = 20000L
+    engine.wandMinPostings = 100000L
+
+    // ---- stopword-led phrase: exercises the ascending-df positional
+    // join order (a query-order join would drag the stopword's full
+    // positional lists through the chain).
+    results("phrase_stopword_sec") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      engine.phraseMatch(Seq("the", Transcripts.contentWords(2))).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     // ---- the driver catalog over sfDir
-    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_CATALOG")) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
     catalog.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tokenizer
 import graft.corpus.Turn
 import graft.index.{IndexBuilder, IndexConf, IndexPaths}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextOps}
 import graft.query.QueryEngine
 
 /** The operator catalog behind SparkEntry: every query takes
@@ -378,6 +378,30 @@ object GraftQueries {
     "q30_conjunctive_semi" -> ((s, dir) => {
       val eng = engineFor(s, dir)
       withOrigDocId(eng, eng.conjunctiveSemi(Seq("join", "filter", "sort")))
+        .orderBy("doc_id")
+    }),
+
+    // corpus assembly: GPT-style sequence packing (concatenate + slice at
+    // a fixed token budget)
+    "q31_pack_sequences" -> ((s, dir) =>
+      Pipeline.packSequences(documents(s, dir), budget = 256).orderBy("doc_id")),
+
+    // corpus assembly: deterministic md5-keyed stratified sampling by a
+    // token-length stratum (rates 0.25 / 0.5 / 1.0)
+    "q32_stratified_sample" -> ((s, dir) => {
+      val n = size(split(col("text"), " "))
+      val docs = documents(s, dir).withColumn("stratum",
+        when(n < 30, "short").when(n < 60, "mid").otherwise("long"))
+      Pipeline.stratifiedSample(docs,
+          "stratum", Map("short" -> 0.25, "mid" -> 0.5, "long" -> 1.0))
+        .select("doc_id", "stratum").orderBy("doc_id")
+    }),
+
+    // corpus hygiene: benchmark-contamination screen (shared 5-gram vs an
+    // eval set — here the first 10 docs stand in for the benchmark)
+    "q33_contamination" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Pipeline.contaminationCheck(docs, docs.filter(col("doc_id") < 10), 5)
         .orderBy("doc_id")
     }),
 
@@ -766,5 +790,37 @@ object GraftQueries {
       """SELECT doc_id FROM documents
         |WHERE list_contains(string_split(text,' '), 'join')
         |  AND list_contains(string_split(text,' '), 'filter')
-        |  AND list_contains(string_split(text,' '), 'sort') ORDER BY doc_id""".stripMargin)
+        |  AND list_contains(string_split(text,' '), 'sort') ORDER BY doc_id""".stripMargin,
+
+    "q31_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
+        |    AS cum_before FROM t)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 256 AS pack_id, cum_before % 256 AS pack_pos
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q32_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) < 30 THEN 'short'
+        |         WHEN len(string_split(text,' ')) < 60 THEN 'mid'
+        |         ELSE 'long' END AS stratum
+        |  FROM documents)
+        |SELECT doc_id, stratum FROM s
+        |WHERE ('0x' || substring(md5('graft:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+        |  < (CASE stratum WHEN 'short' THEN 250000 WHEN 'mid' THEN 500000 ELSE 1000000 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q33_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)),
+        |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |SELECT d.doc_id, count(*) AS n_hits
+        |FROM (SELECT * FROM sh) d JOIN bs USING (shingle)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
 }

@@ -160,7 +160,9 @@ object Compactor {
     val rawChunks = builder.buildRawChunks(segs, avgdl)
     rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = builder.buildDictionary(rawChunks, nDocs)
-    dict.write.mode("overwrite").parquet(paths.dictionary)
+    dict.repartitionByRange(conf.numParts, $"term")
+      .sortWithinPartitions($"term")
+      .write.mode("overwrite").parquet(paths.dictionary)
     val dictDf = spark.read.parquet(paths.dictionary)
     rawChunks.toDF()
       .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))

@@ -136,6 +136,10 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
             ChunkCodec.encodePostingUnit(sorted))
         }
       }
+    // (Measured negative result, BENCH.md: prefixing the sort key with
+    // xxhash64(term) to avoid string comparisons made the c8 build ~15%
+    // SLOWER — Tungsten's radix sorter already compares via an 8-byte
+    // UTF8 prefix, so the extra column is pure shuffle weight.)
     salted
       .repartition(conf.numParts, $"term", $"salt")
       .sortWithinPartitions($"term", $"salt", $"doc_id")
@@ -324,7 +328,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
-    val fp = s"v1-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-in${inputFingerprint(turns)}"
+    // v2: dictionary written term-sorted/range-partitioned (layout change
+    // — bumping the version invalidates caches built with the v1 layout)
+    val fp = s"v2-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-in${inputFingerprint(turns)}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {
@@ -385,7 +391,16 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       // (no explicit materialize: the dictionary stats agg below is the
       // first consumer and fills the cache in the same pass)
       val dict = buildDictionary(rawChunks, nDocs)
-      vtime("dict_write") { dict.write.mode("overwrite").parquet(paths.dictionary) }
+      // Dictionary layout guarantee (asserted in PlanSpec): term-sorted,
+      // range-partitioned parquet, so query-term lookup (`term IN (...)`)
+      // and fuzzy-variant probes prune to O(query terms) row groups even
+      // at a 10^9-term lexicon. RangeRank's output partitioning is NOT
+      // sorted (its small path round-robins), so the sort here is load-
+      // bearing, not cosmetic.
+      vtime("dict_write") {
+        dict.repartitionByRange(conf.numParts, $"term")
+          .sortWithinPartitions($"term")
+          .write.mode("overwrite").parquet(paths.dictionary) }
       val dictDf = spark.read.parquet(paths.dictionary)
       val postings = rawChunks.toDF()
         .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))

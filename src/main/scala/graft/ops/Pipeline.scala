@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for a training-data pipeline — the steps
+  * between "clean deduped documents" and "token stream on the trainer":
+  * packing documents into fixed token budgets, deterministic sampling,
+  * and benchmark-contamination screening. All are pure column
+  * expressions / windows (codegen'd, no UDFs), and all are deterministic
+  * so the driver's DuckDB oracle replicates them exactly.
+  */
+object Pipeline {
+
+  /** Pack documents into fixed token-budget sequences — the GPT-style
+    * "concatenate and slice" layout: documents are concatenated in a
+    * deterministic order (doc_id here; any sort key works) and the token
+    * stream is sliced at every multiple of `budget`. A document STARTS in
+    * pack floor(cum_tokens_before / budget) at offset
+    * (cum_tokens_before mod budget), and may straddle into the next pack
+    * (standard pretraining packing; no padding waste).
+    *
+    * Returns (doc_id, n_tokens, pack_id, pack_pos).
+    *
+    * Scale shape: ONE window over the layout order. At 100 TB a single
+    * global window would serialize, so the layout key becomes
+    * (shard, doc_id): partition the window by shard — one independent
+    * pack stream per shard, embarrassingly parallel, identical
+    * arithmetic. This entry runs the single-stream form the oracle can
+    * check end-to-end.
+    */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("pack_id", (col("cum_before") / budget).cast("long"))
+      .withColumn("pack_pos",
+        (col("cum_before") % budget).cast("long"))
+      .select("doc_id", "n_tokens", "pack_id", "pack_pos")
+  }
+
+  /** The at-scale form of [[packSequences]]: one independent pack stream
+    * per shard (window partitioned by `shardCol` — embarrassingly
+    * parallel; no global window). pack_id is (shard, local_pack_id);
+    * callers give shards capacity ~(executor-memory worth of docs).
+    */
+  def packSequencesSharded(docs: DataFrame, budget: Int,
+      shardCol: String): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("pack_id", (col("cum_before") / budget).cast("long"))
+      .withColumn("pack_pos", (col("cum_before") % budget).cast("long"))
+      .select(shardCol, "doc_id", "n_tokens", "pack_id", "pack_pos")
+  }
+
+  /** Deterministic stratified sampling: keep a document iff the fractional
+    * value derived from md5(doc_id) falls under the per-stratum rate.
+    * Engine-portable (any md5 + modulo) and stable across runs/cluster
+    * sizes — re-running the pipeline reproduces the same sample, which is
+    * what makes ablations comparable. `rates` maps stratum -> keep rate;
+    * missing strata default to 0.
+    *
+    * The hash domain is the first 15 md5 hex chars (60 bits) mod 10^6,
+    * compared against rate * 10^6 — integer arithmetic both engines
+    * round identically.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      rates: Map[String, Double], salt: String = "graft"): DataFrame = {
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("_u",
+        pmod(graft.core.StableHash.h60Col(
+          concat(lit(salt + ":"), col("doc_id").cast("string"))), lit(1000000L)))
+      .filter(col("_u") < (rateCol * 1000000L).cast("long"))
+      .drop("_u")
+  }
+
+  /** Benchmark-contamination screen: flag documents sharing any k-token
+    * shingle with a benchmark/eval set. The shingle relation is the same
+    * as dedup's; the join is a LEFT SEMI against the (small) benchmark
+    * shingle set — broadcast at any corpus scale, since the benchmark
+    * side is the small one. Returns (doc_id, n_hits) for contaminated
+    * docs only.
+    */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
+      k: Int): DataFrame = {
+    val docSh = Dedup.shingles(docs, k)
+    val benchSh = Dedup.shingles(benchmark, k)
+      .select(col("shingle")).distinct()
+    docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+}

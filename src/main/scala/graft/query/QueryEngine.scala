@@ -241,16 +241,42 @@ class QueryEngine(spark: SparkSession, root: String,
     *     postings are filtered to candidates before scoring.
     *  4. Exact fixed-order fold + top-k with the deterministic tie-break.
     */
+  private val wandDebug = sys.env.contains("GRAFT_WAND_DEBUG")
+  @inline private def wdbg(msg: => String): Unit =
+    if (wandDebug) println(s"WAND $msg")
+
   private def wand(entries: Seq[DictRow], k: Int): DataFrame = {
+    // The pruned path reads the strongest term's postings up to three
+    // times (θ, tier-1 sums, final scoring) — cache the decode once and
+    // release it before returning (wand is EAGER: the result is
+    // materialized inside, so no caller action depends on the cache).
+    val best = entries.maxBy(_.max_impact)
+    val bestPostings = decodedPostings(Seq(best.term_id))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var essCached: Dataset[ScoredPosting] = null
+    try {
+      val out = wandImpl(entries, k, best, bestPostings,
+        ess => { essCached = ess; ess })
+      val rows = out.as[(Long, Double)].collect().toSeq
+      spark.createDataFrame(rows).toDF("doc_id", "score")
+    } finally {
+      bestPostings.unpersist(false)
+      if (essCached != null && (essCached ne bestPostings)) essCached.unpersist(false)
+    }
+  }
+
+  private def wandImpl(entries: Seq[DictRow], k: Int, best: DictRow,
+      bestPostings: Dataset[ScoredPosting],
+      registerEss: Dataset[ScoredPosting] => Dataset[ScoredPosting]): DataFrame = {
     val avgdl = meta.avgdl
 
     // Pass 0: threshold from the strongest term's own postings.
-    val best = entries.maxBy(_.max_impact)
     val bestIdf = best.idf
-    val thetaRows = decodedPostings(Seq(best.term_id))
+    val thetaRows = bestPostings
       .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avgdl))
       .orderBy($"value".desc).limit(k).collect()
     val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
+    wdbg(s"theta=$theta best=${best.term} df=${best.df}")
     if (theta <= 0.0) return topK(exactScores(entries), k)
 
     // Essential / non-essential split (driver-side arithmetic).
@@ -263,33 +289,42 @@ class QueryEngine(spark: SparkSession, root: String,
     }.map(_.term_id).toSet
     val essential = entries.filterNot(e => nonEssential(e.term_id))
     val nonEssEntries = entries.filter(e => nonEssential(e.term_id))
+    wdbg(s"essential=${essential.map(e => s"${e.term}(df=${e.df})").mkString(",")} " +
+      s"nonEss=${nonEssEntries.map(e => s"${e.term}(df=${e.df})").mkString(",")}")
     if (nonEssential.isEmpty) return topK(exactScores(entries), k)
 
-    // Candidates from essential postings — with SECOND-TIER pruning: a
-    // doc can only reach the top-k if its essential score plus the sum of
-    // the non-essential terms' max_impacts reaches θ (per-posting upper
-    // bound), so docs below that line are dropped BEFORE the candidate
-    // broadcast. Exactness: every true top-k doc has total >= θ and
-    // essSum + cumNonEssMax >= total, so it survives; a dropped doc's
-    // true total < θ <= the k-th best, so even its (possibly partial)
-    // computed score can never displace a top-k doc. This is what tames
-    // the mid-df worst case — a dense essential term floods tier 1, but
-    // few of its docs clear the θ line once essential impacts are known.
+    // Tier-1 candidates from essential postings, with per-doc essential
+    // sums kept: a doc can only reach the top-k if its essential score
+    // plus the sum of the non-essential terms' max_impacts reaches θ
+    // (per-posting upper bound). Exactness: every true top-k doc has
+    // total >= θ and essSum + cumNonEssMax >= total, so it survives; a
+    // dropped doc's true total < θ <= the k-th best, so even its
+    // (possibly partial) computed score can never displace a top-k doc.
+    // The 1e-9 margin absorbs fp-reassociation noise in the unordered
+    // essSum (scores are O(10); doubles carry ~1e-15 relative error).
+    val Eps = 1e-9
     val cumNonEssMax = nonEssEntries.map(_.max_impact).sum
     val essIdf = essential.map(e => e.term_id -> e.idf).toMap
     val bcEssIdf = spark.sparkContext.broadcast(essIdf)
     val avgdlLoc = avgdl
-    val candIds = decodedPostings(essential.map(_.term_id))
+    // Shared decode of the essential postings (cached; reused by the
+    // final scoring union). When the only essential term is the θ term —
+    // the common stopword-query shape — this IS the already-cached pass-0
+    // dataset, so the term is decoded once, not three times.
+    val essPostings = registerEss(
+      if (essential.map(_.term_id) == Seq(best.term_id)) bestPostings
+      else decodedPostings(essential.map(_.term_id))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candPairs = essPostings
       .map(p => (p.doc_id, Bm25.impact(bcEssIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
       .toDF("doc_id", "impact")
       .groupBy($"doc_id").agg(sum($"impact").as("ess_sum"))
-      .filter($"ess_sum" + cumNonEssMax >= theta)
-      .select($"doc_id").as[Long].collect()
-    if (candIds.isEmpty) return emptyScores()
-    if (candIds.length > 2000000) // pruning not worth the broadcast
+      .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
+      .as[(Long, Double)].collect()
+    wdbg(s"cumNonEssMax=$cumNonEssMax tier1Candidates=${candPairs.length}")
+    if (candPairs.isEmpty) return emptyScores()
+    if (candPairs.length > 2000000) // pruning not worth the broadcast
       return topK(exactScores(entries), k)
-    java.util.Arrays.sort(candIds)
-    val bcCand = spark.sparkContext.broadcast(candIds)
 
     @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean = {
       var lo = 0
@@ -303,56 +338,89 @@ class QueryEngine(spark: SparkSession, root: String,
     @inline def isCandidate(doc: Long, cand: Array[Long]): Boolean =
       java.util.Arrays.binarySearch(cand, doc) >= 0
 
-    // Non-essential postings, two-level skip:
-    //  (a) metadata-only pre-pass (term_id/chunk_seq/min/max columns —
-    //      no blob bytes read) finds the chunks containing candidates;
-    //  (b) the blob scan is then pruned by a pushed-down chunk_seq IN
-    //      filter (the table is sorted by (term_id, chunk_seq), so row
-    //      groups of skipped chunks never leave the Parquet reader);
-    //  (c) decoded postings are filtered to candidates before scoring.
-    val survivors = postings
-      .filter($"term_id".isin(nonEssential.toSeq: _*))
-      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
-      .as[(Long, Long, Long, Long)]
-      .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
-      .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
-
-    // Dense-candidate fallback: when candidates touch most chunks (a
-    // mid-df essential term), skipping buys nothing — the per-posting
-    // candidate filter would only add binary-search overhead. Exactness
-    // never depended on the filter (non-candidates simply lose in the
-    // top-k), so score everything directly.
-    val totalNonEssChunks =
-      nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
-    if (survivors.length > 0.5 * totalNonEssChunks)
-      return topK(exactScores(entries), k)
+    val nonEssBase = postings.filter($"term_id".isin(nonEssential.toSeq: _*))
 
     // Surviving-chunk pruning, sized to the survivor count:
     //  - few: a literal chunk_seq IN pushes into Parquet row-group stats;
     //  - many: a 100k-literal pushed filter would make stats evaluation
     //    itself the bottleneck on a wide cluster — a BROADCAST LEFT SEMI
     //    join on (term_id, chunk_seq) is the scale-safe form (the
-    //    survivor table is chunk metadata, KBs even at 10^12 docs).
-    val nonEssBase = postings.filter($"term_id".isin(nonEssential.toSeq: _*))
-    val nonEssChunks =
-      if (survivors.length <= chunkInMaxLiterals)
+    //    survivor table is chunk metadata, KBs even at 10^12 docs);
+    //  - nearly all: skip the pruning join entirely (read everything,
+    //    rely on the per-posting candidate filter).
+    def pruneChunks(survivors: Array[(Long, Long)], totalChunks: Double) =
+      if (survivors.length > 0.9 * totalChunks) nonEssBase
+      else if (survivors.length <= chunkInMaxLiterals)
         nonEssBase.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
       else {
         val survDf = survivors.toSeq.toDF("term_id", "chunk_seq")
         nonEssBase.join(broadcast(survDf), Seq("term_id", "chunk_seq"), "left_semi")
       }
-    val nonEssPostings = nonEssChunks
-      .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
-        $"doc_gaps", $"tfs", $"dls")
-      .as[(Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
-      .filter(c => anyCandidateIn(c._2, c._3, bcCand.value))
-      .flatMap { case (termId, _, _, n, gaps, tfs, dls) =>
-        val ids = ChunkCodec.decodeDocGaps(gaps, n)
-        val cand = bcCand.value
-        Iterator.tabulate(n)(i => i).filter(i => isCandidate(ids(i), cand))
-          .map(i => ScoredPosting(termId, ids(i), tfs(i), dls(i)))
-      }
-    val essPostings = decodedPostings(essential.map(_.term_id))
+
+    // Candidate-pruned non-essential postings: metadata-only pre-pass
+    // (term_id/chunk_seq/min/max columns — no blob bytes read) finds the
+    // chunks containing candidates; the blob scan is pruned to them; the
+    // decoded postings are filtered to candidates before scoring.
+    def nonEssForCandidates(cand: Array[Long]): Dataset[ScoredPosting] = {
+      val bcCand = spark.sparkContext.broadcast(cand)
+      val survivors = nonEssBase
+        .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+        .as[(Long, Long, Long, Long)]
+        .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
+        .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
+      val totalNonEssChunks =
+        nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
+      wdbg(s"survivors=${survivors.length} totalNonEssChunks=$totalNonEssChunks " +
+        s"candidates=${cand.length}")
+      pruneChunks(survivors, totalNonEssChunks)
+        .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
+          $"doc_gaps", $"tfs", $"dls")
+        .as[(Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+        .filter(c => anyCandidateIn(c._2, c._3, bcCand.value))
+        .flatMap { case (termId, _, _, n, gaps, tfs, dls) =>
+          val ids = ChunkCodec.decodeDocGaps(gaps, n)
+          val cd = bcCand.value
+          Iterator.tabulate(n)(i => i).filter(i => isCandidate(ids(i), cd))
+            .map(i => ScoredPosting(termId, ids(i), tfs(i), dls(i)))
+        }
+    }
+
+    // θ REFINEMENT (the mid-df taming): when tier-1 leaves a dense
+    // candidate set, exactly score the top-C candidates by essential sum
+    // — their true totals are real achievable scores, so the k-th best of
+    // them is a (much tighter) valid lower bound on the global k-th best.
+    // θ then jumps from "k-th best single impact" to ~"k-th best total",
+    // and the tier-2 cut (essSum + cumNonEssMax >= θ) collapses the
+    // candidate set from O(df) to O(k)-ish. One extra SMALL job: C docs'
+    // non-essential postings, chunk-pruned (C docs are sparse, so the
+    // skip actually engages).
+    var thetaEff = theta
+    if (candPairs.length > 50 * k) {
+      val c = math.max(k, 200)
+      val topC = candPairs.sortBy { case (d, s) => (-s, d) }.take(c)
+      val topCIds = topC.map(_._1)
+      java.util.Arrays.sort(topCIds)
+      val idfAll = entries.map(e => e.term_id -> e.idf).toMap
+      val bcIdfAll = spark.sparkContext.broadcast(idfAll)
+      val nonEssSums = nonEssForCandidates(topCIds)
+        .map(p => (p.doc_id, Bm25.impact(bcIdfAll.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+        .toDF("doc_id", "impact")
+        .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
+        .as[(Long, Double)].collect().toMap
+      val totals = topC.map { case (d, es) => es + nonEssSums.getOrElse(d, 0.0) }
+        .sorted(Ordering[Double].reverse)
+      if (totals.length >= k) thetaEff = math.max(theta, totals(k - 1) - Eps)
+      wdbg(s"refined theta=$thetaEff (from $theta)")
+    }
+
+    val candIds = candPairs.iterator
+      .filter { case (_, es) => es + cumNonEssMax >= thetaEff - Eps }
+      .map(_._1).toArray
+    wdbg(s"tier2Candidates=${candIds.length}")
+    if (candIds.isEmpty) return emptyScores()
+    java.util.Arrays.sort(candIds)
+
+    val nonEssPostings = nonEssForCandidates(candIds)
 
     val idfById = entries.map(e => e.term_id -> e.idf).toMap
     val bcIdf = spark.sparkContext.broadcast(idfById)

@@ -288,3 +288,71 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got == expected)
   }
 }
+
+class PipelineSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("packSequences: concatenate-and-slice layout with straddling docs") {
+    val docs = docsDf(Seq(
+      1L -> Seq.fill(100)("a").mkString(" "),  // cum_before 0
+      2L -> Seq.fill(200)("b").mkString(" "),  // cum_before 100
+      3L -> Seq.fill(60)("c").mkString(" ")))  // cum_before 300
+    val got = Pipeline.packSequences(docs, budget = 128).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((100, 0L, 0L)))
+    assert(got(2L) == ((200, 0L, 100L))) // starts in pack 0, straddles into 1-2
+    assert(got(3L) == ((60, 2L, 44L)))   // 300 / 128 = 2, 300 % 128 = 44
+  }
+
+  test("packSequencesSharded: independent pack streams per shard") {
+    val docs = docsDf(Seq(
+      1L -> Seq.fill(100)("a").mkString(" "),
+      2L -> Seq.fill(200)("b").mkString(" "),
+      3L -> Seq.fill(60)("c").mkString(" ")))
+      .withColumn("shard", when(col("doc_id") <= 2, 0).otherwise(1))
+    val got = Pipeline.packSequencesSharded(docs, 128, "shard").collect()
+      .map(r => r.getLong(1) -> (r.getInt(0), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((0, 0L, 0L)))
+    assert(got(2L) == ((0, 0L, 100L)))
+    assert(got(3L) == ((1, 0L, 0L)), "shard 1 restarts its own stream")
+  }
+
+  test("stratifiedSample: deterministic, rate-faithful, rate-1 keeps all") {
+    val docs = docsDf((0L until 400L).map(i =>
+      i -> s"w$i")).withColumn("stratum",
+      when(col("doc_id") < 200, "half").otherwise("all"))
+    val rates = Map("half" -> 0.5, "all" -> 1.0)
+    val a = Pipeline.stratifiedSample(docs, "stratum", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Pipeline.stratifiedSample(docs, "stratum", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sampling must be deterministic")
+    assert((200L until 400L).forall(a), "rate 1.0 must keep every doc")
+    val kept = a.count(_ < 200L)
+    assert(kept > 60 && kept < 140, s"rate 0.5 wildly off: $kept/200")
+    // unknown stratum -> rate 0
+    val none = Pipeline.stratifiedSample(
+      docs.withColumn("stratum", lit("other")), "stratum", rates).count()
+    assert(none == 0L)
+  }
+
+  test("contaminationCheck flags only docs sharing a k-gram with the benchmark") {
+    val bench = docsDf(Seq(
+      100L -> "what is the capital of france and when was it founded"))
+    val docs = docsDf(Seq(
+      1L -> "today we ask what is the capital of france in this quiz", // overlap
+      2L -> "completely unrelated text about spark shuffle partitions here",
+      3L -> "what is the capital city here"))                          // no 5-gram overlap
+    val got = Pipeline.contaminationCheck(docs, bench, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(1L) && got(1L) >= 1L)
+    assert(!got.contains(2L))
+    assert(!got.contains(3L), s"4-token overlap must not trigger k=5: $got")
+  }
+}

@@ -44,6 +44,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("pos_blob"), "dictionary scan must not touch postings columns")
   }
 
+  test("dictionary layout: term IN pushdown over a term-sorted, range-partitioned table") {
+    val plan = planOf(engine.dictionary.filter(col("term").isin("the", "alba")))
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"no term-IN pushdown in:\n$plan")
+    // layout: every parquet file covers a disjoint term range (so the
+    // pushed filter prunes to O(query terms) row groups at any lexicon
+    // size) and is sorted within
+    val perFile = spark.read.parquet(s"$indexDir/dictionary")
+      .select(col("term"), input_file_name().as("f"))
+      .groupBy("f").agg(min("term").as("lo"), max("term").as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(perFile.nonEmpty)
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1,
+        s"dictionary files overlap in term ranges: $a vs $b")
+      case _ => ()
+    }
+  }
+
   test("scoring path pruned: decode reads only the needed columns") {
     val entries = engine.lookupTerms(Seq("the"))
     val plan = planOf(
