@@ -210,7 +210,11 @@ object Bench {
     // ---- the driver catalog over sfDir
     val catalog =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_CATALOG")) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1)
+      else sys.env.get("SPARK_GRAFT_BENCH_ONLY_QUERY") match { // dev knob
+        case Some(prefix) =>
+          SparkEntry.queries.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
+        case None => SparkEntry.queries.toSeq.sortBy(_._1)
+      }
     catalog.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

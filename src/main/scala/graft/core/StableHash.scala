@@ -35,6 +35,17 @@ object StableHash {
   def h60(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
 
+  /** h60 straight from digest bytes (no hex round-trip): the first 15 hex
+    * chars are bytes 0..6 plus the high nibble of byte 7. Equals
+    * h60(s) for digest = md5(s) — asserted in StableHashSpec.
+    */
+  def h60FromDigest(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** Full 64-bit md5 prefix (bit pattern; may be negative as a long). */
   def u64(s: String): Long =
     java.lang.Long.parseUnsignedLong(md5Hex(s).substring(0, 16), 16)
