@@ -207,6 +207,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // ---- rare-term + stopword phrase: the candidate-pruned positional
+    // plan (doc-id intersection first; the stopword's positional blobs
+    // are read only for chunks containing the few intersection docs).
+    results("phrase_rare_sec") = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      engine.phraseMatch(Seq(Transcripts.contentWords(3900), "the")).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // ---- the driver catalog over sfDir
     val catalog =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_CATALOG")) Seq.empty

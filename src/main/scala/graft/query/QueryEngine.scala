@@ -83,6 +83,56 @@ class QueryEngine(spark: SparkSession, root: String,
       }
   }
 
+  /** Doc_ids only — decodes doc_gaps, never touches tfs/dls/pos_blob
+    * (Parquet column pruning keeps those columns unread).
+    */
+  private def postingDocIds(termId: Long): DataFrame = {
+    postings
+      .filter($"term_id" === termId)
+      .select($"n_postings", $"doc_gaps")
+      .as[(Int, Array[Byte])]
+      .flatMap { case (n, gaps) => ChunkCodec.decodeDocGaps(gaps, n).iterator }
+      .toDF("doc_id")
+  }
+
+  /** Positioned postings for one term, restricted to a sorted candidate
+    * doc_id array: a metadata-only pre-pass finds the chunks whose doc
+    * range contains a candidate (no pos_blob bytes read for the rest —
+    * for a stopword in a phrase query this skips ~all of its positional
+    * data), then decoded postings are filtered to candidates.
+    */
+  private def positionedForCandidates(termId: Long,
+      cand: Array[Long]): Dataset[PositionedPosting] = {
+    val bcCand = spark.sparkContext.broadcast(cand)
+    val survivors = postings
+      .filter($"term_id" === termId)
+      .select($"chunk_seq", $"min_doc_id", $"max_doc_id")
+      .as[(Long, Long, Long)]
+      .filter(c => QueryEngine.rangeHasCandidate(c._2, c._3, bcCand.value))
+      .select($"chunk_seq").as[Long].collect()
+    val base = postings.filter($"term_id" === termId)
+    val pruned =
+      if (survivors.length <= chunkInMaxLiterals)
+        base.filter($"chunk_seq".isin(survivors.toSeq: _*))
+      else {
+        val survDf = survivors.toSeq.toDF("chunk_seq")
+        base.join(broadcast(survDf), Seq("chunk_seq"), "left_semi")
+      }
+    pruned
+      .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
+        $"doc_gaps", $"pos_blob")
+      .as[(Long, Long, Long, Int, Array[Byte], Array[Byte])]
+      .filter(c => QueryEngine.rangeHasCandidate(c._2, c._3, bcCand.value))
+      .flatMap { case (tid, _, _, n, gaps, posBlob) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        val cd = bcCand.value
+        val poss = ChunkCodec.decodePositions(posBlob, n)
+        Iterator.tabulate(n)(i => i)
+          .filter(i => java.util.Arrays.binarySearch(cd, ids(i)) >= 0)
+          .map(i => PositionedPosting(tid, ids(i), poss(i).toSeq))
+      }
+  }
+
   // -------------------------------------------------------------- scoring
 
   /** Exact BM25 scores for the given dictionary entries: per-doc sum in
@@ -326,15 +376,8 @@ class QueryEngine(spark: SparkSession, root: String,
     if (candPairs.length > 2000000) // pruning not worth the broadcast
       return topK(exactScores(entries), k)
 
-    @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean = {
-      var lo = 0
-      var hi = cand.length
-      while (lo < hi) { // first candidate >= minDoc
-        val mid = (lo + hi) >>> 1
-        if (cand(mid) < minDoc) lo = mid + 1 else hi = mid
-      }
-      lo < cand.length && cand(lo) <= maxDoc
-    }
+    @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean =
+      QueryEngine.rangeHasCandidate(minDoc, maxDoc, cand)
     @inline def isCandidate(doc: Long, cand: Array[Long]): Boolean =
       java.util.Arrays.binarySearch(cand, doc) >= 0
 
@@ -493,6 +536,22 @@ class QueryEngine(spark: SparkSession, root: String,
     * broadcast when small (the distributed form of the reference's
     * min-df seeding, src/query_processor/query_processor.rs:62-69).
     */
+  /** Max doc-intersection size for the candidate-pruned positional plan;
+    * above it (an all-stopword phrase over most of the corpus) the plan
+    * falls back to the shuffle-join form instead of a driver collect.
+    */
+  var phraseMaxCandidates: Long = 2000000L
+
+  /** The candidate-pruned positional plan only pays when the doc
+    * intersection is SPARSE relative to chunk doc-ranges — a candidate
+    * set of c docs touches ~1 - (1 - c/N)^width of a dense term's chunks
+    * (width ≈ N / (df/128)), so above ~N/256 candidates nearly every
+    * chunk survives and the pre-passes are pure overhead. Below the
+    * ratio, positions of a stopword are read for a few % of its chunks.
+    */
+  private def positionalPruningPays(minDf: Long): Boolean =
+    minDf <= phraseMaxCandidates && minDf * 256 < meta.n_docs
+
   def phraseMatch(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
     if (terms.size == 1) return conjunctive(terms)
@@ -501,17 +560,43 @@ class QueryEngine(spark: SparkSession, root: String,
     if (terms.exists(t => !byTerm.contains(t))) return Seq.empty[Long].toDF("doc_id")
     val idxByDf = terms.indices.sortBy(i => (byTerm(terms(i)).df, i))
     val anchor = idxByDf.head
-    val hint: DataFrame => DataFrame =
-      if (byTerm(terms(anchor)).df <= 100000L) df => broadcast(df) else identity _
-    val joined = idxByDf.map { i =>
-      positionedPostings(Seq(byTerm(terms(i)).term_id))
-        .select($"doc_id", $"positions".as(s"pos$i")).toDF()
-    }.reduceLeft((a, b) => hint(a).join(b, Seq("doc_id"), "inner"))
-    val consecutive = exists(col(s"pos$anchor"), p =>
-      terms.indices.filter(_ != anchor)
-        .map(i => array_contains(col(s"pos$i"), p + (i - anchor)))
-        .reduce(_ && _))
-    joined.filter(consecutive).select($"doc_id").distinct()
+
+    def consecutiveFilter(joined: DataFrame): DataFrame = {
+      val consecutive = exists(col(s"pos$anchor"), p =>
+        terms.indices.filter(_ != anchor)
+          .map(i => array_contains(col(s"pos$i"), p + (i - anchor)))
+          .reduce(_ && _))
+      joined.filter(consecutive).select($"doc_id").distinct()
+    }
+
+    if (positionalPruningPays(byTerm(terms(anchor)).df)) {
+      // Candidate-pruned plan: the RAREST term's doc set is a superset
+      // of every phrase match, so it alone drives the pruning — one tiny
+      // doc_gaps-only job (no positional blobs), then every other term's
+      // positions are fetched only for chunks containing those docs. A
+      // stopword in the phrase never has its (huge) positional data read
+      // outside the rare term's neighborhoods; the inner join below
+      // performs the actual intersection.
+      val cand = postingDocIds(byTerm(terms(anchor)).term_id)
+        .distinct().as[Long].collect()
+      if (cand.isEmpty) return Seq.empty[Long].toDF("doc_id")
+      java.util.Arrays.sort(cand)
+      val hint: DataFrame => DataFrame =
+        if (cand.length <= 200000) df => broadcast(df) else identity _
+      val joined = idxByDf.map { i =>
+        positionedForCandidates(byTerm(terms(i)).term_id, cand)
+          .select($"doc_id", $"positions".as(s"pos$i")).toDF()
+      }.reduceLeft((a, b) => hint(a).join(b, Seq("doc_id"), "inner"))
+      consecutiveFilter(joined)
+    } else {
+      // Shuffle-join fallback (ascending-df order, so the intermediate
+      // result is bounded by the min df from the first join on).
+      val joined = idxByDf.map { i =>
+        positionedPostings(Seq(byTerm(terms(i)).term_id))
+          .select($"doc_id", $"positions".as(s"pos$i")).toDF()
+      }.reduceLeft((a, b) => a.join(b, Seq("doc_id"), "inner"))
+      consecutiveFilter(joined)
+    }
   }
 
   /** Proximity match: pairs (pos1, pos2) with pos2 > pos1 and
@@ -523,10 +608,27 @@ class QueryEngine(spark: SparkSession, root: String,
     val byTerm = entries.map(e => e.term -> e).toMap
     if (!byTerm.contains(term1) || !byTerm.contains(term2))
       return Seq.empty[(Long, Int, Int)].toDF("doc_id", "pos1", "pos2")
-    val p1 = positionedPostings(Seq(byTerm(term1).term_id))
-      .select($"doc_id", $"positions".as("ps1"))
-    val p2 = positionedPostings(Seq(byTerm(term2).term_id))
-      .select($"doc_id", $"positions".as("ps2"))
+    // same candidate-pruned positional plan as phraseMatch: intersect
+    // doc ids on doc_gaps alone, then read positions only where both
+    // terms occur
+    val minDf = math.min(byTerm(term1).df, byTerm(term2).df)
+    val (p1, p2) =
+      if (positionalPruningPays(minDf)) {
+        val rare = if (byTerm(term1).df <= byTerm(term2).df) term1 else term2
+        val cand = postingDocIds(byTerm(rare).term_id)
+          .distinct().as[Long].collect()
+        if (cand.isEmpty)
+          return Seq.empty[(Long, Int, Int)].toDF("doc_id", "pos1", "pos2")
+        java.util.Arrays.sort(cand)
+        (positionedForCandidates(byTerm(term1).term_id, cand)
+           .select($"doc_id", $"positions".as("ps1")),
+         positionedForCandidates(byTerm(term2).term_id, cand)
+           .select($"doc_id", $"positions".as("ps2")))
+      } else
+        (positionedPostings(Seq(byTerm(term1).term_id))
+           .select($"doc_id", $"positions".as("ps1")),
+         positionedPostings(Seq(byTerm(term2).term_id))
+           .select($"doc_id", $"positions".as("ps2")))
     p1.join(p2, Seq("doc_id"), "inner")
       .select($"doc_id", explode($"ps1").as("pos1"), $"ps2")
       .select($"doc_id", $"pos1",
@@ -619,6 +721,21 @@ class QueryEngine(spark: SparkSession, root: String,
 }
 
 object QueryEngine {
+
+  /** Does the sorted candidate array contain a value in [minDoc, maxDoc]?
+    * The chunk-skip predicate (reference skip pointer, src/indexer/
+    * block.rs:73-86, driven by a candidate set). Static so executor
+    * closures don't capture an engine.
+    */
+  def rangeHasCandidate(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean = {
+    var lo = 0
+    var hi = cand.length
+    while (lo < hi) { // first candidate >= minDoc
+      val mid = (lo + hi) >>> 1
+      if (cand(mid) < minDoc) lo = mid + 1 else hi = mid
+    }
+    lo < cand.length && cand(lo) <= maxDoc
+  }
 
   /** All strings reachable from `s` by deleting up to d code points,
     * INCLUDING s itself (SymSpell requires 0..d deletions on both sides).
