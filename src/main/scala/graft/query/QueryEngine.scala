@@ -437,8 +437,12 @@ class QueryEngine(spark: SparkSession, root: String,
     // candidate set from O(df) to O(k)-ish. One extra SMALL job: C docs'
     // non-essential postings, chunk-pruned (C docs are sparse, so the
     // skip actually engages).
+    // Refinement only pays when tier-1 is LARGE in absolute terms (the
+    // mid-df pathology): with a few thousand candidates, chunk skipping
+    // is already effective and the refinement's two extra jobs are pure
+    // overhead.
     var thetaEff = theta
-    if (candPairs.length > 50 * k) {
+    if (candPairs.length > math.max(50 * k, 20000)) {
       val c = math.max(k, 200)
       val topC = candPairs.sortBy { case (d, s) => (-s, d) }.take(c)
       val topCIds = topC.map(_._1)
