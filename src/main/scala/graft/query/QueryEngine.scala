@@ -549,12 +549,15 @@ class QueryEngine(spark: SparkSession, root: String,
   /** The candidate-pruned positional plan only pays when the doc
     * intersection is SPARSE relative to chunk doc-ranges — a candidate
     * set of c docs touches ~1 - (1 - c/N)^width of a dense term's chunks
-    * (width ≈ N / (df/128)), so above ~N/256 candidates nearly every
+    * (width ≈ N / (df/128)), so above ~N/density candidates nearly every
     * chunk survives and the pre-passes are pure overhead. Below the
     * ratio, positions of a stopword are read for a few % of its chunks.
+    * `positionalPruneDensity` = 0 forces the pruned plan (tests).
     */
+  var positionalPruneDensity: Long = 256L
+
   private def positionalPruningPays(minDf: Long): Boolean =
-    minDf <= phraseMaxCandidates && minDf * 256 < meta.n_docs
+    minDf <= phraseMaxCandidates && minDf * positionalPruneDensity < meta.n_docs
 
   def phraseMatch(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)

@@ -205,6 +205,38 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
+  test("phrase/proximity: pruned and shuffle positional plans agree with the oracle") {
+    // force BOTH plans over the same queries (stopword-containing phrases
+    // included) by toggling the candidate-collect cap: 0 => always the
+    // shuffle-join plan; huge + relaxed gate is the default pruned plan.
+    val sample = turnsLocal.filter(_.text.split(" ").length > 5).take(10)
+    val phrases = sample.map { t =>
+      graft.core.Tokenizer.tokenize(t.text, lemmas).take(3).map(_.term)
+    }.filter(ts => ts.distinct.length == 3) ++ Seq(Seq("the", "of"))
+    phrases.take(6).foreach { ts =>
+      val want = oracle.phraseMatch(ts)
+      engine.positionalPruneDensity = 0L // force the pruned plan
+      val pruned = engine.phraseMatch(ts).collect().map(_.getLong(0)).toSet
+      engine.phraseMaxCandidates = 0L // force the shuffle plan
+      val shuffled = engine.phraseMatch(ts).collect().map(_.getLong(0)).toSet
+      engine.phraseMaxCandidates = 2000000L
+      engine.positionalPruneDensity = 256L
+      assert(pruned == want, s"pruned phrase plan mismatch for $ts")
+      assert(shuffled == want, s"shuffle phrase plan mismatch for $ts")
+    }
+    val wantP = oracle.proximity("the", "of", 3).toSet
+    engine.positionalPruneDensity = 0L
+    val prunedP = engine.proximity("the", "of", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    engine.positionalPruneDensity = 256L
+    engine.phraseMaxCandidates = 0L
+    val shuffledP = engine.proximity("the", "of", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    engine.phraseMaxCandidates = 2000000L
+    assert(prunedP == wantP)
+    assert(shuffledP == wantP)
+  }
+
   test("proximity is directional (pp2 > pp1) and matches oracle") {
     val got = engine.proximity("the", "of", 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
