@@ -405,6 +405,33 @@ object GraftQueries {
         .orderBy("doc_id")
     }),
 
+    // text: intra-doc repetition (repeated 3-gram fraction)
+    "q34_repetition" -> ((s, dir) =>
+      TextOps.repetitionScore(documents(s, dir), 3).orderBy("doc_id")),
+
+    // composite corpus pipeline: exact dedup (keep representatives) ->
+    // quality gate -> token-budget packing, end to end through the same
+    // operators a real cleanup run would chain.
+    "q35_corpus_pipeline" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val all = docs.union(planted)
+      val reps = Dedup.exactDedup(all).filter(!col("is_dup")).select("doc_id")
+      val kept = TextOps.qualityScore(all.join(reps, Seq("doc_id")))
+        .filter(col("quality") >= 0.8).select("doc_id")
+      Pipeline.packSequences(all.join(kept, Seq("doc_id")), budget = 256)
+        .orderBy("doc_id")
+    }),
+
+    // text: whitespace + BPE-ish token counting; punctuation is appended
+    // to every doc so the punct-splitting path actually fires (the base
+    // corpus is [a-z0-9 ]-only)
+    "q36_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(documents(s, dir)
+          .withColumn("text", concat(col("text"), lit(" end, ok!"))))
+        .orderBy("doc_id")),
+
     // reference handle_query: phrase-tier precedence, then BM25 order
     // (src/search_engine/mod.rs:118-206); rounded-score ordering so the
     // DuckDB oracle is boundary-stable
@@ -822,5 +849,62 @@ object GraftQueries {
         |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
         |SELECT d.doc_id, count(*) AS n_hits
         |FROM (SELECT * FROM sh) d JOIN bs USING (shingle)
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q34_repetition" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string((string_split(text,' '))[i:i+2], ' ')) AS sh
+        |  FROM documents)
+        |SELECT doc_id, len(sh) AS n_shingles,
+        |  len(list_distinct(sh)) AS n_distinct_shingles,
+        |  CASE WHEN len(sh) > 0
+        |    THEN round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 4)
+        |    ELSE 0.0 END AS repetition
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q35_corpus_pipeline" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        |reps AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+        |    FROM all_docs) WHERE doc_id = rep),
+        |base AS (
+        |  SELECT doc_id, text, length(text) AS n_chars,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_filter(string_split(text,' '), t -> t IN
+        |      ('the','a','of','to','and','in','is','it','you','that','was',
+        |       'for','on','are','as','with','his','they','i','at','be',
+        |       'this','have','from','or','one','had','by','not','but')))
+        |      AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        |  FROM reps),
+        |scored AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    round(least(1.0, n_tokens::DOUBLE / 20.0) *
+        |      (1.0 - round(n_punct::DOUBLE / n_chars, 4)) *
+        |      (CASE WHEN round(n_stop::DOUBLE / n_tokens, 4) BETWEEN 0.1 AND 0.6
+        |        THEN 1.0 ELSE 0.7 END), 4) AS quality
+        |  FROM base),
+        |kept AS (SELECT doc_id, n_tokens FROM scored WHERE quality >= 0.8),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
+        |      AS cum_before FROM kept)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 256 AS pack_id, cum_before % 256 AS pack_pos
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q36_token_counts" ->
+      """WITH d AS (SELECT doc_id, text || ' end, ok!' AS text FROM documents)
+        |SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(list_filter(
+        |    string_split(regexp_replace(text, '([^\w\s])', ' \1 ', 'g'), ' '),
+        |    t -> t <> '')) AS n_bpeish_tokens
+        |FROM d ORDER BY doc_id""".stripMargin)
 }

@@ -44,6 +44,26 @@ object TextOps {
       size(filter(split(regexp_replace(col("text"),
         "([^\\w\\s])", " $1 "), "\\s+"), t => t =!= "")).as("n_bpeish_tokens"))
 
+  /** Intra-document repetition: fraction of repeated k-token shingles
+    * (1 - distinct/total), the standard cheap signal for boilerplate /
+    * degenerate generation loops in pretraining data. Pure column
+    * expressions; docs shorter than k tokens score 0.
+    */
+  def repetitionScore(docs: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = transform(
+      when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    docs.select(col("doc_id"),
+        size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_distinct_shingles"))
+      .withColumn("repetition",
+        when(col("n_shingles") > 0,
+          round(lit(1.0) - col("n_distinct_shingles").cast("double") /
+            col("n_shingles"), 4)).otherwise(lit(0.0)))
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length — the standard cheap pretraining-quality heuristics.
     * All ratios rounded to 4 decimals for cross-engine comparability.

@@ -342,6 +342,18 @@ class PipelineSpec extends SparkSpecBase {
     assert(none == 0L)
   }
 
+  test("repetitionScore: repeated shingles detected, short docs score 0") {
+    val docs = docsDf(Seq(
+      1L -> "a b c a b c a b c",  // 7 shingles, 3 distinct
+      2L -> "all distinct words here now",
+      3L -> "a b"))               // shorter than k
+    val got = TextOps.repetitionScore(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((7, 3, math.rint((1.0 - 3.0 / 7) * 10000) / 10000)))
+    assert(got(2L)._3 == 0.0)
+    assert(got(3L) == ((0, 0, 0.0)))
+  }
+
   test("contaminationCheck flags only docs sharing a k-gram with the benchmark") {
     val bench = docsDf(Seq(
       100L -> "what is the capital of france and when was it founded"))
