@@ -124,6 +124,35 @@ class MultiGenEngine(spark: SparkSession, root: String,
 
   def bm25TopK(query: String, k: Int): DataFrame =
     bm25TopKForTerms(queryTerms(query), k)
+
+  // Boolean / positional / fuzzy across generations: doc_id ranges are
+  // globally disjoint, so per-generation results union losslessly —
+  // term_ids are generation-LOCAL and never cross this boundary.
+
+  /** Conjunctive AND across all generations (a doc lives in exactly one
+    * generation, so the intersection distributes over the union).
+    */
+  def conjunctive(terms: Seq[String]): DataFrame =
+    engines.map(_.conjunctive(terms)).reduce(_ unionByName _)
+
+  /** Phrase match across generations. */
+  def phraseMatch(terms: Seq[String]): DataFrame =
+    engines.map(_.phraseMatch(terms)).reduce(_ unionByName _)
+
+  /** Directional proximity across generations. */
+  def proximity(term1: String, term2: String, k: Int): DataFrame =
+    engines.map(_.proximity(term1, term2, k)).reduce(_ unionByName _)
+
+  /** Fuzzy terms across generations: per-generation deletion-index
+    * probes, re-aggregated globally by term (df summed; generation-local
+    * term_ids dropped, as they have no global meaning).
+    */
+  def fuzzyTerms(q: String, d: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    engines.map(_.fuzzyTerms(q, d).select($"term", $"df"))
+      .reduce(_ unionByName _)
+      .groupBy($"term").agg(sum($"df").as("df"))
+  }
 }
 
 /** Merge all generations into one optimized index: the per-generation

@@ -53,6 +53,36 @@ class IncrementalSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-gen boolean/positional/fuzzy == oracle over the full corpus") {
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    // conjunctive
+    val sample = allTurns.filter(_.text.split(" ").length > 4).take(5)
+    val termSets = sample.map(t =>
+      graft.core.Tokenizer.tokenize(t.text, lemmas).take(2).map(_.term).distinct)
+      .filter(_.size == 2)
+    termSets.foreach { ts =>
+      val got = multi.conjunctive(ts).collect().map(_.getLong(0)).toSet
+      val want = oracle.conjunctive(ts)
+      assert(got == want, s"multi-gen conjunctive mismatch for $ts")
+    }
+    // phrase
+    termSets.foreach { ts =>
+      val got = multi.phraseMatch(ts).collect().map(_.getLong(0)).toSet
+      assert(got == oracle.phraseMatch(ts), s"multi-gen phrase mismatch for $ts")
+    }
+    // proximity
+    val gotP = multi.proximity("the", "of", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(gotP == oracle.proximity("the", "of", 3).toSet)
+    // fuzzy: global df equals oracle df for every matched term
+    val gotF = multi.fuzzyTerms("alba", 1).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(gotF.nonEmpty)
+    gotF.foreach { case (t, df) =>
+      assert(df == oracle.df(t), s"multi-gen fuzzy df mismatch for '$t'")
+    }
+  }
+
   test("compaction produces a single index identical to a full rebuild") {
     val out = tmpDir("graft-compact")
     val meta = Compactor.compact(spark, root, out, lemmas, conf)
