@@ -432,6 +432,32 @@ object GraftQueries {
           .withColumn("text", concat(col("text"), lit(" end, ok!"))))
         .orderBy("doc_id")),
 
+    // S1/P1/P4: the reference's actual ingest format — bz2-compressed
+    // JSON-lines wiki articles -> plaintext (paragraph joins + tag strip).
+    // The dump is synthesized from `documents`, written BOTH as .bz2
+    // (Spark reads it through the Hadoop codec — the path under test)
+    // and plain (for the DuckDB oracle), with identical rows.
+    "q37_wiki_ingest" -> ((s, dir) => {
+      val articles = documents(s, dir).select(
+        concat(lit("art-"), col("doc_id")).as("id"),
+        concat(lit("Title "), col("doc_id")).as("title"),
+        concat(lit("https://example.org/"), col("doc_id")).as("url"),
+        array(array(col("text"), lit("<ref>x</ref>")),
+          array(concat(lit("para two of doc "), col("doc_id")))).as("text"))
+      articles.coalesce(1).write.mode("overwrite")
+        .option("compression", "bzip2").json(s"${auxDir(dir)}/q37_wiki_bz2")
+      articles.coalesce(1).write.mode("overwrite")
+        .json(s"${auxDir(dir)}/q37_wiki_plain")
+      val arts = graft.corpus.WikiSource.readArticles(s,
+        s"${auxDir(dir)}/q37_wiki_bz2")
+      val plain = graft.corpus.WikiSource.plaintext(col("text"))
+      arts.select(col("id"), col("title"),
+          size(filter(split(plain, "\\s+"), t => t =!= ""))
+            .cast("long").as("n_ws_tokens"),
+          md5(plain).as("content_md5"))
+        .orderBy("id")
+    }),
+
     // reference handle_query: phrase-tier precedence, then BM25 order
     // (src/search_engine/mod.rs:118-206); rounded-score ordering so the
     // DuckDB oracle is boundary-stable
@@ -906,5 +932,20 @@ object GraftQueries {
         |  len(list_filter(
         |    string_split(regexp_replace(text, '([^\w\s])', ' \1 ', 'g'), ' '),
         |    t -> t <> '')) AS n_bpeish_tokens
-        |FROM d ORDER BY doc_id""".stripMargin)
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the oracle reads the PLAIN mirror of the same synthesized dump the
+    // Spark side read through the bz2 codec.
+    "q37_wiki_ingest" ->
+      """WITH a AS (SELECT * FROM read_json('{AUX}/q37_wiki_plain/*.json',
+        |  columns = {url: 'VARCHAR', text: 'VARCHAR[][]',
+        |             id: 'VARCHAR', title: 'VARCHAR'})),
+        |p AS (SELECT id, title,
+        |  regexp_replace(
+        |    array_to_string(list_transform(text, x -> array_to_string(x, '')), e'\n\n'),
+        |    '<[^>]*>', '', 'g') AS plain FROM a)
+        |SELECT id, title,
+        |  len(list_filter(string_split_regex(plain, '\s+'), t -> t <> '')) AS n_ws_tokens,
+        |  md5(plain) AS content_md5
+        |FROM p ORDER BY id""".stripMargin)
 }
