@@ -97,4 +97,25 @@ object TurnStreams {
       }
     }
   }
+
+  /** Streaming exact dedup at ingest: drop turns whose content hash was
+    * already seen within the watermark horizon — the streaming
+    * counterpart of ops.Dedup.exactDedup, using Structured Streaming's
+    * watermarked dropDuplicates state (state is evicted once the
+    * watermark passes, so memory is bounded by the horizon, not the
+    * stream). Batch datasets take the same code path minus the
+    * watermark semantics (plain dropDuplicates).
+    */
+  def dedupedTurns(turns: Dataset[Turn],
+      watermark: String = "10 minutes"): Dataset[Turn] = {
+    import turns.sparkSession.implicits._
+    val withHash = turns
+      .withColumn("content_hash", md5(col("text")))
+    val deduped =
+      if (turns.isStreaming)
+        withHash.withWatermark("ts", watermark)
+          .dropDuplicates("content_hash")
+      else withHash.dropDuplicates("content_hash")
+    deduped.drop("content_hash").as[Turn]
+  }
 }

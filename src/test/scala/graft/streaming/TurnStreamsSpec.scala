@@ -78,4 +78,31 @@ class TurnStreamsSpec extends SparkSpecBase {
       assert(rows.nonEmpty, "finalized windows should have been appended")
     } finally query.stop()
   }
+
+  test("streaming exact dedup drops repeated content within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val query = TurnStreams.dedupedTurns(input.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_turns")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        Turn("c1", 0, "user", "same text", "", ts(0)),
+        Turn("c2", 0, "user", "same text", "", ts(1)), // dup content
+        Turn("c3", 0, "user", "unique text", "", ts(1)))
+      query.processAllAvailable()
+      input.addData(Turn("c4", 0, "user", "same text", "", ts(2))) // still in horizon
+      query.processAllAvailable()
+      val texts = spark.table("dedup_turns").as[Turn].collect().map(_.text)
+      assert(texts.count(_ == "same text") == 1, texts.mkString(","))
+      assert(texts.count(_ == "unique text") == 1)
+    } finally query.stop()
+
+    // batch path: same function, plain dropDuplicates
+    val batch = TurnStreams.dedupedTurns(spark.createDataset(Seq(
+      Turn("a", 0, "user", "x y", "", ts(0)),
+      Turn("b", 0, "user", "x y", "", ts(1))))).collect()
+    assert(batch.length == 1)
+  }
 }
