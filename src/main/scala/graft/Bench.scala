@@ -142,7 +142,9 @@ object Bench {
       case _ => ()
     }
 
-    if (buildOnly) {
+    if (buildOnly || !levels.contains(cpus)) {
+      // query stages need the cpus-level index; a LEVELS override that
+      // omits it implies a build-scaling-only run
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       println(s"""{"metric":"total","value":0,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_turns":$nTurns}""")

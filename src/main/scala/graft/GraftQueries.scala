@@ -321,7 +321,11 @@ object GraftQueries {
       val eng = engineFor(s, dir)
       eng.localMaxPostings = 0
       eng.wandMinPostings = 1
-      val top = eng.bm25TopKForTerms(Seq("the", "query", "join"), 100,
+      // buffer of 200: the rounded-score reorder below can only diverge
+      // from the oracle if a single rounded-value tie group spans the
+      // exact-score cut, i.e. >190 docs sharing one 4-decimal score at
+      // the boundary
+      val top = eng.bm25TopKForTerms(Seq("the", "query", "join"), 200,
         useWand = true)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
       withOrigDocId(eng, top)

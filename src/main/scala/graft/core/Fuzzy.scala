@@ -1,0 +1,36 @@
+package graft.core
+
+/** SymSpell deletion-neighborhood primitives (Garbe 2012) — the engine's
+  * sub-linear fuzzy-match machinery, shared by the index-time variant
+  * table writer (graft.index.IndexBuilder.writeFuzzyIndex) and the
+  * query-side probe (graft.query.QueryEngine.fuzzyTerms).
+  */
+object Fuzzy {
+
+  /** All strings reachable from `s` by deleting up to d code points,
+    * INCLUDING s itself (SymSpell requires 0..d deletions on both sides:
+    * lev(a,b) <= d implies a and b share a string reachable by <= d
+    * deletions from each). Deletions operate on code points, matching
+    * Spark's levenshtein.
+    */
+  def deleteVariants(s: String, d: Int): Set[String] = {
+    def delOne(w: String): Iterator[String] = {
+      val cps = w.codePoints().toArray
+      cps.indices.iterator.map { j =>
+        val rest = new Array[Int](cps.length - 1)
+        System.arraycopy(cps, 0, rest, 0, j)
+        System.arraycopy(cps, j + 1, rest, j, cps.length - 1 - j)
+        new String(rest, 0, rest.length)
+      }
+    }
+    var cur = Set(s)
+    var all = Set(s)
+    var i = 0
+    while (i < d) {
+      cur = cur.flatMap(delOne)
+      all ++= cur
+      i += 1
+    }
+    all
+  }
+}

@@ -30,11 +30,21 @@ object Generations {
   def totalDocs(root: String): Long =
     genDirs(root).map(IndexBuilder.readMeta(_).n_docs).sum
 
-  /** Append a batch as a new generation; returns its directory. */
+  /** Append a batch as a new generation; returns its directory. The name
+    * is max(existing numeric suffix) + 1, NOT the generation count —
+    * batchId-keyed streaming appends leave gaps (empty batches are
+    * skipped), and a count-derived name colliding with an existing
+    * complete generation would make appendAt's idempotency check silently
+    * swallow the new batch.
+    */
   def append(spark: SparkSession, turns: Dataset[Turn], root: String,
-      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String =
-    appendAt(spark, turns, root, f"$root/gen-${genDirs(root).size}%05d",
-      lemmas, conf)
+      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
+    val next = genDirs(root)
+      .map(_.split("gen-").last.takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(_.toLong)
+      .foldLeft(-1L)(math.max) + 1
+    appendAt(spark, turns, root, f"$root/gen-$next%05d", lemmas, conf)
+  }
 
   /** Append a batch as a generation at an EXPLICIT directory — idempotent:
     * if the directory already holds a complete generation (its
@@ -203,6 +213,7 @@ object Compactor {
       .sortWithinPartitions($"term_id", $"chunk_seq")
       .write.mode("overwrite").parquet(paths.postings)
     rawChunks.unpersist()
+    builder.writeFuzzyIndex(dictDf, outDir)
     val nTerms = dictDf.count()
     val nPostings = spark.read.parquet(paths.postings)
       .agg(sum($"n_postings")).head().getLong(0)

@@ -39,6 +39,7 @@ final case class IndexPaths(root: String) {
   def segments = s"$root/segments"
   def dictionary = s"$root/dictionary"
   def postings = s"$root/postings"
+  def fuzzy(d: Int) = s"$root/fuzzy_d$d"
   def meta = s"$root/index_meta.json"
 }
 
@@ -232,6 +233,23 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       }
   }
 
+  /** Deletion-neighborhood (SymSpell) fuzzy table: every dictionary term
+    * expanded to its <=d-deletion variants, range-partitioned and sorted
+    * by variant so a fuzzy lookup is a pushed `variant IN` probe. Built
+    * at INDEX time — query paths stay read-only (QueryEngine keeps a
+    * lazy-build fallback for indexes from older builds).
+    */
+  def writeFuzzyIndex(dictDf: DataFrame, root: String, d: Int = 1): Unit = {
+    dictDf.select($"term", $"term_id", $"df")
+      .as[(String, Long, Long)]
+      .flatMap { case (t, id, df) =>
+        graft.core.Fuzzy.deleteVariants(t, d).iterator.map(v => (v, t, id, df)) }
+      .toDF("variant", "term", "term_id", "df")
+      .repartitionByRange(conf.numParts, $"variant")
+      .sortWithinPartitions($"variant")
+      .write.mode("overwrite").parquet(IndexPaths(root).fuzzy(d))
+  }
+
   /** Dictionary: df/cf aggregation (map-side partials tame skew for a
     * count agg) + dense term_id in byte-order term sort via RangeRank.
     * idf + per-term global max_impact land here too.
@@ -328,9 +346,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
-    // v2: dictionary written term-sorted/range-partitioned (layout change
-    // — bumping the version invalidates caches built with the v1 layout)
-    val fp = s"v2-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-in${inputFingerprint(turns)}"
+    // v3: term-sorted dictionary + index-time fuzzy variant table
+    // (bumping the version invalidates caches with older layouts)
+    val fp = s"v3-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-in${inputFingerprint(turns)}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {
@@ -413,6 +431,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
           .sortWithinPartitions($"term_id", $"chunk_seq")
           .write.mode("overwrite").parquet(paths.postings) }
+      vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root) }
       rawChunks.unpersist()
       val dictRows = footerRowCount(paths.dictionary)
       val postRows = footerRowCount(paths.postings)

@@ -247,16 +247,8 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, minCos: Double,
       nPlanes: Int = 24, bands: Int = 3, dim: Int = 64,
       maxBucket: Int = 100000): DataFrame = {
-    require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val bits = nPlanes / bands
-    require(bits <= 62, "band key must fit a long")
-    val mask = (1L << bits) - 1
-    val sig = Similarity.withHyperplaneSig(embeddings, nPlanes, dim)
-    val banded0 = sig.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
-      .as(Seq("band", "key")))
-    val banded = capBuckets(banded0, Seq("band", "key"), maxBucket)
+    val banded = Similarity.bandedHyperplane(embeddings, nPlanes, bands,
+      dim, maxBucket)
     val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))

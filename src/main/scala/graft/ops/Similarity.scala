@@ -34,7 +34,7 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, query: Array[Float], k: Int,
       excludeId: Option[Long] = None): DataFrame = {
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     val base = excludeId.map(id => embeddings.filter(col("vec_id") =!= id))
       .getOrElse(embeddings)
     base.select(col("vec_id"),
@@ -89,7 +89,7 @@ object Similarity {
       excludeId: Option[Long] = None): DataFrame = {
     val cand = annCandidates(embeddings, query, nPlanes, probeHamming)
     val base = excludeId.map(id => cand.filter(col("vec_id") =!= id)).getOrElse(cand)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     base.select(col("vec_id"),
         round(cosineCol(col("embedding").cast("array<double>"), q), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -119,6 +119,30 @@ object Similarity {
 
     withHyperplaneSig(embeddings, nPlanes, dim)
       .filter(col("sig").isin(buckets.toSeq: _*))
+  }
+
+  /** Banded hyperplane signatures with the oversized-bucket cap — the
+    * shared candidate-generation relation for embeddingNearDups and
+    * knnJoin: (vec_id, embedding, band, key), where key is the band's
+    * nPlanes/bands-bit slice of the signature and (band, key) groups
+    * larger than maxBucket are dropped (B^2 join-row blowup guard; see
+    * Dedup.capBuckets / oversizedBuckets for the reporting side).
+    */
+  private[ops] def bandedHyperplane(embeddings: DataFrame, nPlanes: Int,
+      bands: Int, dim: Int, maxBucket: Int): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val bits = nPlanes / bands
+    require(bits <= 62, "band key must fit a long")
+    val mask = (1L << bits) - 1
+    import org.apache.spark.sql.expressions.Window
+    val sig = withHyperplaneSig(embeddings, nPlanes, dim)
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
+      .as(Seq("band", "key")))
+    val w = Window.partitionBy(col("band"), col("key"))
+    banded.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket).drop("_n")
   }
 
   /** IVF (inverted-file) ANN index: deterministic Lloyd k-means (fixed
@@ -212,7 +236,7 @@ object Similarity {
   def ivfTopK(cells: DataFrame, model: IvfModel, query: Array[Float], k: Int,
       nProbe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
     val probes = model.nearestCells(query.map(_.toDouble), nProbe)
-    val q = array(query.map(v => lit(v.toDouble)): _*)
+    val q = array(query.toIndexedSeq.map(v => lit(v.toDouble)): _*)
     val base = excludeId.map(id => cells.filter(col("vec_id") =!= id))
       .getOrElse(cells)
     base.filter(col("cell").isin(probes: _*))
@@ -234,17 +258,7 @@ object Similarity {
   def knnJoin(embeddings: DataFrame, k: Int, nPlanes: Int = 24,
       bands: Int = 3, dim: Int = 64, maxBucket: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val bits = nPlanes / bands
-    val mask = (1L << bits) - 1
-    val sig = withHyperplaneSig(embeddings, nPlanes, dim)
-    val banded0 = sig.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
-      .as(Seq("band", "key")))
-    val bw = Window.partitionBy(col("band"), col("key"))
-    val banded = banded0.withColumn("_n", count(lit(1)).over(bw))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    val banded = bandedHyperplane(embeddings, nPlanes, bands, dim, maxBucket)
     val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     val pairs = a.join(b, Seq("band", "key")).filter(col("id_a") =!= col("id_b"))

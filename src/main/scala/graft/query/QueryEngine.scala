@@ -191,6 +191,13 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   var chunkInMaxLiterals: Int = 1000
 
+  /** Above this fraction of surviving chunks, the pruning join is skipped
+    * entirely (read everything; rely on the per-posting candidate
+    * filter). Tests raise it past 1.0 to force the join form at small
+    * corpus sizes where candidates are always chunk-dense.
+    */
+  var chunkPruneDenseFraction: Double = 0.9
+
   /** Driver-local BM25 top-k over collected chunks (rank-identical to the
     * distributed path: same Bm25.impact, same ascending-term_id fold,
     * same (score desc, doc_id asc) tie-break).
@@ -295,6 +302,14 @@ class QueryEngine(spark: SparkSession, root: String,
   @inline private def wdbg(msg: => String): Unit =
     if (wandDebug) println(s"WAND $msg")
 
+  /** Test/diagnostic hook: wand() is eager (returns a LocalRelation), so
+    * plan assertions on its RESULT are vacuous — with this flag set, the
+    * executed physical plan of the internal scoring DataFrame is recorded
+    * here before collection.
+    */
+  var captureWandPlan: Boolean = false
+  var lastWandPlan: String = ""
+
   private def wand(entries: Seq[DictRow], k: Int): DataFrame = {
     // The pruned path reads the strongest term's postings up to three
     // times (θ, tier-1 sums, final scoring) — cache the decode once and
@@ -307,6 +322,8 @@ class QueryEngine(spark: SparkSession, root: String,
     try {
       val out = wandImpl(entries, k, best, bestPostings,
         ess => { essCached = ess; ess })
+      if (captureWandPlan)
+        lastWandPlan = out.queryExecution.executedPlan.toString
       val rows = out.as[(Long, Double)].collect().toSeq
       spark.createDataFrame(rows).toDF("doc_id", "score")
     } finally {
@@ -354,8 +371,10 @@ class QueryEngine(spark: SparkSession, root: String,
     // essSum (scores are O(10); doubles carry ~1e-15 relative error).
     val Eps = 1e-9
     val cumNonEssMax = nonEssEntries.map(_.max_impact).sum
-    val essIdf = essential.map(e => e.term_id -> e.idf).toMap
-    val bcEssIdf = spark.sparkContext.broadcast(essIdf)
+    // one idf broadcast for all three consumers (tier-1, refinement,
+    // final scoring)
+    val bcIdf = spark.sparkContext.broadcast(
+      entries.map(e => e.term_id -> e.idf).toMap)
     val avgdlLoc = avgdl
     // Shared decode of the essential postings (cached; reused by the
     // final scoring union). When the only essential term is the θ term —
@@ -366,7 +385,7 @@ class QueryEngine(spark: SparkSession, root: String,
       else decodedPostings(essential.map(_.term_id))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candPairs = essPostings
-      .map(p => (p.doc_id, Bm25.impact(bcEssIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+      .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
       .toDF("doc_id", "impact")
       .groupBy($"doc_id").agg(sum($"impact").as("ess_sum"))
       .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
@@ -392,7 +411,7 @@ class QueryEngine(spark: SparkSession, root: String,
     //  - nearly all: skip the pruning join entirely (read everything,
     //    rely on the per-posting candidate filter).
     def pruneChunks(survivors: Array[(Long, Long)], totalChunks: Double) =
-      if (survivors.length > 0.9 * totalChunks) nonEssBase
+      if (survivors.length > chunkPruneDenseFraction * totalChunks) nonEssBase
       else if (survivors.length <= chunkInMaxLiterals)
         nonEssBase.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
       else {
@@ -447,10 +466,8 @@ class QueryEngine(spark: SparkSession, root: String,
       val topC = candPairs.sortBy { case (d, s) => (-s, d) }.take(c)
       val topCIds = topC.map(_._1)
       java.util.Arrays.sort(topCIds)
-      val idfAll = entries.map(e => e.term_id -> e.idf).toMap
-      val bcIdfAll = spark.sparkContext.broadcast(idfAll)
       val nonEssSums = nonEssForCandidates(topCIds)
-        .map(p => (p.doc_id, Bm25.impact(bcIdfAll.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+        .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
         .toDF("doc_id", "impact")
         .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
         .as[(Long, Double)].collect().toMap
@@ -469,8 +486,6 @@ class QueryEngine(spark: SparkSession, root: String,
 
     val nonEssPostings = nonEssForCandidates(candIds)
 
-    val idfById = entries.map(e => e.term_id -> e.idf).toMap
-    val bcIdf = spark.sparkContext.broadcast(idfById)
     val avg = avgdl
     val exact = essPostings.union(nonEssPostings)
       .map(p => (p.doc_id, p.term_id,
@@ -650,29 +665,37 @@ class QueryEngine(spark: SparkSession, root: String,
   /** Deletion-neighborhood fuzzy index (SymSpell; Garbe 2012) — the
     * Spark-native equivalent of the reference's BK-tree
     * (src/my_bk_tree/mod.rs:3-26): every dictionary term is expanded to
-    * its <=maxFuzzyDistance-deletion variants and persisted ONCE next to
-    * the index, range-partitioned and sorted by variant. A fuzzy lookup
-    * is then a pushed-down `variant IN (...)` probe over a sorted table
-    * (row-group pruned), not a full-dictionary levenshtein scan — the
-    * difference between O(|q|) and O(|lexicon|) per query at the
-    * 10^8-term lexicons a 100 TB corpus produces. At full scale this
-    * table is built by the indexer, not lazily.
+    * its <=maxFuzzyDistance-deletion variants, range-partitioned and
+    * sorted by variant. A fuzzy lookup is then a pushed-down
+    * `variant IN (...)` probe over a sorted table (row-group pruned),
+    * not a full-dictionary levenshtein scan — the difference between
+    * O(|q|) and O(|lexicon|) per query at the 10^8-term lexicons a
+    * 100 TB corpus produces.
+    *
+    * The table is written at INDEX time (IndexBuilder.writeFuzzyIndex);
+    * for indexes from older builds this lazily backfills it — and if the
+    * root is not writable (a read-only served snapshot), fuzzyTerms
+    * falls back to the length-pruned dictionary scan instead of failing.
     */
-  private lazy val fuzzyIndex: DataFrame = {
-    val path = s"$root/fuzzy_d$maxFuzzyDistance"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
-      val d = maxFuzzyDistance
-      dictionary.select($"term", $"term_id", $"df")
-        .as[(String, Long, Long)]
-        .flatMap { case (t, id, df) =>
-          QueryEngine.deleteVariants(t, d).iterator.map(v => (v, t, id, df)) }
-        .toDF("variant", "term", "term_id", "df")
-        .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism),
-          $"variant")
-        .sortWithinPartitions($"variant")
-        .write.mode("overwrite").parquet(path)
+  private lazy val fuzzyIndex: Option[DataFrame] = {
+    val path = paths.fuzzy(maxFuzzyDistance)
+    def present = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!present) {
+      try {
+        val d = maxFuzzyDistance
+        dictionary.select($"term", $"term_id", $"df")
+          .as[(String, Long, Long)]
+          .flatMap { case (t, id, df) =>
+            graft.core.Fuzzy.deleteVariants(t, d).iterator.map(v => (v, t, id, df)) }
+          .toDF("variant", "term", "term_id", "df")
+          .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism),
+            $"variant")
+          .sortWithinPartitions($"variant")
+          .write.mode("overwrite").parquet(path)
+      } catch { case _: Throwable => () }
     }
-    spark.read.parquet(path)
+    if (present) Some(spark.read.parquet(path)) else None
   }
 
   /** Fuzzy term lookup: all dictionary terms within Levenshtein distance d
@@ -680,21 +703,22 @@ class QueryEngine(spark: SparkSession, root: String,
     * maxFuzzyDistance this probes the deletion-neighborhood index (the
     * SymSpell guarantee: lev(a,b) <= d implies a and b share a string
     * reachable by <= d deletions from each), then verifies candidates
-    * with exact levenshtein. Larger d falls back to a length-prefiltered
-    * dictionary scan.
+    * with exact levenshtein. Larger d (or an unavailable variant table)
+    * falls back to a length-prefiltered dictionary scan.
     */
   def fuzzyTerms(q: String, d: Int): DataFrame = {
-    if (d > maxFuzzyDistance)
-      return dictionary
+    if (d <= maxFuzzyDistance && fuzzyIndex.isDefined) {
+      val qVars = graft.core.Fuzzy.deleteVariants(q, d).toSeq
+      fuzzyIndex.get
+        .filter($"variant".isin(qVars: _*))
+        .select($"term", $"term_id", $"df").distinct()
+        .filter(levenshtein($"term", lit(q)) <= d)
+    } else
+      dictionary
         .filter(length($"term") >= lit(q.length - d) &&
           length($"term") <= lit(q.length + d))
         .filter(levenshtein($"term", lit(q)) <= d)
         .select($"term", $"term_id", $"df")
-    val qVars = QueryEngine.deleteVariants(q, d).toSeq
-    fuzzyIndex
-      .filter($"variant".isin(qVars: _*))
-      .select($"term", $"term_id", $"df").distinct()
-      .filter(levenshtein($"term", lit(q)) <= d)
   }
 
   /** Attach document metadata to a result with a `doc_id` column — the
@@ -729,6 +753,10 @@ class QueryEngine(spark: SparkSession, root: String,
 
 object QueryEngine {
 
+  /** Forwarder kept for source compatibility; see graft.core.Fuzzy. */
+  def deleteVariants(s: String, d: Int): Set[String] =
+    graft.core.Fuzzy.deleteVariants(s, d)
+
   /** Does the sorted candidate array contain a value in [minDoc, maxDoc]?
     * The chunk-skip predicate (reference skip pointer, src/indexer/
     * block.rs:73-86, driven by a candidate set). Static so executor
@@ -744,29 +772,4 @@ object QueryEngine {
     lo < cand.length && cand(lo) <= maxDoc
   }
 
-  /** All strings reachable from `s` by deleting up to d code points,
-    * INCLUDING s itself (SymSpell requires 0..d deletions on both sides).
-    * Deletions operate on code points, matching Spark's levenshtein.
-    * Static (object) so executor closures don't capture an engine.
-    */
-  def deleteVariants(s: String, d: Int): Set[String] = {
-    def delOne(w: String): Iterator[String] = {
-      val cps = w.codePoints().toArray
-      cps.indices.iterator.map { j =>
-        val rest = new Array[Int](cps.length - 1)
-        System.arraycopy(cps, 0, rest, 0, j)
-        System.arraycopy(cps, j + 1, rest, j, cps.length - 1 - j)
-        new String(rest, 0, rest.length)
-      }
-    }
-    var cur = Set(s)
-    var all = Set(s)
-    var i = 0
-    while (i < d) {
-      cur = cur.flatMap(delOne)
-      all ++= cur
-      i += 1
-    }
-    all
-  }
 }

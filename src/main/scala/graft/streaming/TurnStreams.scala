@@ -100,11 +100,13 @@ object TurnStreams {
 
   /** Streaming exact dedup at ingest: drop turns whose content hash was
     * already seen within the watermark horizon — the streaming
-    * counterpart of ops.Dedup.exactDedup, using Structured Streaming's
-    * watermarked dropDuplicates state (state is evicted once the
-    * watermark passes, so memory is bounded by the horizon, not the
-    * stream). Batch datasets take the same code path minus the
-    * watermark semantics (plain dropDuplicates).
+    * counterpart of ops.Dedup.exactDedup. Uses
+    * `dropDuplicatesWithinWatermark` (NOT plain dropDuplicates on the
+    * hash alone: Spark only evicts dedup state when the watermark can
+    * reach it, so the plain form would hold one state row per distinct
+    * hash forever and OOM a long-running ingest; the WithinWatermark
+    * variant bounds state by the horizon). Batch datasets take the same
+    * code path minus the watermark semantics (plain dropDuplicates).
     */
   def dedupedTurns(turns: Dataset[Turn],
       watermark: String = "10 minutes"): Dataset[Turn] = {
@@ -114,7 +116,7 @@ object TurnStreams {
     val deduped =
       if (turns.isStreaming)
         withHash.withWatermark("ts", watermark)
-          .dropDuplicates("content_hash")
+          .dropDuplicatesWithinWatermark("content_hash")
       else withHash.dropDuplicates("content_hash")
     deduped.drop("content_hash").as[Turn]
   }

@@ -126,7 +126,8 @@ class IndexEndToEndSpec extends SparkSpecBase {
   test("WAND with broadcast semi-join chunk pruning: identical results") {
     engine.localMaxPostings = 0L
     engine.wandMinPostings = 0L
-    engine.chunkInMaxLiterals = 0 // force the semi-join form
+    engine.chunkInMaxLiterals = 0 // force the semi-join form...
+    engine.chunkPruneDenseFraction = 1.1 // ...even when chunks are dense
     try {
       queries.foreach { q =>
         val want = oracle.bm25TopK(q, 10)
@@ -134,16 +135,23 @@ class IndexEndToEndSpec extends SparkSpecBase {
         val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(got == want, s"semi-join wand mismatch for '$q'\n got=$got\nwant=$want")
       }
-      // and the plan actually contains the broadcast semi-join (when the
-      // wand path did not early-return to direct scoring)
-      val plan = engine.bm25TopK("the of and", 10, useWand = true)
-        .queryExecution.executedPlan.toString
-      assert(plan.contains("LeftSemi") || !plan.contains("chunk_seq IN"),
-        s"expected LeftSemi pruning in:\n$plan")
+      // and the executed scoring plan actually contains the broadcast
+      // semi-join for at least one query that reaches the pruned branch
+      // (captured INSIDE wand — the returned result is a LocalRelation,
+      // so asserting on ITS plan would be vacuous)
+      engine.captureWandPlan = true
+      val anySemi = queries.exists { q =>
+        engine.lastWandPlan = ""
+        engine.bm25TopK(q, 10, useWand = true).collect()
+        engine.lastWandPlan.contains("LeftSemi")
+      }
+      engine.captureWandPlan = false
+      assert(anySemi, "no query exercised the broadcast semi-join pruning")
     } finally {
       engine.localMaxPostings = 20000L
       engine.wandMinPostings = 100000L
       engine.chunkInMaxLiterals = 1000
+      engine.chunkPruneDenseFraction = 0.9
     }
   }
 
