@@ -7,6 +7,15 @@ package graft.core
   */
 object Fuzzy {
 
+  /** Terms longer than this get no deletion variants (just themselves):
+    * variants of an L-char term cost O(L^2) characters, so one unbroken
+    * 100 KB junk token (base64 blob, URL) would otherwise materialize
+    * ~10 GB of variants inside a single task. Fuzzy recall is therefore
+    * limited to terms <= MaxTermLen code points — matching the practical
+    * domain of edit-distance-1 lexical lookup.
+    */
+  val MaxTermLen = 64
+
   /** All strings reachable from `s` by deleting up to d code points,
     * INCLUDING s itself (SymSpell requires 0..d deletions on both sides:
     * lev(a,b) <= d implies a and b share a string reachable by <= d
@@ -14,6 +23,7 @@ object Fuzzy {
     * Spark's levenshtein.
     */
   def deleteVariants(s: String, d: Int): Set[String] = {
+    if (s.codePointCount(0, s.length) > MaxTermLen) return Set(s)
     def delOne(w: String): Iterator[String] = {
       val cps = w.codePoints().toArray
       cps.indices.iterator.map { j =>

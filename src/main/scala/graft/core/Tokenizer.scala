@@ -42,15 +42,17 @@ object Tokenizer {
 
   val utf8Ordering: Ordering[String] = (a, b) => compareUtf8(a, b)
 
-  /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. Operates
-    * on full code points (Rust chars are scalar values), so
-    * supplementary-plane letters/digits (e.g. U+1D49C, CJK Ext-B) count.
+  /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. Java's
+    * `Character.isAlphabetic` IS the Unicode derived Alphabetic property
+    * (L* | Nl | Other_Alphabetic) — `isLetter` alone would miss
+    * Other_Alphabetic code points (e.g. U+24D0 CIRCLED LATIN SMALL A)
+    * that the reference keeps. Operates on full code points (Rust chars
+    * are scalar values), so supplementary-plane letters/digits count.
     */
   def isAlnum(cp: Int): Boolean =
-    Character.isLetter(cp) || {
+    Character.isAlphabetic(cp) || {
       val t = Character.getType(cp)
       t == Character.DECIMAL_DIGIT_NUMBER ||
-      t == Character.LETTER_NUMBER ||
       t == Character.OTHER_NUMBER
     }
 

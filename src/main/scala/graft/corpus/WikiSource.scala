@@ -48,10 +48,16 @@ object WikiSource {
     val spark = articles.sparkSession
     import spark.implicits._
     articles
-      .select(col("id"), col("url"), plaintext(col("text")).as("plain"))
+      // PERMISSIVE json turns a corrupt line (or a text-less redirect
+      // stub) into null fields; one such row must not NPE a multi-TB
+      // ingest inside the tokenizer
+      .filter(col("id").isNotNull && col("text").isNotNull)
+      .select(col("id"), coalesce(col("url"), lit("")).as("url"),
+        plaintext(col("text")).as("plain"))
       .as[(String, String, String)]
       .map { case (id, url, plain) =>
-        Turn(id, 0, "article", plain, url, new Timestamp(0L))
+        Turn(id, 0, "article", if (plain == null) "" else plain, url,
+          new Timestamp(0L))
       }
   }
 

@@ -39,8 +39,16 @@ object Generations {
     */
   def append(spark: SparkSession, turns: Dataset[Turn], root: String,
       lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
-    val next = genDirs(root)
-      .map(_.split("gen-").last.takeWhile(_.isDigit))
+    // max over ALL gen-* dirs, including meta-less partials from a
+    // crashed append: reusing a partial dir would resume ITS stage
+    // checkpoints and silently build over the crashed batch's data.
+    val p = Paths.get(root)
+    val all =
+      if (!Files.exists(p)) Nil
+      else Files.list(p).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSeq
+    val next = all
+      .map(_.stripPrefix("gen-").dropWhile(!_.isDigit).takeWhile(_.isDigit))
       .filter(_.nonEmpty).map(_.toLong)
       .foldLeft(-1L)(math.max) + 1
     appendAt(spark, turns, root, f"$root/gen-$next%05d", lemmas, conf)
@@ -197,28 +205,14 @@ object Compactor {
     val nDocs = agg.getLong(0)
     val avgdl = agg.getDouble(1)
     val rawChunks = builder.buildRawChunks(segs, avgdl)
-    rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dict = builder.buildDictionary(rawChunks, nDocs)
-    dict.repartitionByRange(conf.numParts, $"term")
-      .sortWithinPartitions($"term")
-      .write.mode("overwrite").parquet(paths.dictionary)
-    val dictDf = spark.read.parquet(paths.dictionary)
-    rawChunks.toDF()
-      .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
-      .withColumn("max_impact", col("idf") * col("max_norm"))
-      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
-        $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
-        $"max_impact")
-      .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
-      .sortWithinPartitions($"term_id", $"chunk_seq")
-      .write.mode("overwrite").parquet(paths.postings)
-    rawChunks.unpersist()
-    builder.writeFuzzyIndex(dictDf, outDir)
+    // shared stage-2 writer: identical dictionary/postings/fuzzy layout
+    // guarantees as a fresh build (one implementation, no drift)
+    val dictDf = builder.writeFinalTables(rawChunks, nDocs, outDir)
     val nTerms = dictDf.count()
     val nPostings = spark.read.parquet(paths.postings)
       .agg(sum($"n_postings")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
-    Files.writeString(Paths.get(paths.meta),
+    IndexBuilder.writeAtomic(Paths.get(paths.meta),
       s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
       s""""n_postings":$nPostings,"k1":${conf.k1},"b":${conf.b},"fingerprint":"compacted"}""")
     meta

@@ -250,6 +250,39 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       .write.mode("overwrite").parquet(IndexPaths(root).fuzzy(d))
   }
 
+  /** Stage-2 writer shared by build() and Compactor.compact: dictionary
+    * (term-sorted, range-partitioned — the layout PlanSpec asserts),
+    * final postings (range-partitioned/sorted by (term_id, chunk_seq)),
+    * and the SymSpell fuzzy variant table. One implementation so the
+    * layout guarantees cannot drift between fresh builds and compactions.
+    * Returns the written dictionary as a DataFrame.
+    */
+  def writeFinalTables(rawChunks: Dataset[RawChunk], nDocs: Long,
+      root: String): DataFrame = {
+    val paths = IndexPaths(root)
+    rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = buildDictionary(rawChunks, nDocs)
+    vtime("dict_write") {
+      dict.repartitionByRange(conf.numParts, $"term")
+        .sortWithinPartitions($"term")
+        .write.mode("overwrite").parquet(paths.dictionary) }
+    val dictDf = spark.read.parquet(paths.dictionary)
+    val postings = rawChunks.toDF()
+      .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
+      .withColumn("max_impact", col("idf") * col("max_norm"))
+      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
+        $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
+        $"max_impact")
+    vtime("postings_write") {
+      postings
+        .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
+        .sortWithinPartitions($"term_id", $"chunk_seq")
+        .write.mode("overwrite").parquet(paths.postings) }
+    rawChunks.unpersist()
+    vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root) }
+    dictDf
+  }
+
   /** Dictionary: df/cf aggregation (map-side partials tame skew for a
     * count agg) + dense term_id in byte-order term sort via RangeRank.
     * idf + per-term global max_impact land here too.
@@ -334,11 +367,17 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val files = try turns.inputFiles.sorted.toSeq catch { case _: Throwable => Nil }
     if (files.isEmpty) "mem"
     else {
-      val sizes = files.map { f =>
-        try Files.size(Paths.get(new java.net.URI(f).getPath))
-        catch { case _: Throwable => -1L }
+      // names + sizes + mtimes: a generator that rewrites fixed-name
+      // files in place with unchanged total bytes must still invalidate
+      val stats = files.map { f =>
+        try {
+          val p = Paths.get(new java.net.URI(f).getPath)
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        } catch { case _: Throwable => (-1L, -1L) }
       }
-      f"f${files.length}-b${sizes.sum}-h${(files.mkString(",").hashCode)}%08x"
+      val h = (files.mkString(",").hashCode.toLong << 32) ^
+        stats.map { case (s, m) => s * 31 + m }.foldLeft(17L)(_ * 31 + _)
+      f"f${files.length}-b${stats.map(_._1).sum}-h$h%016x"
     }
   }
 
@@ -405,34 +444,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val t0 = System.nanoTime()
       val rawChunks = chunkSorted(
         spark.read.parquet(paths.segments).as[SegmentRow], avgdl)
-      rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // (no explicit materialize: the dictionary stats agg below is the
+      // (no explicit materialize: the dictionary stats agg inside is the
       // first consumer and fills the cache in the same pass)
-      val dict = buildDictionary(rawChunks, nDocs)
-      // Dictionary layout guarantee (asserted in PlanSpec): term-sorted,
-      // range-partitioned parquet, so query-term lookup (`term IN (...)`)
-      // and fuzzy-variant probes prune to O(query terms) row groups even
-      // at a 10^9-term lexicon. RangeRank's output partitioning is NOT
-      // sorted (its small path round-robins), so the sort here is load-
-      // bearing, not cosmetic.
-      vtime("dict_write") {
-        dict.repartitionByRange(conf.numParts, $"term")
-          .sortWithinPartitions($"term")
-          .write.mode("overwrite").parquet(paths.dictionary) }
-      val dictDf = spark.read.parquet(paths.dictionary)
-      val postings = rawChunks.toDF()
-        .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
-        .withColumn("max_impact", col("idf") * col("max_norm"))
-        .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
-          $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
-          $"max_impact")
-      vtime("postings_write") {
-        postings
-          .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
-          .sortWithinPartitions($"term_id", $"chunk_seq")
-          .write.mode("overwrite").parquet(paths.postings) }
-      vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root) }
-      rawChunks.unpersist()
+      writeFinalTables(rawChunks, nDocs, root)
       val dictRows = footerRowCount(paths.dictionary)
       val postRows = footerRowCount(paths.postings)
       writeManifest(paths.dictionary, fp, dictRows, (System.nanoTime() - t0) / 1000000)
@@ -444,7 +458,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val nPostings = spark.read.parquet(paths.dictionary)
       .agg(sum($"df")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
-    Files.writeString(Paths.get(paths.meta),
+    IndexBuilder.writeAtomic(Paths.get(paths.meta),
       s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
       s""""n_postings":$nPostings,"k1":${conf.k1},"b":${conf.b},"fingerprint":"$fp"}""")
     meta
@@ -452,6 +466,20 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 }
 
 object IndexBuilder {
+
+  /** Atomic file write (temp + ATOMIC_MOVE): index_meta.json existence is
+    * the generation-completeness / streaming-replay-idempotency marker,
+    * so a torn write must be impossible — a partial meta would either
+    * drop a replayed batch or poison readMeta for the whole root.
+    */
+  def writeAtomic(path: Path, content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def readMeta(root: String): IndexMeta = {
     val s = Files.readString(Paths.get(IndexPaths(root).meta))
     def num(k: String): String =

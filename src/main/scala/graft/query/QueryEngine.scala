@@ -683,16 +683,11 @@ class QueryEngine(spark: SparkSession, root: String,
       java.nio.file.Paths.get(path, "_SUCCESS"))
     if (!present) {
       try {
-        val d = maxFuzzyDistance
-        dictionary.select($"term", $"term_id", $"df")
-          .as[(String, Long, Long)]
-          .flatMap { case (t, id, df) =>
-            graft.core.Fuzzy.deleteVariants(t, d).iterator.map(v => (v, t, id, df)) }
-          .toDF("variant", "term", "term_id", "df")
-          .repartitionByRange(math.max(1, spark.sparkContext.defaultParallelism),
-            $"variant")
-          .sortWithinPartitions($"variant")
-          .write.mode("overwrite").parquet(path)
+        // same writer the index build uses (one pipeline, no drift)
+        new IndexBuilder(spark, Map.empty,
+          graft.index.IndexConf(
+            numParts = math.max(1, spark.sparkContext.defaultParallelism)))
+          .writeFuzzyIndex(dictionary, root, maxFuzzyDistance)
       } catch { case _: Throwable => () }
     }
     if (present) Some(spark.read.parquet(path)) else None

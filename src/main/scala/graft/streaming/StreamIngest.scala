@@ -47,10 +47,13 @@ object StreamIngest {
         // Generation dir keyed by batchId => micro-batch REPLAY after a
         // crash between append and checkpoint commit is idempotent
         // (appendAt skips dirs with a complete index_meta.json) instead
-        // of duplicating the batch under fresh doc_ids.
+        // of duplicating the batch under fresh doc_ids. The "gen-b"
+        // prefix keeps the batchId namespace disjoint from manual
+        // Generations.append names (gen-00000...), so a mixed root can
+        // never mistake an unrelated complete generation for a replay.
         if (!batch.isEmpty)
           Generations.appendAt(batch.sparkSession, batch, indexRoot,
-            f"$indexRoot/gen-$batchId%05d", lemmas, conf)
+            f"$indexRoot/gen-b$batchId%05d", lemmas, conf)
         ()
       }
       .start()
