@@ -722,9 +722,13 @@ object GraftQueries {
         |  SELECT doc_id, s, bd,
         |    md5(array_to_string(s[bd*4+1 : bd*4+4], ',')) AS bucket
         |  FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS bd)),
+        |kept AS (
+        |  SELECT bd, bucket FROM banded GROUP BY bd, bucket
+        |  HAVING count(*) <= 100000),
+        |capped AS (SELECT b.* FROM banded b JOIN kept USING (bd, bucket)),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
-        |  FROM banded x JOIN banded y ON x.bd = y.bd AND x.bucket = y.bucket
+        |  FROM capped x JOIN capped y ON x.bd = y.bd AND x.bucket = y.bucket
         |  WHERE x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b,
         |  round(len(list_filter(range(1, 33), j -> sa[j] = sb[j])) / 32.0, 4) AS est_jaccard
@@ -741,7 +745,7 @@ object GraftQueries {
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
         |tf AS (SELECT doc_id, term, count(*) AS tf
         |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM all_docs)
-        |       GROUP BY doc_id, term),
+        |       WHERE term <> '' GROUP BY doc_id, term),
         |th AS (SELECT doc_id, tf,
         |         ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h FROM tf),
         |bits AS (
@@ -754,9 +758,13 @@ object GraftQueries {
         |bands AS (
         |  SELECT doc_id, j // 16 AS bd, sum(bit << (j % 16)) AS key
         |  FROM bits GROUP BY doc_id, j // 16),
+        |keptb AS (
+        |  SELECT bd, key FROM bands GROUP BY bd, key
+        |  HAVING count(*) <= 100000),
+        |cappedb AS (SELECT b.* FROM bands b JOIN keptb USING (bd, key)),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y ON x.bd = y.bd AND x.key = y.key
+        |  FROM cappedb x JOIN cappedb y ON x.bd = y.bd AND x.key = y.key
         |  WHERE x.doc_id < y.doc_id)
         |SELECT c.doc_a, c.doc_b,
         |  len(list_filter(range(1, 65), j -> sa.bl[j] <> sb.bl[j]))::BIGINT AS hamming

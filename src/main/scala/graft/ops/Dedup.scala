@@ -98,7 +98,7 @@ object Dedup {
     * cheaper representative pass handles them. Dropped buckets are
     * observable via [[oversizedBuckets]] — report them, don't hide them.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String],
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("_bucket_n", count(lit(1)).over(w))

@@ -75,14 +75,17 @@ object Pipeline {
     */
   def stratifiedSample(docs: DataFrame, stratumCol: String,
       rates: Map[String, Double], salt: String = "graft"): DataFrame = {
-    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    // cutoffs rounded DRIVER-side: (rate * 1e6).cast(long) would truncate
+    // (0.3 * 1e6 = 299999.9999... -> 299999), silently shifting the
+    // boundary by one for non-dyadic rates
+    val cutoffCol = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(math.round(r * 1000000L))).otherwise(acc)
     }
     docs
       .withColumn("_u",
         pmod(graft.core.StableHash.h60Col(
           concat(lit(salt + ":"), col("doc_id").cast("string"))), lit(1000000L)))
-      .filter(col("_u") < (rateCol * 1000000L).cast("long"))
+      .filter(col("_u") < cutoffCol)
       .drop("_u")
   }
 

@@ -134,15 +134,14 @@ object Similarity {
     val bits = nPlanes / bands
     require(bits <= 62, "band key must fit a long")
     val mask = (1L << bits) - 1
-    import org.apache.spark.sql.expressions.Window
     val sig = withHyperplaneSig(embeddings, nPlanes, dim)
     val banded = sig.select(col("vec_id"), col("embedding"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
       .as(Seq("band", "key")))
-    val w = Window.partitionBy(col("band"), col("key"))
-    banded.withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= maxBucket).drop("_n")
+    // one cap implementation for every LSH family (reporting side:
+    // Dedup.oversizedBuckets over the same keys)
+    Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
   }
 
   /** IVF (inverted-file) ANN index: deterministic Lloyd k-means (fixed

@@ -377,12 +377,13 @@ class QueryEngine(spark: SparkSession, root: String,
       entries.map(e => e.term_id -> e.idf).toMap)
     val avgdlLoc = avgdl
     // Shared decode of the essential postings (cached; reused by the
-    // final scoring union). When the only essential term is the θ term —
-    // the common stopword-query shape — this IS the already-cached pass-0
-    // dataset, so the term is decoded once, not three times.
+    // final scoring union). The pass-0 bestPostings cache is ALWAYS
+    // reused — the strongest (largest) essential list is never decoded
+    // or cached twice; only the other essential terms decode here.
     val essPostings = registerEss(
       if (essential.map(_.term_id) == Seq(best.term_id)) bestPostings
-      else decodedPostings(essential.map(_.term_id))
+      else bestPostings.union(
+          decodedPostings(essential.map(_.term_id).filterNot(_ == best.term_id)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candPairs = essPostings
       .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
@@ -681,14 +682,23 @@ class QueryEngine(spark: SparkSession, root: String,
     val path = paths.fuzzy(maxFuzzyDistance)
     def present = java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_SUCCESS"))
-    if (!present) {
+    if (!present && !QueryEngine.fuzzyBackfillFailed.contains(root)) {
       try {
         // same writer the index build uses (one pipeline, no drift)
         new IndexBuilder(spark, Map.empty,
           graft.index.IndexConf(
             numParts = math.max(1, spark.sparkContext.defaultParallelism)))
           .writeFuzzyIndex(dictionary, root, maxFuzzyDistance)
-      } catch { case _: Throwable => () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // e.g. a read-only served snapshot: remember per-JVM so each
+          // fresh engine over this root doesn't re-run the (large)
+          // dictionary-expansion job just to fail at write time again
+          QueryEngine.fuzzyBackfillFailed.add(root)
+          System.err.println(
+            s"[graft] fuzzy-index backfill failed for $root " +
+              s"(falling back to dictionary scan): ${e.getMessage}")
+      }
     }
     if (present) Some(spark.read.parquet(path)) else None
   }
@@ -747,6 +757,12 @@ class QueryEngine(spark: SparkSession, root: String,
 }
 
 object QueryEngine {
+
+  /** Roots whose lazy fuzzy-index backfill failed (e.g. read-only
+    * mounts): retried at most once per JVM.
+    */
+  private val fuzzyBackfillFailed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Forwarder kept for source compatibility; see graft.core.Fuzzy. */
   def deleteVariants(s: String, d: Int): Set[String] =

@@ -32,28 +32,48 @@ object StreamIngest {
     * present and stops (batch-catchup mode); a processing-time trigger
     * keeps it running.
     */
+  /** Stable per-checkpoint stream id: created once inside the checkpoint
+    * dir, so restarts from the SAME checkpoint reuse it (batchId replay
+    * stays idempotent) while a fresh/deleted checkpoint — whose batchIds
+    * restart at 0 — gets a NEW id and therefore fresh generation names.
+    * Without it, a restarted-from-scratch stream's batch 0 would collide
+    * with the previous stream's complete gen dir and appendAt's
+    * idempotency skip would silently DROP the batch.
+    */
+  private def streamId(checkpointDir: String): String = {
+    val p = java.nio.file.Paths.get(checkpointDir, "graft_stream_id")
+    java.nio.file.Files.createDirectories(p.getParent)
+    if (!java.nio.file.Files.exists(p))
+      graft.index.IndexBuilder.writeAtomic(p,
+        java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.readString(p).trim
+  }
+
   def start(spark: SparkSession, inputDir: String, indexRoot: String,
       lemmas: Map[String, String], conf: IndexConf = IndexConf(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
+    val checkpoint = s"$indexRoot/_stream_checkpoint"
+    val sid = streamId(checkpoint)
     spark.readStream
       .schema(turnSchema)
       .parquet(inputDir)
       .as[Turn]
       .writeStream
       .trigger(trigger)
-      .option("checkpointLocation", s"$indexRoot/_stream_checkpoint")
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Turn], batchId: Long) =>
-        // Generation dir keyed by batchId => micro-batch REPLAY after a
-        // crash between append and checkpoint commit is idempotent
-        // (appendAt skips dirs with a complete index_meta.json) instead
-        // of duplicating the batch under fresh doc_ids. The "gen-b"
-        // prefix keeps the batchId namespace disjoint from manual
-        // Generations.append names (gen-00000...), so a mixed root can
-        // never mistake an unrelated complete generation for a replay.
+        // Generation dir keyed by (stream id, batchId) => micro-batch
+        // REPLAY after a crash between append and checkpoint commit is
+        // idempotent (appendAt skips dirs with a complete
+        // index_meta.json), while a fresh checkpoint (batchIds restart)
+        // gets new names instead of colliding with — and being silently
+        // swallowed by — the previous stream's generations. The "gen-b"
+        // prefix keeps the namespace disjoint from manual
+        // Generations.append names.
         if (!batch.isEmpty)
           Generations.appendAt(batch.sparkSession, batch, indexRoot,
-            f"$indexRoot/gen-b$batchId%05d", lemmas, conf)
+            f"$indexRoot/gen-b$sid-$batchId%05d", lemmas, conf)
         ()
       }
       .start()

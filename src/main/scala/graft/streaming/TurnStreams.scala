@@ -117,7 +117,17 @@ object TurnStreams {
       if (turns.isStreaming)
         withHash.withWatermark("ts", watermark)
           .dropDuplicatesWithinWatermark("content_hash")
-      else withHash.dropDuplicates("content_hash")
+      else {
+        // batch: keep the DETERMINISTIC representative (min conv_id,
+        // turn_idx — exactDedup's min-doc rule); plain dropDuplicates
+        // keeps whichever row a partition delivers first, which varies
+        // with parallelism and would break run-to-run reproducibility
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("content_hash"))
+          .orderBy(col("conv_id"), col("turn_idx"))
+        withHash.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
     deduped.drop("content_hash").as[Turn]
   }
 }
