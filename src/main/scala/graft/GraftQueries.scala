@@ -864,7 +864,8 @@ object GraftQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
         |    AS cum_before FROM t)
         |SELECT doc_id, n_tokens,
-        |  cum_before // 256 AS pack_id, cum_before % 256 AS pack_pos
+        |  (cum_before // 256)::BIGINT AS pack_id,
+        |  (cum_before % 256)::BIGINT AS pack_pos
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q32_stratified_sample" ->
@@ -935,7 +936,8 @@ object GraftQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
         |      AS cum_before FROM kept)
         |SELECT doc_id, n_tokens,
-        |  cum_before // 256 AS pack_id, cum_before % 256 AS pack_pos
+        |  (cum_before // 256)::BIGINT AS pack_id,
+        |  (cum_before % 256)::BIGINT AS pack_pos
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q36_token_counts" ->
