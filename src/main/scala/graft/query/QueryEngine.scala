@@ -198,6 +198,30 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   var chunkPruneDenseFraction: Double = 0.9
 
+  /** Max tier-1 WAND candidates worth broadcasting for chunk skipping;
+    * above it the exact unpruned plan is cheaper. The relation is
+    * count()ed distributed and the fallback taken WITHOUT ever
+    * collecting — an essential mid-df term (df ~ 10^9 at 10^12 docs)
+    * must not reach the driver before the guard fires. Tests lower it
+    * to force the fallback.
+    */
+  var wandCandidateCap: Long = 2000000L
+
+  /** Max chunk-metadata rows the candidate-pruning pre-pass may collect
+    * on the driver. The bound is checked with DRIVER-SIDE arithmetic
+    * (min(total non-ess chunks, candidates × terms)) before any job
+    * runs; above it, survivors are computed distributed and applied as
+    * a left-semi join with no driver materialization.
+    */
+  var chunkMetaCollectCap: Double = 2e6
+
+  /** Diagnostic: which execution path the last wand() call took —
+    * "pruned", "fallback-cap" (tier-1 over wandCandidateCap), "empty",
+    * or "exact" (θ/essential-split degenerate cases). Tests assert the
+    * cap fallback engages without driver-side candidate collection.
+    */
+  var lastWandPath: String = ""
+
   /** Driver-local BM25 top-k over collected chunks (rank-identical to the
     * distributed path: same Bm25.impact, same ascending-term_id fold,
     * same (score desc, doc_id asc) tie-break).
@@ -344,7 +368,7 @@ class QueryEngine(spark: SparkSession, root: String,
       .orderBy($"value".desc).limit(k).collect()
     val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
     wdbg(s"theta=$theta best=${best.term} df=${best.df}")
-    if (theta <= 0.0) return topK(exactScores(entries), k)
+    if (theta <= 0.0) { lastWandPath = "exact"; return topK(exactScores(entries), k) }
 
     // Essential / non-essential split (driver-side arithmetic).
     val asc = entries.sortBy(e => (e.max_impact, e.term_id))
@@ -358,7 +382,7 @@ class QueryEngine(spark: SparkSession, root: String,
     val nonEssEntries = entries.filter(e => nonEssential(e.term_id))
     wdbg(s"essential=${essential.map(e => s"${e.term}(df=${e.df})").mkString(",")} " +
       s"nonEss=${nonEssEntries.map(e => s"${e.term}(df=${e.df})").mkString(",")}")
-    if (nonEssential.isEmpty) return topK(exactScores(entries), k)
+    if (nonEssential.isEmpty) { lastWandPath = "exact"; return topK(exactScores(entries), k) }
 
     // Tier-1 candidates from essential postings, with per-doc essential
     // sums kept: a doc can only reach the top-k if its essential score
@@ -385,16 +409,32 @@ class QueryEngine(spark: SparkSession, root: String,
       else bestPostings.union(
           decodedPostings(essential.map(_.term_id).filterNot(_ == best.term_id)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val candPairs = essPostings
+    val candRel = essPostings
       .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
       .toDF("doc_id", "impact")
       .groupBy($"doc_id").agg(sum($"impact").as("ess_sum"))
       .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
-      .as[(Long, Double)].collect()
-    wdbg(s"cumNonEssMax=$cumNonEssMax tier1Candidates=${candPairs.length}")
-    if (candPairs.isEmpty) return emptyScores()
-    if (candPairs.length > 2000000) // pruning not worth the broadcast
+      .as[(Long, Double)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Cap check runs as a distributed count() BEFORE any driver-side
+    // materialization: an essential mid-df term (df ~ 10^9 at 10^12
+    // docs) would otherwise OOM the driver before the guard fired. The
+    // persist makes the subsequent collect reuse the aggregation.
+    val candCount =
+      try candRel.count()
+      catch { case t: Throwable => candRel.unpersist(false); throw t }
+    wdbg(s"cumNonEssMax=$cumNonEssMax tier1Candidates=$candCount")
+    if (candCount == 0L) {
+      candRel.unpersist(false); lastWandPath = "empty"; return emptyScores()
+    }
+    if (candCount > wandCandidateCap) { // pruning not worth the broadcast
+      candRel.unpersist(false)
+      lastWandPath = "fallback-cap"
       return topK(exactScores(entries), k)
+    }
+    val candPairs = candRel.collect()
+    candRel.unpersist(false)
+    lastWandPath = "pruned"
 
     @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean =
       QueryEngine.rangeHasCandidate(minDoc, maxDoc, cand)
@@ -426,16 +466,35 @@ class QueryEngine(spark: SparkSession, root: String,
     // decoded postings are filtered to candidates before scoring.
     def nonEssForCandidates(cand: Array[Long]): Dataset[ScoredPosting] = {
       val bcCand = spark.sparkContext.broadcast(cand)
-      val survivors = nonEssBase
-        .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
-        .as[(Long, Long, Long, Long)]
-        .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
-        .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
       val totalNonEssChunks =
         nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
-      wdbg(s"survivors=${survivors.length} totalNonEssChunks=$totalNonEssChunks " +
-        s"candidates=${cand.length}")
-      pruneChunks(survivors, totalNonEssChunks)
+      // Driver-side bound on the survivor count, known BEFORE any job: a
+      // candidate doc appears in at most one chunk per term (doc_ids are
+      // disjoint across a term's chunks), so survivors <= min(total
+      // chunks, candidates * non-ess terms). Only collect metadata when
+      // that bound is driver-safe; otherwise apply the pruning as a
+      // distributed left-semi join with zero driver materialization.
+      val survBound =
+        math.min(totalNonEssChunks, cand.length.toDouble * nonEssEntries.size)
+      val pruned = if (survBound <= chunkMetaCollectCap) {
+        val survivors = nonEssBase
+          .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+          .as[(Long, Long, Long, Long)]
+          .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
+          .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
+        wdbg(s"survivors=${survivors.length} totalNonEssChunks=$totalNonEssChunks " +
+          s"candidates=${cand.length}")
+        pruneChunks(survivors, totalNonEssChunks)
+      } else {
+        wdbg(s"survivor collect skipped: bound=$survBound > $chunkMetaCollectCap")
+        val survDf = nonEssBase
+          .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+          .as[(Long, Long, Long, Long)]
+          .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
+          .select($"term_id", $"chunk_seq")
+        nonEssBase.join(survDf, Seq("term_id", "chunk_seq"), "left_semi")
+      }
+      pruned
         .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
           $"doc_gaps", $"tfs", $"dls")
         .as[(Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]

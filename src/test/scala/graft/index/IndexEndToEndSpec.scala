@@ -155,6 +155,52 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
+  test("WAND tier-1 cap: fallback engages before any driver-side candidate collect") {
+    engine.localMaxPostings = 0L
+    engine.wandMinPostings = 0L
+    engine.wandCandidateCap = 1L // any real query exceeds this
+    try {
+      queries.foreach { q =>
+        val want = oracle.bm25TopK(q, 10)
+        engine.lastWandPath = ""
+        val got = engine.bm25TopK(q, 10, useWand = true)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"cap-fallback mismatch for '$q'\n got=$got\nwant=$want")
+        // every multi-candidate query must take the fallback without
+        // reaching the "pruned" (collected) path; degenerate ones may
+        // resolve as exact/empty, but NONE may report "pruned".
+        assert(engine.lastWandPath != "pruned",
+          s"'$q' collected candidates despite cap=1 (path=${engine.lastWandPath})")
+      }
+      engine.lastWandPath = ""
+      engine.bm25TopK("the of and", 10, useWand = true).collect()
+      assert(engine.lastWandPath == "fallback-cap",
+        s"stopword query should exceed cap=1, path=${engine.lastWandPath}")
+    } finally {
+      engine.localMaxPostings = 20000L
+      engine.wandMinPostings = 100000L
+      engine.wandCandidateCap = 2000000L
+    }
+  }
+
+  test("WAND distributed survivor pruning (no metadata collect): identical results") {
+    engine.localMaxPostings = 0L
+    engine.wandMinPostings = 0L
+    engine.chunkMetaCollectCap = 0.0 // force the no-collect semi-join path
+    try {
+      queries.foreach { q =>
+        val want = oracle.bm25TopK(q, 10)
+        val got = engine.bm25TopK(q, 10, useWand = true)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"distributed-survivor mismatch for '$q'\n got=$got\nwant=$want")
+      }
+    } finally {
+      engine.localMaxPostings = 20000L
+      engine.wandMinPostings = 100000L
+      engine.chunkMetaCollectCap = 2e6
+    }
+  }
+
   test("SymSpell fuzzy index: parity with full-dictionary levenshtein scan") {
     Seq("albae", "crba", "kelba", "xx", "the").foreach { q =>
       val viaIndex = engine.fuzzyTerms(q, 1).collect()
