@@ -479,6 +479,35 @@ object GraftQueries {
         .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
         .limit(10)
         .select("doc_id", "score", "tier")
+    }),
+
+    // reference handle_query, FULL three-strategy form (src/search_engine/
+    // mod.rs:147-206): tier 0 = phrase (unigram-scored, thread 1), tier 1 =
+    // all-query-bigrams docs scored by BIGRAM BM25 over the indexed bigram
+    // postings (thread 2), tier 2 = remaining unigram BM25 matches
+    // (thread 3). Runs on the bigram-indexed engine; rounded scores so the
+    // DuckDB oracle is boundary-stable.
+    "q38_handle_query_tiers" -> ((s, dir) => {
+      val eng = engineLemmaFor(s, dir)
+      val terms = Seq("merge", "sort", "table")
+      val bigrams = Seq("merge sort", "sort table")
+      val uniScores = eng.bm25Scores(terms)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      val phrase = eng.phraseMatch(terms)
+      val bgScores = eng.bm25Scores(bigrams)
+        .join(eng.conjunctive(bigrams), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      val tier0 = uniScores.join(phrase, Seq("doc_id"), "left_semi")
+        .withColumn("tier", lit(0))
+      val tier1 = bgScores.join(phrase, Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(1))
+      val claimed = tier0.select("doc_id").unionByName(tier1.select("doc_id"))
+      val tier2 = uniScores.join(claimed, Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      withOrigDocId(eng, tier0.unionByName(tier1).unionByName(tier2))
+        .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "score", "tier")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -680,6 +709,60 @@ object GraftQueries {
          |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 1 END AS tier
          |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
          |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin,
+
+    // three-tier handle_query: documents text is pre-cleaned (no dropped
+    // tokens) and the q38 terms are outside the lemma map, so indexed
+    // bigrams == pos+1 adjacency here.
+    "q38_handle_query_tiers" ->
+      s"""WITH toks AS ($toks),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
+         |   count(*)::DOUBLE AS avgdl FROM documents),
+         |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('merge','sort','table') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('merge','sort','table') GROUP BY term),
+         |uni AS (
+         |  SELECT tf.doc_id,
+         |    round(sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4)
+         |      AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+         |  GROUP BY tf.doc_id),
+         |ph AS (
+         |  SELECT DISTINCT t1.doc_id FROM toks t1
+         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+         |  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+         |  WHERE t1.term = 'merge' AND t2.term = 'sort' AND t3.term = 'table'),
+         |bg AS (
+         |  SELECT a.doc_id, a.term || ' ' || b.term AS term
+         |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE (a.term = 'merge' AND b.term = 'sort')
+         |     OR (a.term = 'sort' AND b.term = 'table')),
+         |bgtf AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY doc_id, term),
+         |bgdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM bg GROUP BY term),
+         |bgdocs AS (SELECT doc_id FROM bgtf GROUP BY doc_id
+         |           HAVING count(DISTINCT term) = 2),
+         |bgsc AS (
+         |  SELECT bgtf.doc_id,
+         |    round(sum( ln(1.0 + (stats.n - bgdf.df + 0.5)/(bgdf.df + 0.5)) *
+         |      (bgtf.tf * 2.2) / (bgtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4)
+         |      AS score
+         |  FROM bgtf JOIN bgdf USING (term) JOIN dl USING (doc_id), stats
+         |  WHERE bgtf.doc_id IN (SELECT doc_id FROM bgdocs)
+         |  GROUP BY bgtf.doc_id),
+         |tiers AS (
+         |  SELECT u.doc_id, u.score, 0 AS tier FROM uni u JOIN ph USING (doc_id)
+         |  UNION ALL
+         |  SELECT b.doc_id, b.score, 1 AS tier FROM bgsc b
+         |  WHERE b.doc_id NOT IN (SELECT doc_id FROM ph)
+         |  UNION ALL
+         |  SELECT u.doc_id, u.score, 2 AS tier FROM uni u
+         |  WHERE u.doc_id NOT IN (SELECT doc_id FROM ph)
+         |    AND u.doc_id NOT IN (SELECT doc_id FROM bgsc))
+         |SELECT doc_id, score, tier FROM tiers
+         |ORDER BY tier ASC, score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q27_normalize" ->
       """WITH kept AS (

@@ -10,7 +10,11 @@ import graft.index.Bm25
   * rank-identity tests (SURVEY.md §5(3), BASELINE.md top-k fidelity).
   */
 class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
-    k1: Double = Bm25.K1, b: Double = Bm25.B) {
+    k1: Double = Bm25.K1, b: Double = Bm25.B,
+    /** Model an index built with IndexConf.indexBigrams: handleQuery's
+      * bigram tier only exists when the index carries bigram postings.
+      */
+    indexBigrams: Boolean = false) {
 
   /** doc_id = dense 1-based rank under (conv_id, turn_idx) order. */
   val docsSorted: Vector[Turn] =
@@ -86,19 +90,72 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     scored.sortBy { case (docId, score) => (-score, docId) }.take(k)
   }
 
-  /** Reference handle_query semantics (src/search_engine/mod.rs:118-206):
-    * phrase-matching docs first (tier 0), then the rest (tier 1), each
-    * tier BM25-ordered with the deterministic tie-break.
+  /** Bigram "postings" — sorted (doc_id, tf) per bigram term, built from
+    * the same consecutive-surviving-lemma rule the index uses
+    * (Tokenizer.bigrams); empty unless indexBigrams.
+    */
+  lazy val bigramPostings: Map[String, Vector[(Long, Int)]] =
+    if (!indexBigrams) Map.empty
+    else {
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+      docsSorted.zipWithIndex.foreach { case (t, i) =>
+        Tokenizer.bigrams(t.text, lemmas).groupBy(_.term).foreach {
+          case (bg, occ) =>
+            m.getOrElseUpdate(bg, scala.collection.mutable.ArrayBuffer.empty)
+              .append(((i + 1).toLong, occ.size))
+        }
+      }
+      m.map { case (t, v) => t -> v.sortBy(_._1).toVector }.toMap
+    }
+
+  /** Bigram BM25 over the docs containing EVERY query bigram. Fold order:
+    * ascending utf8 byte order of the bigram strings == ascending engine
+    * term_id (dense ranking is monotone in byte order), so scores are
+    * bit-identical to the Spark path's sorted-term_id fold.
+    */
+  private def bigramScores(bigrams: Seq[String]): Map[Long, Double] = {
+    val uniq = bigrams.distinct
+    if (uniq.isEmpty || uniq.exists(b => !bigramPostings.contains(b)))
+      return Map.empty
+    val docs = uniq.map(b => bigramPostings(b).map(_._1).toSet)
+      .reduceLeft(_ intersect _)
+    val ordered = uniq.sorted(Tokenizer.utf8Ordering)
+    docs.iterator.map { d =>
+      val score = ordered.foldLeft(0.0) { (acc, bg) =>
+        val ps = bigramPostings(bg)
+        val tf = ps.find(_._1 == d).get._2
+        acc + Bm25.impact(Bm25.idf(nDocs, ps.size.toLong), tf, docLen(d), avgdl)
+      }
+      d -> score
+    }.toMap
+  }
+
+  /** Reference handle_query semantics (src/search_engine/mod.rs:118-206,
+    * three strategies appended in precedence order): tier 0 = phrase
+    * matches (unigram-scored), tier 1 = docs containing every query
+    * bigram as an INDEXED bigram (bigram-scored; empty unless
+    * indexBigrams), tier 2 = the remaining disjunctive BM25 matches.
     */
   def handleQuery(query: String, k: Int): Seq[(Long, Double, Int)] = {
-    val terms = Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
+    val qt = Tokenizer.tokenizeQuery(query, lemmas)
+    val terms = qt.unigrams.map(_.term).distinct
     if (terms.isEmpty) return Nil
     val present = terms.filter(postings.contains)
     val scoredAll = bm25TopKForTerms(terms, Int.MaxValue)
-    val phraseDocs = if (terms.size > 1 && present.size == terms.size)
+    if (terms.size == 1)
+      return scoredAll.map { case (d, s) => (d, s, 2) }
+        .sortBy { case (d, s, t) => (t, -s, d) }.take(k)
+    val phraseDocs = if (present.size == terms.size)
       phraseMatch(terms) else Set.empty[Long]
-    scoredAll
-      .map { case (d, s) => (d, s, if (terms.size > 1 && phraseDocs(d)) 0 else 1) }
+    val bgScores = bigramScores(qt.bigrams.map(_.term).distinct)
+    val unigramRest = scoredAll.collect {
+      case (d, s) if !phraseDocs(d) && !bgScores.contains(d) => (d, s, 2)
+    }
+    (phraseDocs.toSeq.map(d =>
+        (d, scoredAll.find(_._1 == d).map(_._2).getOrElse(0.0), 0)) ++
+      bgScores.collect { case (d, s) if !phraseDocs(d) => (d, s, 1) } ++
+      unigramRest)
       .sortBy { case (d, s, t) => (t, -s, d) }
       .take(k)
   }

@@ -271,24 +271,46 @@ class QueryEngine(spark: SparkSession, root: String,
   }
 
   /** The reference's intended handle_query (src/search_engine/mod.rs:
-    * 118-206, three scoring strategies appended with phrase precedence):
-    * exact-phrase matches first (BM25-scored), then the disjunctive BM25
-    * top-k, de-duplicated, truncated to k.
+    * 118-206, three scoring strategies appended in precedence order):
+    *
+    *  - tier 0 (thread 1): exact-phrase matches, unigram-BM25-scored;
+    *  - tier 1 (thread 2): docs containing EVERY query bigram as an
+    *    indexed bigram term (conjunctive over the bigram postings),
+    *    scored by BIGRAM BM25 — engages only when the index was built
+    *    with indexBigrams (otherwise the bigram dictionary probes come
+    *    back empty and the tier contributes nothing, the two-tier form);
+    *  - tier 2 (thread 3): the disjunctive unigram BM25 matches.
+    *
+    * A doc keeps its HIGHEST tier (the reference's append order is the
+    * precedence), ordered (tier asc, score desc, doc_id asc), top-k.
     */
   def handleQuery(query: String, k: Int): DataFrame = {
     val terms = queryTerms(query)
     if (terms.isEmpty) return emptyScores()
     val scored = bm25Scores(terms)
-    val ranked =
-      if (terms.size > 1) {
-        val phraseDocs = phraseMatch(terms).withColumnRenamed("doc_id", "doc_id")
-        val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
-          .withColumn("tier", lit(0))
-        val rest = scored.join(phraseDocs, Seq("doc_id"), "left_anti")
+    if (terms.size == 1)
+      return scored.withColumn("tier", lit(2))
+        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", $"score", $"tier")
+    val phraseDocs = phraseMatch(terms)
+    val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
+      .withColumn("tier", lit(0))
+    val bigramTerms = Tokenizer.tokenizeQuery(query, lemmas)
+      .bigrams.map(_.term).distinct
+    val bigramTier =
+      if (bigramTerms.nonEmpty &&
+          lookupTerms(bigramTerms).size == bigramTerms.size) {
+        bm25Scores(bigramTerms) // thread 2's bigram_scores
+          .join(conjunctive(bigramTerms), Seq("doc_id"), "left_semi")
+          .join(phraseDocs, Seq("doc_id"), "left_anti")
           .withColumn("tier", lit(1))
-        inPhrase.unionByName(rest)
-      } else scored.withColumn("tier", lit(1))
-    ranked.orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+      } else emptyScores().withColumn("tier", lit(1))
+    val claimed = inPhrase.select($"doc_id")
+      .unionByName(bigramTier.select($"doc_id"))
+    val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
+      .withColumn("tier", lit(2))
+    inPhrase.unionByName(bigramTier).unionByName(rest)
+      .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
       .select($"doc_id", $"score", $"tier")
   }
 

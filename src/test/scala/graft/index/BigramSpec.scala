@@ -59,6 +59,52 @@ class BigramSpec extends SparkSpecBase {
     }
   }
 
+  test("3-tier handleQuery: bigram middle tier rank-identical to scalar oracle") {
+    val oracle = new graft.oracle.Oracle(turns, lemmas, indexBigrams = true)
+    // queries: the most common surviving-lemma triple (bigram-conj docs
+    // strictly contain phrase docs in general) + the top bigram pair
+    val triples = turns.flatMap { t =>
+      Tokenizer.tokenize(t.text, lemmas).map(_.term)
+        .sliding(3).filter(_.size == 3).map(_.mkString(" "))
+    }
+    val topTriples = triples.groupBy(identity).toSeq
+      .sortBy { case (tri, occ) => (-occ.size, tri) }.take(3).map(_._1)
+    val topPair = turns.flatMap(t => Tokenizer.bigrams(t.text, lemmas))
+      .groupBy(_.term).maxBy(p => (p._2.size, p._1))._1
+    // a pair whose indexed-bigram doc set strictly contains its phrase
+    // docs (a dropped token sits between the words somewhere): its query
+    // MUST produce tier-1 rows
+    // (equal-word pairs collapse to a single distinct query term, which
+    // short-circuits to the unigram tier — skip them)
+    val gapPair = oracle.bigramPostings.keys.toSeq.sorted.iterator
+      .map { bg =>
+        val Array(w1, w2) = bg.split(" ", 2)
+        bg -> (if (w1 == w2) Set.empty[Long]
+               else oracle.bigramPostings(bg).map(_._1).toSet --
+                 oracle.phraseMatch(Seq(w1, w2)))
+      }.find(_._2.nonEmpty)
+    assert(gapPair.isDefined, "corpus has no bigram-only (gap) docs")
+    var sawBigramTier = false
+    (topTriples :+ topPair :+ gapPair.get._1).foreach { q =>
+      val want = oracle.handleQuery(q, 50)
+      val got = engine.handleQuery(q, 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(got == want, s"3-tier mismatch for '$q'\n got=$got\nwant=$want")
+      sawBigramTier ||= got.exists(_._3 == 1)
+    }
+    assert(sawBigramTier, "no test query exercised the bigram tier")
+  }
+
+  test("handleQuery without indexed bigrams leaves the middle tier empty") {
+    // the non-bigram oracle models a non-bigram index: same queries must
+    // come back with tiers {0,2} only
+    val oracle = new graft.oracle.Oracle(turns, lemmas, indexBigrams = false)
+    val q = turns.flatMap(t => Tokenizer.bigrams(t.text, lemmas))
+      .groupBy(_.term).maxBy(p => (p._2.size, p._1))._1
+    val want = oracle.handleQuery(q, 10)
+    assert(want.nonEmpty && want.forall(_._3 != 1))
+  }
+
   test("bigram df in dictionary matches scalar count") {
     val bg = turns.flatMap(t => Tokenizer.bigrams(t.text, lemmas))
       .groupBy(_.term).maxBy(_._2.size)._1
