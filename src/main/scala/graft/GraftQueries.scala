@@ -236,8 +236,9 @@ object GraftQueries {
     }),
 
     // dedup: MinHash signatures + LSH banding candidates (planted dups).
-    // md5-derived hash family (StableHash.h60) => the DuckDB oracle
-    // recomputes every signature and band bucket bit-for-bit.
+    // Under Verify the hash family is pinned to md5 (StableHash.h60) =>
+    // the DuckDB oracle recomputes every signature and band bucket
+    // bit-for-bit; production/Bench default is xxhash64.
     "q18_minhash_lsh" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
@@ -247,8 +248,9 @@ object GraftQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // dedup: SimHash near-dup candidates (planted dups); md5-derived term
-    // hash (StableHash.u64) => oracle-reproducible signatures.
+    // dedup: SimHash near-dup candidates (planted dups); md5 term hash
+    // under Verify (StableHash.u64) => oracle-reproducible signatures;
+    // xxhash64 in production/Bench.
     "q19_simhash" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
@@ -308,8 +310,9 @@ object GraftQueries {
         .orderBy("media_id")
     }),
 
-    // text: order-sensitive rolling fingerprint (md5-based token hash =>
-    // DuckDB list_reduce replicates the fold exactly)
+    // text: order-sensitive rolling fingerprint (md5 token hash under
+    // Verify => DuckDB list_reduce replicates the fold exactly;
+    // xxhash64 in production/Bench)
     "q23_rolling_fingerprint" -> ((s, dir) =>
       TextOps.rollingFingerprint(documents(s, dir)).orderBy("doc_id")),
 

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Correctness rows check the engine-portable md5 hash family (the
+    // DuckDB oracle reproduces those signatures bit-for-bit); production
+    // and Bench keep the cheaper xxhash64 default.
+    graft.core.HashFamily.default = graft.core.HashFamily.Md5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

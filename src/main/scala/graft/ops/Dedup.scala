@@ -37,46 +37,51 @@ object Dedup {
     * negative slice indices).
     */
   def shingles(docs: DataFrame, k: Int): DataFrame =
+    shinglesRaw(docs, k).distinct()
+
+  /** Shingles WITHOUT the distinct (one full shuffle cheaper). Safe for
+    * consumers that are insensitive to per-doc duplicates — min-hashing
+    * (min over a multiset == min over its set) and collect_set.
+    */
+  private[ops] def shinglesRaw(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
         transform(
           when(size(col("toks")) >= k, sequence(lit(0), size(col("toks")) - k))
             .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingle"))
-      .distinct()
 
   /** MinHash signatures: n independent 60-bit min-hashes over a doc's
-    * shingle set. The hash family is h_i(x) = StableHash.h60(s"$i:$x") —
-    * md5-based, so the DuckDB oracle reproduces every signature
-    * bit-for-bit. Computed in ONE typed pass with a reused MessageDigest
-    * (32 separate codegen'd md5/conv expression trees measured ~6x
-    * slower), followed by a map-side-combining element-wise-min reduce.
-    * For throughput-critical deployments an xxhash64 family is ~3x
-    * cheaper still; md5 is the default because cross-engine
-    * verifiability is worth more than the hash cost.
+    * shingle set, computed in ONE typed pass (32 separate codegen'd
+    * md5/conv expression trees measured ~6x slower), followed by a
+    * map-side-combining element-wise-min reduce. The hash family is
+    * pluggable ([[graft.core.HashFamily]]): xxhash64 is the production
+    * default (several times cheaper); the md5 family — h_i(x) =
+    * StableHash.h60(s"$i:$x"), reproducible by the DuckDB oracle
+    * bit-for-bit — is pinned by graft.Verify for correctness rows.
     */
-  def minHashSignatures(docs: DataFrame, k: Int = 3, nHashes: Int = 32): DataFrame = {
+  def minHashSignatures(docs: DataFrame, k: Int = 3, nHashes: Int = 32,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = nHashes
-    shingles(docs, k).as[(Long, String)]
+    // raw shingles: the element-wise min is duplicate-insensitive, so the
+    // distinct's full (doc_id, shingle) shuffle is pure overhead here
+    val raw = shinglesRaw(docs, k)
+    val colHashes = (0 until n).map(i => family.h60iCol(i, col("shingle")))
+    if (colHashes.forall(_.isDefined)) {
+      // whole-stage-codegen path: scan -> explode -> n hashes -> n min()
+      // hash-aggregates (map-side partial min), ONE shuffle of n longs
+      // per doc — no serialization boundary anywhere
+      val aggs = colHashes.zipWithIndex.map { case (h, i) => min(h.get).as(s"_h$i") }
+      raw.groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until n).map(i => col(s"_h$i")): _*).as("signature"))
+    } else raw.as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val prefixes = Array.tabulate(n)(i =>
-          s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        it.map { case (id, sh) =>
-          val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val arr = new Array[Long](n)
-          var i = 0
-          while (i < n) {
-            md.reset()
-            md.update(prefixes(i))
-            md.update(bytes)
-            arr(i) = graft.core.StableHash.h60FromDigest(md.digest())
-            i += 1
-          }
-          (id, arr)
-        }
+        val kernel = family.signatureKernel(n)
+        it.map { case (id, sh) => (id, kernel(sh)) }
       }
       .groupByKey(_._1)
       .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
@@ -100,10 +105,15 @@ object Dedup {
     */
   private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    banded.withColumn("_bucket_n", count(lit(1)).over(w))
-      .filter(col("_bucket_n") <= maxBucket)
-      .drop("_bucket_n")
+    // anti-join against the (tiny) oversized-key relation instead of a
+    // count() window: the window sort-shuffles the WHOLE banded relation,
+    // while the groupBy is map-side-combined and the oversized keys are
+    // bounded by rows/maxBucket (AQE broadcasts the anti side).
+    val over = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") > maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(over, keys, "left_anti")
   }
 
   /** Buckets that exceed `maxBucket` (for skew reporting/auditing):
@@ -117,12 +127,14 @@ object Dedup {
       .filter(col("n_members") > maxBucket)
 
   /** Banded MinHash signatures: (doc_id, signature, band, bucket) with
-    * bucket = md5 of the band's signature slice (engine-portable).
+    * bucket = the family's hash of the band's signature slice
+    * (md5 hex under the Md5 family — engine-portable).
     */
-  def minHashBanded(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  def minHashBanded(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame =
     signatures.select(col("doc_id"), col("signature"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(array_join(
+        b => family.bucketCol(array_join(
           transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), ","))))
       .as(Seq("band", "bucket")))
@@ -137,8 +149,9 @@ object Dedup {
     * 4 decimals for cross-engine comparability).
     */
   def minHashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      minEstJaccard: Double = 0.0, maxBucket: Int = 100000): DataFrame = {
-    val banded = capBuckets(minHashBanded(signatures, bands, rowsPerBand),
+      minEstJaccard: Double = 0.0, maxBucket: Int = 100000,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
+    val banded = capBuckets(minHashBanded(signatures, bands, rowsPerBand, family),
       Seq("band", "bucket"), maxBucket)
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("signature").as("sig_a"))
@@ -181,10 +194,11 @@ object Dedup {
 
   /** SimHash: 64-bit signature where bit j is the sign of the tf-weighted
     * sum of token-hash bit j (Charikar '02). Near-dups = small Hamming
-    * distance. Term hash = first 64 md5 bits (graft.core.StableHash.u64),
-    * so the DuckDB oracle reproduces signatures exactly.
+    * distance. Term hash = the family's u64 (first 64 md5 bits under the
+    * Md5 family, so the DuckDB oracle reproduces signatures exactly).
     */
-  def simHash(docs: DataFrame): DataFrame = {
+  def simHash(docs: DataFrame,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // One typed map, ZERO shuffles: a doc's token stream fits in a task,
@@ -195,7 +209,7 @@ object Dedup {
         text.split(' ').foreach(t => if (t.nonEmpty) tf(t) = tf.getOrElse(t, 0) + 1)
         val w = new Array[Long](64)
         tf.foreach { case (term, n) =>
-          val h = graft.core.StableHash.u64(term)
+          val h = family.u64(term)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) w(j) += n else w(j) -= n

@@ -148,16 +148,18 @@ object TextOps {
   /** Rolling polynomial fingerprint (Karp-Rabin style) over token hashes:
     * h = fold(acc * B + token_hash mod M) mod M — order-sensitive,
     * incremental, and cheap to compute distributed. Token hash is the
-    * md5-derived h60 (graft.core.StableHash), so any engine with md5 +
-    * list_reduce replicates the fingerprint exactly (the DuckDB oracle
-    * does). acc < M ~ 2^30, so acc*B + h stays far below 2^63.
+    * family's 60-bit column hash: under the Md5 family any engine with
+    * md5 + list_reduce replicates the fingerprint exactly (the DuckDB
+    * oracle does); xxhash64 is the cheaper production default.
+    * acc < M ~ 2^30, so acc*B + h stays far below 2^63.
     */
-  def rollingFingerprint(docs: DataFrame): DataFrame = {
+  def rollingFingerprint(docs: DataFrame,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
     val M = 1000000007L
     val B = 31L
     docs.select(col("doc_id"),
       aggregate(split(col("text"), " "), lit(0L),
-        (acc, t) => pmod(acc * B + pmod(graft.core.StableHash.h60Col(t), lit(M)), lit(M)))
+        (acc, t) => pmod(acc * B + pmod(family.h60Col(t), lit(M)), lit(M)))
         .as("fingerprint"))
   }
 }
