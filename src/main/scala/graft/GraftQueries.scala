@@ -484,6 +484,16 @@ object GraftQueries {
         .select("doc_id", "score", "tier")
     }),
 
+    // the AT-SCALE packing form: one independent pack stream per shard
+    // (window partitioned by shard — no global window, embarrassingly
+    // parallel); the oracle replicates the per-shard windowed arithmetic
+    "q39_pack_sharded" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("long"))
+      Pipeline.packSequencesSharded(docs, 256, "shard")
+        .orderBy("shard", "doc_id")
+    }),
+
     // reference handle_query, FULL three-strategy form (src/search_engine/
     // mod.rs:147-206): tier 0 = phrase (unigram-scored, thread 1), tier 1 =
     // all-query-bigrams docs scored by BIGRAM BM25 over the indexed bigram
@@ -712,6 +722,18 @@ object GraftQueries {
          |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 1 END AS tier
          |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
          |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin,
+
+    "q39_pack_sharded" ->
+      """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,
+        |  len(string_split(text,' ')) AS n_tokens FROM documents),
+        |c AS (SELECT shard, doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens, 0)
+        |    AS cum_before FROM t)
+        |SELECT shard, doc_id, n_tokens,
+        |  (cum_before // 256)::BIGINT AS pack_id,
+        |  (cum_before % 256)::BIGINT AS pack_pos
+        |FROM c ORDER BY shard, doc_id""".stripMargin,
 
     // three-tier handle_query: documents text is pre-cleaned (no dropped
     // tokens) and the q38 terms are outside the lemma map, so indexed

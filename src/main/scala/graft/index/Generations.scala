@@ -199,7 +199,8 @@ object Compactor {
     // resume path re-shuffles + re-sorts by (term, salt, doc_id), which is
     // exactly the k-way merge (disjoint doc ranges make it a merge, not a
     // re-group — reference src/positional_intersect/mod.rs:108-131 / J1).
-    val segs = gens.map(g => spark.read.parquet(IndexPaths(g).segments))
+    val segs = gens.map(g => spark.read.option("recursiveFileLookup", "true")
+        .parquet(IndexPaths(g).segments))
       .reduce(_ unionByName _).as[SegmentRow]
     val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()
     val nDocs = agg.getLong(0)

@@ -32,7 +32,16 @@ final case class IndexConf(
       * (tokenizer.rs:211-217): phrase queries for indexed bigrams become
       * a single dictionary probe instead of a positional intersect.
       */
-    indexBigrams: Boolean = false)
+    indexBigrams: Boolean = false,
+    /** SPIMI segment stage resume granularity: the doc_id space is cut
+      * into this many slices, each tokenized/shuffled/written + manifested
+      * INDEPENDENTLY — a kill mid-stage re-runs only the incomplete
+      * slices (BASELINE "per-partition segment manifests"). 0 = auto
+      * (~1 slice per 500k docs, capped at 64: small builds keep the
+      * single-job fast path, big builds get bounded redo-loss). 1 =
+      * single slice (stage-granular resume).
+      */
+    resumeSlices: Int = 0)
 
 final case class IndexPaths(root: String) {
   def docs = s"$root/docs"
@@ -307,6 +316,12 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   // ------------------------------------------------------------ manifests
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
+
   /** Row count from Parquet footers, driver-side — no Spark job. */
   private def footerRowCount(dir: String): Long = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -409,6 +424,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // salting slightly more terms, which is harmless (a few extra
     // sub-128 chunks), while missing a true heavy hitter only costs
     // balance, never correctness.
+    val nSlices = if (conf.resumeSlices > 0) conf.resumeSlices
+      else math.max(1L, math.min(64L, nDocs / 500000L)).toInt
     if (!manifestComplete(paths.segments, fp)) {
       val t0 = System.nanoTime()
       // ~20k sampled docs suffice: a term at the skew threshold (df rate
@@ -425,12 +442,51 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           .groupBy($"value").count()
           .filter($"count" >= cutoff)
           .select($"value").as[String].collect().toSet }
-      vtime("segments_write") {
-        buildSegments(docsWithText, nDocs, highDf)
-          .write.mode("overwrite").parquet(paths.segments) }
+      if (nSlices <= 1) {
+        vtime("segments_write") {
+          buildSegments(docsWithText, nDocs, highDf)
+            .write.mode("overwrite").parquet(paths.segments) }
+      } else {
+        // Per-partition resume: independent doc-range slices, each with
+        // its own manifest — a kill mid-stage redoes only incomplete
+        // slices. Slice boundaries are doc_id ranges, so salting
+        // (docId / saltWidth) and chunk doc-range disjointness are
+        // unaffected; a term spanning slices just contributes one sorted
+        // run per slice to the stage-2 chunker (same as a split seam).
+        // First drop anything that isn't a current slice dir (stale
+        // single-slice part files or slice_i >= nSlices from an
+        // interrupted run with a different slicing) — the stage-2 read
+        // is recursive, so leftovers would silently double-count.
+        val segRoot = Paths.get(paths.segments)
+        if (Files.exists(segRoot)) {
+          Files.list(segRoot).iterator().asScala.toSeq.foreach { p =>
+            val name = p.getFileName.toString
+            val keep = name.startsWith("slice_") &&
+              name.stripPrefix("slice_").toIntOption.exists(_ < nSlices)
+            if (!keep) deleteRecursively(p)
+          }
+        }
+        val sliceWidth = (nDocs + nSlices - 1) / nSlices
+        (0 until nSlices).foreach { i =>
+          val dir = s"${paths.segments}/slice_$i"
+          if (!manifestComplete(dir, fp)) {
+            val ts = System.nanoTime()
+            val lo = conf.docIdOffset + 1L + i.toLong * sliceWidth
+            val hi = lo + sliceWidth
+            vtime(s"segments_write_slice_$i") {
+              buildSegments(
+                docsWithText.filter($"doc_id" >= lo && $"doc_id" < hi),
+                nDocs, highDf)
+                .write.mode("overwrite").parquet(dir) }
+            writeManifest(dir, fp, footerRowCount(dir),
+              (System.nanoTime() - ts) / 1000000)
+          }
+        }
+      }
       val rows = footerRowCount(paths.segments)
       writeManifest(paths.segments, fp, rows, (System.nanoTime() - t0) / 1000000,
-        Map("salted_terms" -> highDf.size.toString))
+        Map("salted_terms" -> highDf.size.toString,
+          "n_slices" -> nSlices.toString))
     }
 
     // Stage 2: merge + chunk + dictionary + final postings. The segments
@@ -443,7 +499,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     if (!manifestComplete(paths.dictionary, fp) || !manifestComplete(paths.postings, fp)) {
       val t0 = System.nanoTime()
       val rawChunks = chunkSorted(
-        spark.read.parquet(paths.segments).as[SegmentRow], avgdl)
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(paths.segments).as[SegmentRow], avgdl)
       // (no explicit materialize: the dictionary stats agg inside is the
       // first consumer and fills the cache in the same pass)
       writeFinalTables(rawChunks, nDocs, root)

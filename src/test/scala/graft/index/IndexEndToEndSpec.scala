@@ -351,6 +351,91 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(eng.bm25TopK("the", 3).count() == 3)
   }
 
+  test("per-partition resume: only killed slices recompute; final index byte-identical") {
+    import java.nio.file.{Files, Paths}
+    def rmrf(p: String): Unit = {
+      val f = Paths.get(p)
+      if (Files.exists(f)) Files.walk(f)
+        .sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    }
+    // sorted (partIdx -> bytes) of a table's parquet files: part file
+    // names embed a random UUID, so identity is (partition index, bytes)
+    import scala.jdk.CollectionConverters._
+    def tableBytes(dir: String): Seq[(String, Seq[Byte])] =
+      Files.list(Paths.get(dir)).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString.split("-").take(2).mkString("-"),
+          Files.readAllBytes(p).toSeq))
+        .sortBy(_._1)
+    val conf = IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4,
+      resumeSlices = 4)
+    // reference: uninterrupted sliced build
+    val refDir = tmpDir("graft-slice-ref")
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), refDir)
+    // interrupted build: simulate a kill mid-stage-1 — two slices lost,
+    // parent segment marker + all later stages lost
+    val dir = tmpDir("graft-slice-crash")
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    val paths = IndexPaths(dir)
+    (0 until 4).foreach { i =>
+      assert(Files.exists(Paths.get(s"${paths.segments}/slice_$i", "_manifest.json")),
+        s"slice_$i manifest missing")
+    }
+    rmrf(s"${paths.segments}/slice_1")
+    rmrf(s"${paths.segments}/slice_3")
+    Files.delete(Paths.get(paths.segments, "_manifest.json"))
+    rmrf(paths.dictionary); rmrf(paths.postings)
+    Files.delete(Paths.get(paths.meta))
+    val kept = Seq(0, 2).map(i =>
+      Files.getLastModifiedTime(Paths.get(s"${paths.segments}/slice_$i", "_manifest.json")))
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    // intact slices untouched, killed slices rebuilt
+    assert(Seq(0, 2).map(i => Files.getLastModifiedTime(
+      Paths.get(s"${paths.segments}/slice_$i", "_manifest.json"))) == kept,
+      "intact slices were recomputed")
+    (0 until 4).foreach { i =>
+      assert(Files.exists(Paths.get(s"${paths.segments}/slice_$i", "_manifest.json")))
+    }
+    // the RESUMED stage is byte-identical to the uninterrupted build
+    // (sorted deterministic runs -> deterministic parquet bytes);
+    // stage-2 tables are compared by FULL CONTENT instead — their byte
+    // layout depends on Spark's range-exchange sample (seeded by rdd id,
+    // different in any two runs, resumed or not)
+    val refPaths = IndexPaths(refDir)
+    (0 until 4).foreach { i =>
+      assert(tableBytes(s"${paths.segments}/slice_$i") ==
+        tableBytes(s"${refPaths.segments}/slice_$i"),
+        s"slice_$i bytes differ from uninterrupted build")
+    }
+    def tableRows(d: String): Seq[Seq[Any]] =
+      spark.read.parquet(d).collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case v => v
+      }).sortBy(_.toString()).toSeq
+    assert(tableRows(paths.dictionary) == tableRows(refPaths.dictionary),
+      "dictionary content differs from uninterrupted build")
+    assert(tableRows(paths.postings) == tableRows(refPaths.postings),
+      "postings content differs from uninterrupted build")
+    // and sliced == unsliced index CONTENT (layout-independent semantics:
+    // dictionary rows identical; the postings differ only in seam chunks)
+    val unslicedDir = tmpDir("graft-slice-unsliced")
+    new IndexBuilder(spark, lemmas, conf.copy(resumeSlices = 1))
+      .build(Transcripts.generate(spark, 20L), unslicedDir)
+    def dictRows(d: String) = spark.read.parquet(IndexPaths(d).dictionary)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(dictRows(dir) == dictRows(unslicedDir),
+      "sliced build changed dictionary content")
+    val engS = new QueryEngine(spark, dir, lemmas)
+    val engU = new QueryEngine(spark, unslicedDir, lemmas)
+    Seq("the big join", "kelba sorro").foreach { q =>
+      assert(engS.bm25TopK(q, 5).collect().toSeq ==
+        engU.bm25TopK(q, 5).collect().toSeq, s"rank drift for '$q'")
+    }
+  }
+
   test("resume: a second build() skips completed stages") {
     // capture manifest mtimes, rebuild, assert untouched
     import java.nio.file.{Files, Paths}
