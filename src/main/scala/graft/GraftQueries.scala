@@ -484,6 +484,14 @@ object GraftQueries {
         .select("doc_id", "score", "tier")
     }),
 
+    // J7 at distance 2: the deletion-variant table serves d=2 as a pushed
+    // `variant IN` probe too (lazy-backfilled fuzzy_d2; PlanSpec asserts
+    // the pushdown) — reference BK-tree parity at any d, sub-linearly
+    "q40_fuzzy_d2" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      eng.fuzzyTerms("joib", 2).select("term", "df").orderBy("term")
+    }),
+
     // the AT-SCALE packing form: one independent pack stream per shard
     // (window partitioned by shard — no global window, embarrassingly
     // parallel); the oracle replicates the per-shard windowed arithmetic
@@ -597,6 +605,11 @@ object GraftQueries {
     "q08_fuzzy" ->
       s"""SELECT term, count(DISTINCT doc_id) AS df FROM ($toks)
          |WHERE abs(len(term) - 4) <= 1 AND levenshtein(term, 'joib') <= 1
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "q40_fuzzy_d2" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS df FROM ($toks)
+         |WHERE abs(len(term) - 4) <= 2 AND levenshtein(term, 'joib') <= 2
          |GROUP BY term ORDER BY term""".stripMargin,
 
     "q09_tfidf" ->

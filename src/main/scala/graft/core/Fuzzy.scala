@@ -21,9 +21,16 @@ object Fuzzy {
     * lev(a,b) <= d implies a and b share a string reachable by <= d
     * deletions from each). Deletions operate on code points, matching
     * Spark's levenshtein.
+    *
+    * Strings longer than `maxLen` code points emit only themselves. The
+    * INDEX writer passes maxLen = MaxTermLen + d so that every term
+    * reachable from a <= MaxTermLen-cp query still has its variants in
+    * the table (a 65-cp term is 1 deletion from a 64-cp query); the
+    * query side keeps the MaxTermLen default, and over-long QUERIES are
+    * routed to the scan fallback by QueryEngine.fuzzyTerms.
     */
-  def deleteVariants(s: String, d: Int): Set[String] = {
-    if (s.codePointCount(0, s.length) > MaxTermLen) return Set(s)
+  def deleteVariants(s: String, d: Int, maxLen: Int = MaxTermLen): Set[String] = {
+    if (s.codePointCount(0, s.length) > maxLen) return Set(s)
     def delOne(w: String): Iterator[String] = {
       val cps = w.codePoints().toArray
       cps.indices.iterator.map { j =>

@@ -33,6 +33,13 @@ final case class IndexConf(
       * a single dictionary probe instead of a positional intersect.
       */
     indexBigrams: Boolean = false,
+    /** Max edit distance the index-time SymSpell variant table serves as
+      * a pushed probe (fuzzy_d{N} table). Larger distances are served by
+      * a lazy per-distance backfill on first use (QueryEngine
+      * .fuzzyIndexFor); the default keeps build cost at the d=1 table
+      * (~L variants/term vs ~L^2/2 at d=2).
+      */
+    fuzzyMaxDistance: Int = 1,
     /** SPIMI segment stage resume granularity: the doc_id space is cut
       * into this many slices, each tokenized/shuffled/written + manifested
       * INDEPENDENTLY — a kill mid-stage re-runs only the incomplete
@@ -249,10 +256,16 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * lazy-build fallback for indexes from older builds).
     */
   def writeFuzzyIndex(dictDf: DataFrame, root: String, d: Int = 1): Unit = {
+    // maxLen slack of +d: a term of MaxTermLen+d code points is still
+    // within distance d of a MaxTermLen-cp query, so its variants must be
+    // in the table (the boundary miss ADVICE flagged); only terms beyond
+    // that are exact-match-only.
+    val maxLen = graft.core.Fuzzy.MaxTermLen + d
     dictDf.select($"term", $"term_id", $"df")
       .as[(String, Long, Long)]
       .flatMap { case (t, id, df) =>
-        graft.core.Fuzzy.deleteVariants(t, d).iterator.map(v => (v, t, id, df)) }
+        graft.core.Fuzzy.deleteVariants(t, d, maxLen).iterator
+          .map(v => (v, t, id, df)) }
       .toDF("variant", "term", "term_id", "df")
       .repartitionByRange(conf.numParts, $"variant")
       .sortWithinPartitions($"variant")
@@ -288,7 +301,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         .sortWithinPartitions($"term_id", $"chunk_seq")
         .write.mode("overwrite").parquet(paths.postings) }
     rawChunks.unpersist()
-    vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root) }
+    vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root, conf.fuzzyMaxDistance) }
     dictDf
   }
 
@@ -400,9 +413,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
-    // v3: term-sorted dictionary + index-time fuzzy variant table
+    // v4: fuzzy variant table with +d MaxTermLen slack (boundary recall)
     // (bumping the version invalidates caches with older layouts)
-    val fp = s"v3-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-in${inputFingerprint(turns)}"
+    val fp = s"v4-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}-in${inputFingerprint(turns)}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {

@@ -739,72 +739,85 @@ class QueryEngine(spark: SparkSession, root: String,
         explode(filter($"ps2", p => p > $"pos1" && p - $"pos1" <= lit(k))).as("pos2"))
   }
 
-  /** Max edit distance served by the persisted deletion-neighborhood
-    * index; larger distances fall back to the dictionary scan.
+  /** Largest fuzzy_d{N} directory probed for when serving a distance
+    * (a table built at D serves any d <= D: its variant set is a
+    * superset of the d-deletion set, and the exact levenshtein verify
+    * discards the extra candidates).
     */
-  val maxFuzzyDistance: Int = 1
+  private val MaxFuzzyTableDistance = 3
 
-  /** Deletion-neighborhood fuzzy index (SymSpell; Garbe 2012) — the
-    * Spark-native equivalent of the reference's BK-tree
+  private val fuzzyIndexCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Option[DataFrame]]
+
+  /** Deletion-neighborhood fuzzy index (SymSpell; Garbe 2012) serving
+    * distance d — the Spark-native equivalent of the reference's BK-tree
     * (src/my_bk_tree/mod.rs:3-26): every dictionary term is expanded to
-    * its <=maxFuzzyDistance-deletion variants, range-partitioned and
-    * sorted by variant. A fuzzy lookup is then a pushed-down
-    * `variant IN (...)` probe over a sorted table (row-group pruned),
-    * not a full-dictionary levenshtein scan — the difference between
-    * O(|q|) and O(|lexicon|) per query at the 10^8-term lexicons a
-    * 100 TB corpus produces.
+    * its <=D-deletion variants, range-partitioned and sorted by variant.
+    * A fuzzy lookup is then a pushed-down `variant IN (...)` probe over
+    * a sorted table (row-group pruned), not a full-dictionary
+    * levenshtein scan — the difference between O(|q|^d) and O(|lexicon|)
+    * per query at the 10^8-term lexicons a 100 TB corpus produces.
     *
-    * The table is written at INDEX time (IndexBuilder.writeFuzzyIndex);
-    * for indexes from older builds this lazily backfills it — and if the
-    * root is not writable (a read-only served snapshot), fuzzyTerms
-    * falls back to the length-pruned dictionary scan instead of failing.
+    * Resolution order: the smallest persisted fuzzy_dD with D >= d
+    * (written at index time, IndexConf.fuzzyMaxDistance); otherwise a
+    * one-time lazy backfill AT d. If the root is not writable (a
+    * read-only served snapshot), fuzzyTerms falls back to the
+    * length-pruned dictionary scan instead of failing.
     */
-  private lazy val fuzzyIndex: Option[DataFrame] = {
-    val path = paths.fuzzy(maxFuzzyDistance)
-    def present = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "_SUCCESS"))
-    if (!present && !QueryEngine.fuzzyBackfillFailed.contains(root)) {
-      try {
-        // same writer the index build uses (one pipeline, no drift)
-        new IndexBuilder(spark, Map.empty,
-          graft.index.IndexConf(
-            numParts = math.max(1, spark.sparkContext.defaultParallelism)))
-          .writeFuzzyIndex(dictionary, root, maxFuzzyDistance)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          // e.g. a read-only served snapshot: remember per-JVM so each
-          // fresh engine over this root doesn't re-run the (large)
-          // dictionary-expansion job just to fail at write time again
-          QueryEngine.fuzzyBackfillFailed.add(root)
-          System.err.println(
-            s"[graft] fuzzy-index backfill failed for $root " +
-              s"(falling back to dictionary scan): ${e.getMessage}")
+  private def fuzzyIndexFor(d: Int): Option[DataFrame] =
+    fuzzyIndexCache.getOrElseUpdate(d, {
+      def dirFor(dd: Int) = java.nio.file.Paths.get(paths.fuzzy(dd), "_SUCCESS")
+      def available = (d to MaxFuzzyTableDistance)
+        .find(dd => java.nio.file.Files.exists(dirFor(dd)))
+      if (available.isEmpty &&
+          !QueryEngine.fuzzyBackfillFailed.contains(s"$root#$d")) {
+        try {
+          // same writer the index build uses (one pipeline, no drift)
+          new IndexBuilder(spark, Map.empty,
+            graft.index.IndexConf(
+              numParts = math.max(1, spark.sparkContext.defaultParallelism)))
+            .writeFuzzyIndex(dictionary, root, d)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // remember per-JVM so each fresh engine over this root
+            // doesn't re-run the (large) dictionary-expansion job just
+            // to fail at write time again
+            QueryEngine.fuzzyBackfillFailed.add(s"$root#$d")
+            System.err.println(
+              s"[graft] fuzzy-index backfill failed for $root d=$d " +
+                s"(falling back to dictionary scan): ${e.getMessage}")
+        }
       }
-    }
-    if (present) Some(spark.read.parquet(path)) else None
-  }
+      available.map(dd => spark.read.parquet(paths.fuzzy(dd)))
+    })
 
   /** Fuzzy term lookup: all dictionary terms within Levenshtein distance d
-    * (reference BK-tree, src/my_bk_tree/mod.rs:14-21). Within
-    * maxFuzzyDistance this probes the deletion-neighborhood index (the
-    * SymSpell guarantee: lev(a,b) <= d implies a and b share a string
-    * reachable by <= d deletions from each), then verifies candidates
-    * with exact levenshtein. Larger d (or an unavailable variant table)
-    * falls back to a length-prefiltered dictionary scan.
+    * (reference BK-tree, src/my_bk_tree/mod.rs:14-21) — the variant-table
+    * probe (the SymSpell guarantee: lev(a,b) <= d implies a and b share a
+    * string reachable by <= d deletions from each), then an exact
+    * levenshtein verify on the candidates. Queries longer than
+    * Fuzzy.MaxTermLen code points (outside the variant table's domain)
+    * and unavailable variant tables fall back to a length-prefiltered
+    * dictionary scan. Recall is complete either way: the table carries
+    * variants for terms up to MaxTermLen + d code points, covering every
+    * term reachable from an in-domain query.
     */
   def fuzzyTerms(q: String, d: Int): DataFrame = {
-    if (d <= maxFuzzyDistance && fuzzyIndex.isDefined) {
-      val qVars = graft.core.Fuzzy.deleteVariants(q, d).toSeq
-      fuzzyIndex.get
-        .filter($"variant".isin(qVars: _*))
-        .select($"term", $"term_id", $"df").distinct()
-        .filter(levenshtein($"term", lit(q)) <= d)
-    } else
-      dictionary
-        .filter(length($"term") >= lit(q.length - d) &&
-          length($"term") <= lit(q.length + d))
-        .filter(levenshtein($"term", lit(q)) <= d)
-        .select($"term", $"term_id", $"df")
+    val inDomain = q.codePointCount(0, q.length) <= graft.core.Fuzzy.MaxTermLen
+    val idx = if (inDomain) fuzzyIndexFor(d) else None
+    idx match {
+      case Some(fi) =>
+        val qVars = graft.core.Fuzzy.deleteVariants(q, d).toSeq
+        fi.filter($"variant".isin(qVars: _*))
+          .select($"term", $"term_id", $"df").distinct()
+          .filter(levenshtein($"term", lit(q)) <= d)
+      case None =>
+        dictionary
+          .filter(length($"term") >= lit(q.length - d) &&
+            length($"term") <= lit(q.length + d))
+          .filter(levenshtein($"term", lit(q)) <= d)
+          .select($"term", $"term_id", $"df")
+    }
   }
 
   /** Attach document metadata to a result with a `doc_id` column — the

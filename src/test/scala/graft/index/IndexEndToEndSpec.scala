@@ -201,16 +201,18 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
-  test("SymSpell fuzzy index: parity with full-dictionary levenshtein scan") {
-    Seq("albae", "crba", "kelba", "xx", "the").foreach { q =>
-      val viaIndex = engine.fuzzyTerms(q, 1).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSet
-      import org.apache.spark.sql.functions.{col, levenshtein, lit}
-      val viaScan = engine.dictionary
-        .filter(levenshtein(col("term"), lit(q)) <= 1)
-        .select(col("term"), col("term_id")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSet
-      assert(viaIndex == viaScan, s"fuzzy mismatch for '$q'")
+  test("SymSpell fuzzy index: parity with full-dictionary levenshtein scan (d=1,2)") {
+    Seq(1, 2).foreach { d =>
+      Seq("albae", "crba", "kelba", "xx", "the").foreach { q =>
+        val viaIndex = engine.fuzzyTerms(q, d).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        import org.apache.spark.sql.functions.{col, levenshtein, lit}
+        val viaScan = engine.dictionary
+          .filter(levenshtein(col("term"), lit(q)) <= d)
+          .select(col("term"), col("term_id")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(viaIndex == viaScan, s"fuzzy mismatch for '$q' at d=$d")
+      }
     }
   }
 

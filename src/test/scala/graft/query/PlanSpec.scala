@@ -38,9 +38,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("pos_blob"), "fuzzy probe must not touch postings columns")
   }
 
-  test("fuzzy fallback (d > indexed) keeps the length-prefiltered scan") {
+  test("fuzzy d=2 is ALSO a pushed variant-IN probe (lazy-backfilled table)") {
     val plan = planOf(engine.fuzzyTerms("alba", 2))
+    assert(plan.contains("PushedFilters") && plan.contains("In(variant"),
+      s"d=2 should probe a variant table, got:\n$plan")
+    assert(!plan.contains("pos_blob"), "fuzzy probe must not touch postings columns")
+  }
+
+  test("fuzzy fallback (query beyond MaxTermLen) keeps the length-prefiltered scan") {
+    val longQ = "a" * (graft.core.Fuzzy.MaxTermLen + 1)
+    val plan = planOf(engine.fuzzyTerms(longQ, 1))
     assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("In(variant"), "over-long query must not probe the variant table")
     assert(!plan.contains("pos_blob"), "dictionary scan must not touch postings columns")
   }
 
