@@ -76,8 +76,9 @@ object Generations {
   * and avgdl are recomputed GLOBALLY at query time (per-generation df
   * summed; avgdl doc-weighted), so scores equal a from-scratch build over
   * the concatenated corpus bit-for-bit — asserted in tests. Block-max
-  * metadata is generation-local and therefore not used here; compact
-  * first for WAND-pruned queries.
+  * pruning works across generations too: per-generation max_impacts are
+  * rescaled to the global idf (see bm25TopKForTerms), so hot multi-gen
+  * serving prunes without compacting first.
   */
 class MultiGenEngine(spark: SparkSession, root: String,
     lemmas: Map[String, String] = Map.empty) {
@@ -98,9 +99,33 @@ class MultiGenEngine(spark: SparkSession, root: String,
   def queryTerms(query: String): Seq[String] =
     graft.core.Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
 
+  /** Below this total global df the pruned path is skipped (mirrors
+    * QueryEngine.wandMinPostings); tests set 0 to force pruning.
+    */
+  var wandMinPostings: Long = 100000L
+
+  /** Tier-1 candidate cap — above it exact scoring is cheaper than the
+    * candidate broadcast (counted distributed BEFORE any collect).
+    */
+  var wandCandidateCap: Long = 2000000L
+
+  /** Diagnostic: "pruned" | "exact" path taken by the last top-k call. */
+  var lastPath: String = ""
+
   /** BM25 top-k across generations, deterministic fold order by query-term
     * rank in byte-order term sort (term_ids are generation-local, so the
     * global fold key is the term's sorted position among the query terms).
+    *
+    * CROSS-GENERATION BLOCK-MAX: per-generation chunk max_impacts are
+    * computed under generation-LOCAL idf, but the tf/dl part (max_norm =
+    * max_impact / idf) is statistics-free — rescaling by the GLOBAL idf
+    * gives valid global per-term upper bounds, so the MaxScore
+    * essential/non-essential split and candidate-driven chunk skipping
+    * apply to hot multi-generation serving without compacting first.
+    * Exactness argument identical to the single-index wand(): every true
+    * top-k doc has an essential-postings entry, and essSum + Σ(non-ess
+    * max) >= θ retains it; results are bit-identical to the exact path
+    * (same impacts, same byte-order fold).
     */
   def bm25TopKForTerms(terms: Seq[String], k: Int): DataFrame = {
     val uniq = terms.distinct
@@ -117,27 +142,113 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val idf = ordered.map(t => t -> Bm25.idf(nDocs, globalDf(t))).toMap
     val avg = avgdl
 
-    val perGenScored = engines.zip(perGen).flatMap { case (e, dict) =>
-      val present = ordered.filter(dict.contains)
+    /** (doc_id, fold_key, impact) rows for `ts` from one generation —
+      * `source` lets the pruned path swap in a candidate-pruned read.
+      */
+    def foldRows(e: QueryEngine, dict: Map[String, graft.index.DictRow],
+        ts: Seq[String],
+        source: Seq[Long] => Dataset[graft.query.ScoredPosting]): Option[DataFrame] = {
+      val present = ordered.filter(t => ts.contains(t) && dict.contains(t))
       if (present.isEmpty) None
       else {
         val keyOf = present.map(t => dict(t).term_id -> foldKey(t)).toMap
         val idfOf = present.map(t => dict(t).term_id -> idf(t)).toMap
         val bcKey = spark.sparkContext.broadcast(keyOf)
         val bcIdf = spark.sparkContext.broadcast(idfOf)
-        Some(e.scoredPostings(present.map(dict(_).term_id))
+        Some(source(present.map(dict(_).term_id))
           .map(p => (p.doc_id, bcKey.value(p.term_id),
             Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg)))
           .toDF("doc_id", "fold_key", "impact"))
       }
     }
-    val all = perGenScored.reduce(_ unionByName _)
-    all.groupBy($"doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct($"fold_key", $"impact"))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("impact")).as("score"))
-      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+
+    def aggTopK(all: DataFrame): DataFrame =
+      all.groupBy($"doc_id")
+        .agg(aggregate(
+          sort_array(collect_list(struct($"fold_key", $"impact"))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("impact")).as("score"))
+        .orderBy($"score".desc, $"doc_id".asc).limit(k)
+
+    def exactPath(): DataFrame = {
+      lastPath = "exact"
+      aggTopK(engines.zip(perGen)
+        .flatMap { case (e, d) => foldRows(e, d, ordered, e.scoredPostings) }
+        .reduce(_ unionByName _))
+    }
+
+    if (globalDf.values.sum < wandMinPostings) return exactPath()
+
+    // ---- pruned path (cross-generation MaxScore)
+    val Eps = 1e-9
+    val globalMax: Map[String, Double] = ordered.map { t =>
+      val maxNorm = perGen.flatMap(_.get(t))
+        .map(e => e.max_impact / e.idf).foldLeft(0.0)(math.max)
+      t -> idf(t) * maxNorm
+    }.toMap
+    val best = ordered.maxBy(t => (globalMax(t), t))
+    val bestIdf = idf(best)
+    val thetaRows = engines.zip(perGen).flatMap { case (e, dict) =>
+      dict.get(best).map(d => e.scoredPostings(Seq(d.term_id))
+        .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avg)).toDF("value"))
+    }.reduce(_ unionByName _)
+      .orderBy($"value".desc).limit(k).as[Double].collect()
+    val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
+    if (theta <= 0.0) return exactPath()
+
+    val asc = ordered.sortBy(t => (globalMax(t), t))
+    var cum = 0.0
+    val nonEss = asc.takeWhile { t =>
+      val keep = cum + globalMax(t) < theta
+      if (keep) cum += globalMax(t)
+      keep
+    }.toSet
+    val ess = ordered.filterNot(nonEss)
+    if (nonEss.isEmpty) return exactPath()
+    val cumNonEssMax = nonEss.toSeq.map(globalMax).sum
+
+    val essRows = engines.zip(perGen)
+      .flatMap { case (e, d) => foldRows(e, d, ess, e.scoredPostings) }
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val candRel = essRows.groupBy($"doc_id")
+        .agg(sum($"impact").as("ess_sum"))
+        .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
+        .select($"doc_id").as[Long]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candCount =
+        try candRel.count()
+        catch { case t: Throwable => candRel.unpersist(false); throw t }
+      if (candCount == 0L) {
+        candRel.unpersist(false)
+        lastPath = "pruned"
+        return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+      }
+      if (candCount > wandCandidateCap) {
+        candRel.unpersist(false)
+        return exactPath()
+      }
+      val candIds = candRel.collect()
+      candRel.unpersist(false)
+      java.util.Arrays.sort(candIds)
+      lastPath = "pruned"
+
+      val nonEssRows = engines.zip(perGen).flatMap { case (e, dict) =>
+        val present = ordered.filter(t => nonEss(t) && dict.contains(t))
+        if (present.isEmpty) None
+        else {
+          val totalChunks =
+            present.map(t => (dict(t).df + 127) / 128).sum.toDouble
+          foldRows(e, dict, present,
+            ids => e.candidatePrunedPostings(ids, candIds, totalChunks))
+        }
+      }
+      val all = (Seq(essRows) ++ nonEssRows).reduce(_ unionByName _)
+      // eager: the persisted essRows must stay alive until collection
+      val rows = aggTopK(all).as[(Long, Double)].collect().toSeq
+      spark.createDataFrame(rows).toDF("doc_id", "score")
+    } finally essRows.unpersist(false)
   }
 
   def bm25TopK(query: String, k: Int): DataFrame =

@@ -458,76 +458,10 @@ class QueryEngine(spark: SparkSession, root: String,
     candRel.unpersist(false)
     lastWandPath = "pruned"
 
-    @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cand: Array[Long]): Boolean =
-      QueryEngine.rangeHasCandidate(minDoc, maxDoc, cand)
-    @inline def isCandidate(doc: Long, cand: Array[Long]): Boolean =
-      java.util.Arrays.binarySearch(cand, doc) >= 0
-
-    val nonEssBase = postings.filter($"term_id".isin(nonEssential.toSeq: _*))
-
-    // Surviving-chunk pruning, sized to the survivor count:
-    //  - few: a literal chunk_seq IN pushes into Parquet row-group stats;
-    //  - many: a 100k-literal pushed filter would make stats evaluation
-    //    itself the bottleneck on a wide cluster — a BROADCAST LEFT SEMI
-    //    join on (term_id, chunk_seq) is the scale-safe form (the
-    //    survivor table is chunk metadata, KBs even at 10^12 docs);
-    //  - nearly all: skip the pruning join entirely (read everything,
-    //    rely on the per-posting candidate filter).
-    def pruneChunks(survivors: Array[(Long, Long)], totalChunks: Double) =
-      if (survivors.length > chunkPruneDenseFraction * totalChunks) nonEssBase
-      else if (survivors.length <= chunkInMaxLiterals)
-        nonEssBase.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
-      else {
-        val survDf = survivors.toSeq.toDF("term_id", "chunk_seq")
-        nonEssBase.join(broadcast(survDf), Seq("term_id", "chunk_seq"), "left_semi")
-      }
-
-    // Candidate-pruned non-essential postings: metadata-only pre-pass
-    // (term_id/chunk_seq/min/max columns — no blob bytes read) finds the
-    // chunks containing candidates; the blob scan is pruned to them; the
-    // decoded postings are filtered to candidates before scoring.
-    def nonEssForCandidates(cand: Array[Long]): Dataset[ScoredPosting] = {
-      val bcCand = spark.sparkContext.broadcast(cand)
-      val totalNonEssChunks =
-        nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
-      // Driver-side bound on the survivor count, known BEFORE any job: a
-      // candidate doc appears in at most one chunk per term (doc_ids are
-      // disjoint across a term's chunks), so survivors <= min(total
-      // chunks, candidates * non-ess terms). Only collect metadata when
-      // that bound is driver-safe; otherwise apply the pruning as a
-      // distributed left-semi join with zero driver materialization.
-      val survBound =
-        math.min(totalNonEssChunks, cand.length.toDouble * nonEssEntries.size)
-      val pruned = if (survBound <= chunkMetaCollectCap) {
-        val survivors = nonEssBase
-          .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
-          .as[(Long, Long, Long, Long)]
-          .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
-          .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
-        wdbg(s"survivors=${survivors.length} totalNonEssChunks=$totalNonEssChunks " +
-          s"candidates=${cand.length}")
-        pruneChunks(survivors, totalNonEssChunks)
-      } else {
-        wdbg(s"survivor collect skipped: bound=$survBound > $chunkMetaCollectCap")
-        val survDf = nonEssBase
-          .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
-          .as[(Long, Long, Long, Long)]
-          .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
-          .select($"term_id", $"chunk_seq")
-        nonEssBase.join(survDf, Seq("term_id", "chunk_seq"), "left_semi")
-      }
-      pruned
-        .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
-          $"doc_gaps", $"tfs", $"dls")
-        .as[(Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
-        .filter(c => anyCandidateIn(c._2, c._3, bcCand.value))
-        .flatMap { case (termId, _, _, n, gaps, tfs, dls) =>
-          val ids = ChunkCodec.decodeDocGaps(gaps, n)
-          val cd = bcCand.value
-          Iterator.tabulate(n)(i => i).filter(i => isCandidate(ids(i), cd))
-            .map(i => ScoredPosting(termId, ids(i), tfs(i), dls(i)))
-        }
-    }
+    val totalNonEssChunks =
+      nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
+    def nonEssForCandidates(cand: Array[Long]): Dataset[ScoredPosting] =
+      candidatePrunedPostings(nonEssential.toSeq, cand, totalNonEssChunks)
 
     // θ REFINEMENT (the mid-df taming): when tier-1 leaves a dense
     // candidate set, exactly score the top-C candidates by essential sum
@@ -579,6 +513,72 @@ class QueryEngine(spark: SparkSession, root: String,
         lit(0.0),
         (acc, x) => acc + x.getField("impact")).as("score"))
     topK(exact, k)
+  }
+
+  /** Candidate-pruned read of `termIds`' postings — the block-max skip
+    * machinery shared by single-index WAND and the multi-generation
+    * engine: a metadata-only pre-pass (term_id/chunk_seq/min/max columns,
+    * no blob bytes) finds the chunks whose [min_doc_id, max_doc_id]
+    * contains a candidate; the blob scan is pruned to those survivors
+    * (literal chunk_seq IN when few → pushed into Parquet row-group
+    * stats; broadcast left-semi when many; skipped entirely when nearly
+    * all chunks survive); decoded postings are filtered to candidates.
+    * `totalChunks` is the driver-known chunk-count bound (Σ ceil(df/128))
+    * used for the dense-skip and collect-cap decisions. `cand` MUST be
+    * sorted ascending.
+    */
+  private[graft] def candidatePrunedPostings(termIds: Seq[Long],
+      cand: Array[Long], totalChunks: Double): Dataset[ScoredPosting] = {
+    @inline def anyCandidateIn(minDoc: Long, maxDoc: Long, cd: Array[Long]): Boolean =
+      QueryEngine.rangeHasCandidate(minDoc, maxDoc, cd)
+    @inline def isCandidate(doc: Long, cd: Array[Long]): Boolean =
+      java.util.Arrays.binarySearch(cd, doc) >= 0
+    val base = postings.filter($"term_id".isin(termIds: _*))
+    def pruneChunks(survivors: Array[(Long, Long)]) =
+      if (survivors.length > chunkPruneDenseFraction * totalChunks) base
+      else if (survivors.length <= chunkInMaxLiterals)
+        base.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+      else {
+        val survDf = survivors.toSeq.toDF("term_id", "chunk_seq")
+        base.join(broadcast(survDf), Seq("term_id", "chunk_seq"), "left_semi")
+      }
+    val bcCand = spark.sparkContext.broadcast(cand)
+    // Driver-side bound on the survivor count, known BEFORE any job: a
+    // candidate doc appears in at most one chunk per term (doc_ids are
+    // disjoint across a term's chunks), so survivors <= min(total
+    // chunks, candidates * terms). Only collect metadata when that
+    // bound is driver-safe; otherwise apply the pruning as a
+    // distributed left-semi join with zero driver materialization.
+    val survBound = math.min(totalChunks, cand.length.toDouble * termIds.size)
+    val pruned = if (survBound <= chunkMetaCollectCap) {
+      val survivors = base
+        .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+        .as[(Long, Long, Long, Long)]
+        .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
+        .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
+      wdbg(s"survivors=${survivors.length} totalChunks=$totalChunks " +
+        s"candidates=${cand.length}")
+      pruneChunks(survivors)
+    } else {
+      wdbg(s"survivor collect skipped: bound=$survBound > $chunkMetaCollectCap")
+      val survDf = base
+        .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+        .as[(Long, Long, Long, Long)]
+        .filter(c => anyCandidateIn(c._3, c._4, bcCand.value))
+        .select($"term_id", $"chunk_seq")
+      base.join(survDf, Seq("term_id", "chunk_seq"), "left_semi")
+    }
+    pruned
+      .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
+        $"doc_gaps", $"tfs", $"dls")
+      .as[(Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+      .filter(c => anyCandidateIn(c._2, c._3, bcCand.value))
+      .flatMap { case (termId, _, _, n, gaps, tfs, dls) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        val cd = bcCand.value
+        Iterator.tabulate(n)(i => i).filter(i => isCandidate(ids(i), cd))
+          .map(i => ScoredPosting(termId, ids(i), tfs(i), dls(i)))
+      }
   }
 
   // ------------------------------------------------- boolean / positional

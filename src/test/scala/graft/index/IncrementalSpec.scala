@@ -53,6 +53,30 @@ class IncrementalSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-gen BM25 with FORCED cross-generation block-max pruning: bit-identical") {
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    multi.wandMinPostings = 0L // force the pruned path
+    Seq("alba corba", "the of", "kelba the sorro", "the").foreach { q =>
+      multi.lastPath = ""
+      val got = multi.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = oracle.bm25TopK(q, 10)
+      assert(got == want, s"pruned multi-gen mismatch for '$q'\n got=$got\nwant=$want")
+    }
+    // at least one query must actually have taken the pruned path (not
+    // degenerate-fallen-back to exact)
+    multi.lastPath = ""
+    multi.bm25TopK("the of", 10).collect()
+    assert(multi.lastPath == "pruned",
+      s"stopword query did not engage cross-gen pruning: ${multi.lastPath}")
+    // and the cap fallback is exact too
+    multi.wandCandidateCap = 1L
+    val gotCap = multi.bm25TopK("the of", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(multi.lastPath == "exact", "cap should force the exact fallback")
+    assert(gotCap == oracle.bm25TopK("the of", 10))
+  }
+
   test("multi-gen boolean/positional/fuzzy == oracle over the full corpus") {
     val multi = new MultiGenEngine(spark, root, lemmas)
     // conjunctive
