@@ -47,9 +47,12 @@ object Generations {
       if (!Files.exists(p)) Nil
       else Files.list(p).iterator().asScala
         .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSeq
+    // only ^gen-\d+$ names feed the numeric counter: streaming dirs
+    // (gen-b<hex-sid>-NNNNN) would otherwise contribute digit runs from
+    // inside the random hex sid and make the counter jump arbitrarily
     val next = all
-      .map(_.stripPrefix("gen-").dropWhile(!_.isDigit).takeWhile(_.isDigit))
-      .filter(_.nonEmpty).map(_.toLong)
+      .filter(_.matches("gen-\\d+"))
+      .map(_.stripPrefix("gen-").toLong)
       .foldLeft(-1L)(math.max) + 1
     appendAt(spark, turns, root, f"$root/gen-$next%05d", lemmas, conf)
   }
@@ -64,6 +67,7 @@ object Generations {
   def appendAt(spark: SparkSession, turns: Dataset[Turn], root: String,
       dir: String, lemmas: Map[String, String],
       conf: IndexConf = IndexConf()): String = {
+    IndexBuilder.requireLocalRoot(root, "generation root")
     if (Files.exists(Paths.get(IndexPaths(dir).meta))) return dir
     val offset = totalDocs(root)
     new IndexBuilder(spark, lemmas, conf.copy(docIdOffset = offset))

@@ -411,6 +411,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   /** End-to-end build with per-stage resumable checkpoints. Returns meta. */
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
+    IndexBuilder.requireLocalRoot(root, "index root")
     val paths = IndexPaths(root)
     Files.createDirectories(Paths.get(root))
     // v4: fuzzy variant table with +d MaxTermLen slack (boundary recall)
@@ -536,6 +537,24 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 }
 
 object IndexBuilder {
+
+  /** The manifest/marker layer (per-stage + per-slice resume, streaming
+    * replay idempotency, atomic meta writes) is java.nio-based and only
+    * holds on a LOCAL filesystem root. A URI-schemed root (hdfs://,
+    * s3a://) would silently lose those guarantees — or throw deep inside
+    * a stage at Paths.get — so fail fast with an actionable message.
+    * Parquet data IO itself goes through Hadoop and would be fine; it's
+    * the marker seam that must be extended to the Hadoop FileSystem API
+    * before distributed-FS roots are supported.
+    */
+  def requireLocalRoot(p: String, what: String): Unit = {
+    val scheme =
+      try new java.net.URI(p).getScheme catch { case _: Throwable => null }
+    require(scheme == null || scheme == "file" || scheme.length == 1,
+      s"$what must be a local filesystem path, got '$p': the " +
+        "manifest/marker layer (resume, streaming idempotency, atomic " +
+        "meta) uses java.nio and does not hold on a distributed FS")
+  }
 
   /** Atomic file write (temp + ATOMIC_MOVE): index_meta.json existence is
     * the generation-completeness / streaming-replay-idempotency marker,

@@ -685,12 +685,25 @@ class QueryEngine(spark: SparkSession, root: String,
         .distinct().as[Long].collect()
       if (cand.isEmpty) return Seq.empty[Long].toDF("doc_id")
       java.util.Arrays.sort(cand)
-      val hint: DataFrame => DataFrame =
-        if (cand.length <= 200000) df => broadcast(df) else identity _
-      val joined = idxByDf.map { i =>
+      // Broadcast ONLY the first (rarest-term) relation, and only when
+      // its positional payload is broadcast-sized: cf = that term's
+      // total position count, so cf bounds the array payload exactly.
+      // Re-hinting the ACCUMULATED join result would re-broadcast every
+      // previously joined term's full position arrays at each step —
+      // for position-heavy docs that blows past broadcast scale and
+      // pressures the driver; later steps are left to AQE, which
+      // broadcasts at runtime iff the measured size is small.
+      val anchorEntry = byTerm(terms(anchor))
+      val hintFirst: DataFrame => DataFrame =
+        if (cand.length <= 200000 && anchorEntry.cf <= 2000000L)
+          df => broadcast(df)
+        else identity _
+      val rels = idxByDf.map { i =>
         positionedForCandidates(byTerm(terms(i)).term_id, cand)
           .select($"doc_id", $"positions".as(s"pos$i")).toDF()
-      }.reduceLeft((a, b) => hint(a).join(b, Seq("doc_id"), "inner"))
+      }
+      val joined = rels.tail.foldLeft(hintFirst(rels.head))(
+        (a, b) => a.join(b, Seq("doc_id"), "inner"))
       consecutiveFilter(joined)
     } else {
       // Shuffle-join fallback (ascending-df order, so the intermediate

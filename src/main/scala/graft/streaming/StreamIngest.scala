@@ -53,6 +53,10 @@ object StreamIngest {
       lemmas: Map[String, String], conf: IndexConf = IndexConf(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
+    // the stream-id marker, generation meta markers, and appendAt's
+    // idempotency check are java.nio-based — a distributed-FS root would
+    // silently void the exactly-once seam, so reject it up front
+    graft.index.IndexBuilder.requireLocalRoot(indexRoot, "indexRoot")
     val checkpoint = s"$indexRoot/_stream_checkpoint"
     val sid = streamId(checkpoint)
     spark.readStream
