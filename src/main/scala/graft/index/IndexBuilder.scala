@@ -481,21 +481,38 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           }
         }
         val sliceWidth = (nDocs + nSlices - 1) / nSlices
-        (0 until nSlices).foreach { i =>
-          val dir = s"${paths.segments}/slice_$i"
-          if (!manifestComplete(dir, fp)) {
-            val ts = System.nanoTime()
-            val lo = conf.docIdOffset + 1L + i.toLong * sliceWidth
-            val hi = lo + sliceWidth
-            vtime(s"segments_write_slice_$i") {
-              buildSegments(
-                docsWithText.filter($"doc_id" >= lo && $"doc_id" < hi),
-                nDocs, highDf)
-                .write.mode("overwrite").parquet(dir) }
-            writeManifest(dir, fp, footerRowCount(dir),
-              (System.nanoTime() - ts) / 1000000)
+        // Slices run CONCURRENTLY (independent Spark jobs from a small
+        // thread pool): the scheduler interleaves their stages into free
+        // task slots, so resume granularity costs no wall-clock vs the
+        // single-job form (measured: sequential slices halved c32 build
+        // throughput at 4.2M docs; concurrent slices restore it). Each
+        // slice writes its own dir + manifest — thread-safe by layout.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(nSlices, 4))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val jobs = (0 until nSlices).map { i =>
+            scala.concurrent.Future {
+              val dir = s"${paths.segments}/slice_$i"
+              if (!manifestComplete(dir, fp)) {
+                val ts = System.nanoTime()
+                val lo = conf.docIdOffset + 1L + i.toLong * sliceWidth
+                val hi = lo + sliceWidth
+                vtime(s"segments_write_slice_$i") {
+                  buildSegments(
+                    docsWithText.filter($"doc_id" >= lo && $"doc_id" < hi),
+                    nDocs, highDf)
+                    .write.mode("overwrite").parquet(dir) }
+                writeManifest(dir, fp, footerRowCount(dir),
+                  (System.nanoTime() - ts) / 1000000)
+              }
+            }
           }
-        }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(jobs),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       }
       val rows = footerRowCount(paths.segments)
       writeManifest(paths.segments, fp, rows, (System.nanoTime() - t0) / 1000000,
