@@ -529,7 +529,34 @@ object GraftQueries {
         .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
         .limit(10)
         .select("doc_id", "score", "tier")
-    }))
+    }),
+
+    // similarity: batch kNN join (every vector's top-5 neighbors) through
+    // the banded-LSH candidate path. The engine's candidate pairs are
+    // persisted to {AUX}/q41_pairs and the oracle re-scores EXACTLY that
+    // set (the q20/q26 pattern); ranking is over the ROUNDED cosine on
+    // both sides so near-ties can't flip between engines' fp sum orders.
+    // id_a < 50 keeps the driver row compact; candidate recall itself is
+    // asserted against brute force in OpsSpec.
+    "q41_knn_join" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val pairsPath = s"${auxDir(dir)}/q41_pairs"
+      Similarity.knnCandidatePairs(emb, nPlanes = 24, bands = 3, dim = 64)
+        .filter(col("id_a") < 50)
+        .coalesce(1).write.mode("overwrite").parquet(pairsPath)
+      val pairs = s.read.parquet(pairsPath)
+      Similarity.knnRank(emb, pairs, k = 5, roundTo = 4)
+        .orderBy("id_a", "rank")
+    }),
+
+    // dedup: cross-document duplicated n-gram spans (fixed-granularity
+    // substring dedup). n=8 over the documents table: exact-dup and
+    // near-dup planted docs share long runs, so every shared 8-token
+    // window surfaces with n_docs >= 2. The md5 family under Verify lets
+    // DuckDB recompute every span fingerprint bit-for-bit.
+    "q42_duplicate_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(documents(s, dir), n = 8, minDocs = 2)
+        .orderBy("span_fp")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -801,6 +828,48 @@ object GraftQueries {
          |    AND u.doc_id NOT IN (SELECT doc_id FROM bgsc))
          |SELECT doc_id, score, tier FROM tiers
          |ORDER BY tier ASC, score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // exact cosine re-scoring + windowed top-k over the engine's
+    // persisted banded-LSH candidate pairs (the q20/q26 AUX pattern)
+    "q41_knn_join" ->
+      """WITH p AS (SELECT id_a, id_b FROM read_parquet('{AUX}/q41_pairs/*.parquet')),
+        |scored AS (
+        |  SELECT p.id_a, p.id_b,
+        |    round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |                                 eb.embedding::DOUBLE[]), 4) AS cos
+        |  FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |         JOIN embeddings eb ON eb.vec_id = p.id_b),
+        |ranked AS (
+        |  SELECT id_a, id_b, cos,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)
+        |      AS rank
+        |  FROM scored)
+        |SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY id_a, rank""".stripMargin,
+
+    // duplicated 8-token spans: same windowing, same md5-derived 60-bit
+    // fingerprint (StableHash h60), same two-level distinct-doc rollup.
+    // The len >= 8 filter lives in its own CTE so the lateral
+    // generate_series never sees a stop below its start (which DuckDB
+    // would descend through).
+    "q42_duplicate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT
+        |      AS span_fp
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)),
+        |per_doc AS (
+        |  SELECT span_fp, doc_id, count(*) AS occs, min(pos) AS min_pos
+        |  FROM wins GROUP BY span_fp, doc_id),
+        |agg AS (
+        |  SELECT span_fp, count(*)::BIGINT AS n_docs, sum(occs)::BIGINT AS n_occs,
+        |    min(doc_id) AS first_doc, arg_min(min_pos, doc_id) AS first_pos
+        |  FROM per_doc GROUP BY span_fp)
+        |SELECT span_fp, n_docs, n_occs, first_doc, first_pos FROM agg
+        |WHERE n_docs >= 2 ORDER BY span_fp""".stripMargin,
 
     "q27_normalize" ->
       """WITH kept AS (

@@ -272,4 +272,44 @@ object Dedup {
       .distinct()
       .filter(col("cos") >= minCos)
   }
+
+  /** Cross-document duplicated n-gram spans — the fixed-granularity,
+    * distributable form of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * length-`n` token window of every document is fingerprinted (the
+    * family's 60-bit hash of the space-joined window), and a fingerprint
+    * seen in >= `minDocs` DISTINCT documents is a duplicated span.
+    *
+    * Output is per-fingerprint AGGREGATE stats, never span PAIRS — for a
+    * boilerplate span in d documents the pair count is O(d^2) while the
+    * stats row is O(1), which is what survives web-scale boilerplate:
+    * (span_fp, n_docs, n_occs, first_doc, first_pos), first_* = the
+    * earliest occurrence position within the lowest doc_id.
+    *
+    * Scale shape: one projection+explode (|tokens| rows per doc — the
+    * same weight class as the index build's posting stream) into two
+    * hash-partitioned aggregations with map-side partial combine; no
+    * joins. The second groupBy runs on data the first already reduced to
+    * one row per (span, doc).
+    */
+  def duplicateSpans(docs: DataFrame, n: Int, minDocs: Int = 2,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
+    val wins = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        family.h60Col(col("col")).as("span_fp"))
+    wins
+      .groupBy(col("span_fp"), col("doc_id"))
+      .agg(count(lit(1)).as("occs"), min(col("pos")).as("min_pos"))
+      .groupBy(col("span_fp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occs")).as("n_occs"),
+        min(struct(col("doc_id"), col("min_pos"))).as("first"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_fp"), col("n_docs"), col("n_occs"),
+        col("first.doc_id").as("first_doc"), col("first.min_pos").as("first_pos"))
+  }
 }

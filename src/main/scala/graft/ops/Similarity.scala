@@ -255,17 +255,44 @@ object Similarity {
     * quadratic cross join.
     */
   def knnJoin(embeddings: DataFrame, k: Int, nPlanes: Int = 24,
+      bands: Int = 3, dim: Int = 64, maxBucket: Int = 100000): DataFrame =
+    knnRank(embeddings,
+      knnCandidatePairs(embeddings, nPlanes, bands, dim, maxBucket), k)
+
+  /** The kNN join's candidate-generation half: distinct (id_a, id_b)
+    * pairs sharing at least one LSH band key (both directions, so every
+    * vector gets its own neighbor list). Split out so callers can
+    * persist the candidate set — the driver oracle re-scores EXACTLY the
+    * pairs the engine generated (q41), the same pattern as q20/q26.
+    */
+  def knnCandidatePairs(embeddings: DataFrame, nPlanes: Int = 24,
       bands: Int = 3, dim: Int = 64, maxBucket: Int = 100000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val banded = bandedHyperplane(embeddings, nPlanes, bands, dim, maxBucket)
-    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    val pairs = a.join(b, Seq("band", "key")).filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), col("e_a"), col("e_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosineCol(col("e_a").cast("array<double>"), col("e_b").cast("array<double>")).as("cos"))
+    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** The kNN join's scoring half: exact cosine on candidate pairs, then
+    * per-vector top-k via window rank (cos desc, id_b asc). `roundTo`
+    * >= 0 ranks on the ROUNDED cosine — what an engine-comparison oracle
+    * needs (two engines' fp sums can differ in the last ulp and flip
+    * near-tied ranks); production keeps full precision (-1).
+    */
+  def knnRank(embeddings: DataFrame, pairs: DataFrame, k: Int,
+      roundTo: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ea = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val eb = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val rawCos = cosineCol(col("e_a").cast("array<double>"),
+      col("e_b").cast("array<double>"))
+    val cos = if (roundTo >= 0) round(rawCos, roundTo) else rawCos
+    val scored = pairs.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
     val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
-    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
   }
 }

@@ -98,6 +98,30 @@ class DedupSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
   }
+
+  test("duplicateSpans finds cross-doc n-gram spans with correct stats") {
+    // docs 1 and 2 are identical 9-token texts -> two 8-token windows,
+    // each in BOTH docs; doc 3 shares only the first 8-token window (its
+    // 9th token differs); short doc 7 must contribute nothing.
+    val res = Dedup.duplicateSpans(
+      docs.union(docsDf(Seq(7L -> "too short"))), n = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val spark0 = spark
+    import spark0.implicits._
+    def fpOf(s: String): Long = Seq(s).toDF("s")
+      .select(graft.core.HashFamily.default.h60Col(col("s"))).head().getLong(0)
+    val w0 = fpOf("the quick brown fox jumps over the lazy")   // docs 1,2,3 @ pos 0
+    val w1 = fpOf("quick brown fox jumps over the lazy dog")   // docs 1,2   @ pos 1
+    assert(res(w0) == ((3L, 3L, 1L, 0L)), s"w0 stats: ${res.get(w0)}")
+    assert(res(w1) == ((2L, 2L, 1L, 1L)), s"w1 stats: ${res.get(w1)}")
+    assert(res.size == 2, s"unexpected extra spans: $res")
+    // intra-doc repetition alone must NOT qualify (distinct-doc count)
+    val rep = Dedup.duplicateSpans(
+      docsDf(Seq(10L -> "a b c d e f g h a b c d e f g h")), n = 8, minDocs = 2)
+    assert(rep.count() == 0L)
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
@@ -165,7 +189,7 @@ class SimilaritySpec extends SparkSpecBase {
     val byVec = res.collect().groupBy(_.getLong(0))
     assert(byVec.values.forall(_.length <= 3))
     byVec.values.foreach { rows =>
-      val coss = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val coss = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
     }
   }
