@@ -556,7 +556,13 @@ object GraftQueries {
     // DuckDB recompute every span fingerprint bit-for-bit.
     "q42_duplicate_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(documents(s, dir), n = 8, minDocs = 2)
-        .orderBy("span_fp")))
+        .orderBy("span_fp")),
+
+    // dedup: per-document duplicated-span coverage — the q42 consumer
+    // (drop boilerplate-heavy docs). Interval union as one window pass.
+    "q43_span_coverage" -> ((s, dir) =>
+      Dedup.spanDedupCoverage(documents(s, dir), n = 8, minDocs = 2)
+        .orderBy("doc_id")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -870,6 +876,34 @@ object GraftQueries {
         |  FROM per_doc GROUP BY span_fp)
         |SELECT span_fp, n_docs, n_occs, first_doc, first_pos FROM agg
         |WHERE n_docs >= 2 ORDER BY span_fp""".stripMargin,
+
+    // interval-union coverage of duplicated 8-token spans per document:
+    // a duplicated window at pos covers min(8, next_pos - pos) tokens
+    // (8 for the last) — same one-pass fold as the engine
+    "q43_span_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |long_t AS (SELECT * FROM t WHERE len(toks) >= 8),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT
+        |      AS span_fp
+        |  FROM long_t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)),
+        |dup AS (
+        |  SELECT span_fp FROM (
+        |    SELECT span_fp, count(DISTINCT doc_id) AS nd FROM wins GROUP BY span_fp)
+        |  WHERE nd >= 2),
+        |dw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (span_fp)),
+        |cov AS (
+        |  SELECT doc_id, sum(covered)::BIGINT AS dup_tokens FROM (
+        |    SELECT doc_id,
+        |      least(8, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8))
+        |        AS covered
+        |    FROM dw) GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  round(coalesce(c.dup_tokens, 0) / len(t.toks), 4) AS dup_fraction
+        |FROM t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q27_normalize" ->
       """WITH kept AS (

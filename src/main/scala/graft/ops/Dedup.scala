@@ -293,16 +293,8 @@ object Dedup {
     * one row per (span, doc).
     */
   def duplicateSpans(docs: DataFrame, n: Int, minDocs: Int = 2,
-      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
-    val wins = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(
-        transform(
-          when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
-            .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        family.h60Col(col("col")).as("span_fp"))
-    wins
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame =
+    spanWindows(docs, n, family)
       .groupBy(col("span_fp"), col("doc_id"))
       .agg(count(lit(1)).as("occs"), min(col("pos")).as("min_pos"))
       .groupBy(col("span_fp"))
@@ -311,5 +303,58 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select(col("span_fp"), col("n_docs"), col("n_occs"),
         col("first.doc_id").as("first_doc"), col("first.min_pos").as("first_pos"))
+
+  /** All length-`n` token windows: (doc_id, pos, span_fp). The shared
+    * explode behind [[duplicateSpans]] and [[spanDedupCoverage]] —
+    * |tokens| rows per doc, the index build's posting-stream weight
+    * class. The `when` guard keeps sub-n docs from a descending
+    * `sequence` (negative slice indices).
+    */
+  private[ops] def spanWindows(docs: DataFrame, n: Int,
+      family: graft.core.HashFamily): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        family.h60Col(col("col")).as("span_fp"))
+
+  /** Per-document duplicated-span coverage: how many of a document's
+    * tokens sit inside at least one cross-document duplicated n-gram
+    * span ([[duplicateSpans]] with the same n/minDocs). The interval
+    * union folds in ONE window pass — duplicated windows sorted by
+    * position contribute min(n, next_pos - pos) tokens each (n for the
+    * last) — so no per-doc interval lists materialize anywhere.
+    *
+    * Returns every input doc: (doc_id, n_tokens, dup_tokens,
+    * dup_fraction). Downstream filter `dup_fraction <= maxFrac` is the
+    * standard "drop boilerplate-heavy documents" gate.
+    *
+    * Scale shape: windows join the (already aggregated) duplicated-fp
+    * relation on span_fp — a hash join Catalyst/AQE sizes (broadcast
+    * when the dup set is small, shuffle otherwise); the interval union
+    * is a doc-partitioned window; one final join back to doc lengths.
+    */
+  def spanDedupCoverage(docs: DataFrame, n: Int, minDocs: Int = 2,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
+    val dupFps = duplicateSpans(docs, n, minDocs, family).select(col("span_fp"))
+    val dupWins = spanWindows(docs, n, family)
+      .join(dupFps, Seq("span_fp"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = dupWins
+      .withColumn("covered",
+        least(lit(n.toLong), coalesce(lead(col("pos"), 1).over(w) - col("pos"),
+          lit(n.toLong))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("dup_fraction"))
   }
 }

@@ -122,6 +122,23 @@ class DedupSpec extends SparkSpecBase {
       docsDf(Seq(10L -> "a b c d e f g h a b c d e f g h")), n = 8, minDocs = 2)
     assert(rep.count() == 0L)
   }
+
+  test("spanDedupCoverage: interval union of duplicated windows") {
+    // docs 1,2: both 8-windows duplicated -> union covers all 9 tokens
+    // (pos 0 contributes min(8, 1-0) = 1, pos 1 the full 8);
+    // doc 3 shares only the pos-0 window -> 8 of 9 tokens;
+    // docs 4,5 are sub-8-token (no windows); doc 6's one window is unique.
+    val res = Dedup.spanDedupCoverage(docs, n = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(res(1L) == ((9L, 9L, 1.0)))
+    assert(res(2L) == ((9L, 9L, 1.0)))
+    assert(res(3L) == ((9L, 8L, 0.8889)))
+    assert(res(4L) == ((7L, 0L, 0.0)))
+    assert(res(5L) == ((7L, 0L, 0.0)))
+    assert(res(6L) == ((8L, 0L, 0.0)))
+    assert(res.size == 6)
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
