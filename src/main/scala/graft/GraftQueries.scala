@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tokenizer
 import graft.corpus.Turn
 import graft.index.{IndexBuilder, IndexConf, IndexPaths}
-import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Pipeline, Sessions, Similarity, TextOps}
 import graft.query.QueryEngine
 
 /** The operator catalog behind SparkEntry: every query takes
@@ -24,6 +24,9 @@ object GraftQueries {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
 
   // ------------------------------------------------------------ the index
 
@@ -562,7 +565,14 @@ object GraftQueries {
     // (drop boilerplate-heavy docs). Interval union as one window pass.
     "q43_span_coverage" -> ((s, dir) =>
       Dedup.spanDedupCoverage(documents(s, dir), n = 8, minDocs = 2)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // streaming-surface batch analog: gap-based sessionization of the
+    // events table (30-min idle gap), integer epoch-ms arithmetic so the
+    // gaps-and-islands oracle reproduces boundaries exactly
+    "q44_sessionize" -> ((s, dir) =>
+      Sessions.sessionizeEvents(events(s, dir), gapMs = 30 * 60 * 1000L)
+        .orderBy("user_id", "session_idx")))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -904,6 +914,30 @@ object GraftQueries {
         |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
         |  round(coalesce(c.dup_tokens, 0) / len(t.toks), 4) AS dup_fraction
         |FROM t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // gaps-and-islands: lag flags session starts, a running sum numbers
+    // them (::BIGINT — DuckDB window sums return HUGEINT), one agg per
+    // (user, session). epoch_ms == Spark's unix_millis (both floor).
+    "q44_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ms, value,
+        |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (
+        |  SELECT user_id, ms, value,
+        |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+        |      AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |  min(ms)::BIGINT AS first_ms, max(ms)::BIGINT AS last_ms,
+        |  (max(ms) - min(ms))::BIGINT AS duration_ms,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
 
     "q27_normalize" ->
       """WITH kept AS (

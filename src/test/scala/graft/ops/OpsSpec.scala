@@ -409,3 +409,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(!got.contains(3L), s"4-token overlap must not trigger k=5: $got")
   }
 }
+
+class SessionsSpec extends graft.SparkSpecBase {
+
+  test("sessionizeEvents splits at the gap, numbers sessions per user") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val events = Seq(
+      (0L, ts(0L), 1L, 1.5),     // user 1, session 0
+      (1L, ts(500L), 1L, 2.0),   // gap 500 <= 1000 -> same session
+      (2L, ts(1600L), 1L, 3.0),  // gap 1100 > 1000 -> session 1
+      (3L, ts(1700L), 1L, 0.5),
+      (4L, ts(100L), 2L, 9.0))   // user 2, own numbering
+      .toDF("event_id", "ts", "user_id", "value")
+    val res = Sessions.sessionizeEvents(events, gapMs = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    assert(res((1L, 0L)) == ((2L, 0L, 500L, 500L, 3.5)))
+    assert(res((1L, 1L)) == ((2L, 1600L, 1700L, 100L, 3.5)))
+    assert(res((2L, 0L)) == ((1L, 100L, 100L, 0L, 9.0)))
+    assert(res.size == 3)
+  }
+}
