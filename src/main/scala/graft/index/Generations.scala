@@ -191,68 +191,104 @@ class MultiGenEngine(spark: SparkSession, root: String,
       t -> idf(t) * maxNorm
     }.toMap
     val best = ordered.maxBy(t => (globalMax(t), t))
-    val bestIdf = idf(best)
-    val thetaRows = engines.zip(perGen).flatMap { case (e, dict) =>
-      dict.get(best).map(d => e.scoredPostings(Seq(d.term_id))
-        .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avg)).toDF("value"))
-    }.reduce(_ unionByName _)
-      .orderBy($"value".desc).limit(k).as[Double].collect()
-    val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
-    if (theta <= 0.0) return exactPath()
-
-    val asc = ordered.sortBy(t => (globalMax(t), t))
-    var cum = 0.0
-    val nonEss = asc.takeWhile { t =>
-      val keep = cum + globalMax(t) < theta
-      if (keep) cum += globalMax(t)
-      keep
-    }.toSet
-    val ess = ordered.filterNot(nonEss)
-    if (nonEss.isEmpty) return exactPath()
-    val cumNonEssMax = nonEss.toSeq.map(globalMax).sum
-
-    val essRows = engines.zip(perGen)
-      .flatMap { case (e, d) => foldRows(e, d, ess, e.scoredPostings) }
+    // the best term's (largest) postings decode ONCE: the persisted fold
+    // rows serve both the theta pass and the essential union below —
+    // the cross-gen analog of wandImpl's bestPostings cache
+    val bestRows = engines.zip(perGen)
+      .flatMap { case (e, d) => foldRows(e, d, Seq(best), e.scoredPostings) }
       .reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val candRel = essRows.groupBy($"doc_id")
-        .agg(sum($"impact").as("ess_sum"))
-        .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
-        .select($"doc_id").as[Long]
+      val thetaRows = bestRows.select($"impact".as("value"))
+        .orderBy($"value".desc).limit(k).as[Double].collect()
+      val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
+      if (theta <= 0.0) return exactPath()
+
+      // shared driver-side split (QueryEngine.nonEssentialSplit): one
+      // implementation with the single-index WAND, no copy drift
+      val nonEss = graft.query.QueryEngine.nonEssentialSplit(
+        ordered.sortBy(t => (globalMax(t), t)).map(t => t -> globalMax(t)),
+        theta)
+      val ess = ordered.filterNot(nonEss)
+      if (nonEss.isEmpty) return exactPath()
+      val cumNonEssMax = nonEss.toSeq.map(globalMax).sum
+
+      val essOther = ess.filterNot(_ == best)
+      val essRows = (Seq(bestRows) ++ engines.zip(perGen)
+        .flatMap { case (e, d) => foldRows(e, d, essOther, e.scoredPostings) })
+        .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val candCount =
-        try candRel.count()
-        catch { case t: Throwable => candRel.unpersist(false); throw t }
-      if (candCount == 0L) {
+      try {
+        val candRel = essRows.groupBy($"doc_id")
+          .agg(sum($"impact").as("ess_sum"))
+          .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
+          .as[(Long, Double)]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val candCount =
+          try candRel.count()
+          catch { case t: Throwable => candRel.unpersist(false); throw t }
+        if (candCount == 0L) {
+          candRel.unpersist(false)
+          lastPath = "pruned"
+          return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+        }
+        if (candCount > wandCandidateCap) {
+          candRel.unpersist(false)
+          return exactPath()
+        }
+        val candPairs = candRel.collect()
         candRel.unpersist(false)
         lastPath = "pruned"
-        return Seq.empty[(Long, Double)].toDF("doc_id", "score")
-      }
-      if (candCount > wandCandidateCap) {
-        candRel.unpersist(false)
-        return exactPath()
-      }
-      val candIds = candRel.collect()
-      candRel.unpersist(false)
-      java.util.Arrays.sort(candIds)
-      lastPath = "pruned"
 
-      val nonEssRows = engines.zip(perGen).flatMap { case (e, dict) =>
-        val present = ordered.filter(t => nonEss(t) && dict.contains(t))
-        if (present.isEmpty) None
-        else {
-          val totalChunks =
-            present.map(t => (dict(t).df + 127) / 128).sum.toDouble
-          foldRows(e, dict, present,
-            ids => e.candidatePrunedPostings(ids, candIds, totalChunks))
+        /** Candidate-pruned non-essential fold rows for `cand`. */
+        def nonEssRowsFor(cand: Array[Long]): Seq[DataFrame] =
+          engines.zip(perGen).flatMap { case (e, dict) =>
+            val present = ordered.filter(t => nonEss(t) && dict.contains(t))
+            if (present.isEmpty) None
+            else {
+              val totalChunks =
+                present.map(t => (dict(t).df + 127) / 128).sum.toDouble
+              foldRows(e, dict, present,
+                ids => e.candidatePrunedPostings(ids, cand, totalChunks))
+            }
+          }
+
+        // θ REFINEMENT (same mid-df taming as wandImpl, same gate): with
+        // a dense tier-1 set, exactly scoring the top-C candidates by
+        // essential sum yields real achievable totals, so the k-th best
+        // of them is a valid, much tighter lower bound on the global
+        // k-th best — collapsing tier-2 from O(df) to O(k)-ish.
+        var thetaEff = theta
+        if (candPairs.length > math.max(50 * k, 20000)) {
+          val c = math.max(k, 200)
+          val topC = candPairs.sortBy { case (d0, s) => (-s, d0) }.take(c)
+          val topCIds = topC.map(_._1)
+          java.util.Arrays.sort(topCIds)
+          val neSums = nonEssRowsFor(topCIds) match {
+            case Seq() => Map.empty[Long, Double]
+            case rs => rs.reduce(_ unionByName _)
+              .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
+              .as[(Long, Double)].collect().toMap
+          }
+          val totals = topC.map { case (d0, es) => es + neSums.getOrElse(d0, 0.0) }
+            .sorted(Ordering[Double].reverse)
+          if (totals.length >= k) thetaEff = math.max(theta, totals(k - 1) - Eps)
         }
-      }
-      val all = (Seq(essRows) ++ nonEssRows).reduce(_ unionByName _)
-      // eager: the persisted essRows must stay alive until collection
-      val rows = aggTopK(all).as[(Long, Double)].collect().toSeq
-      spark.createDataFrame(rows).toDF("doc_id", "score")
-    } finally essRows.unpersist(false)
+
+        val candIds = candPairs.iterator
+          .filter { case (_, es) => es + cumNonEssMax >= thetaEff - Eps }
+          .map(_._1).toArray
+        if (candIds.isEmpty) {
+          return Seq.empty[(Long, Double)].toDF("doc_id", "score")
+        }
+        java.util.Arrays.sort(candIds)
+
+        val all = (Seq(essRows) ++ nonEssRowsFor(candIds)).reduce(_ unionByName _)
+        // eager: the persisted essRows must stay alive until collection
+        val rows = aggTopK(all).as[(Long, Double)].collect().toSeq
+        spark.createDataFrame(rows).toDF("doc_id", "score")
+      } finally essRows.unpersist(false)
+    } finally bestRows.unpersist(false)
   }
 
   def bm25TopK(query: String, k: Int): DataFrame =

@@ -270,6 +270,14 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       .repartitionByRange(conf.numParts, $"variant")
       .sortWithinPartitions($"variant")
       .write.mode("overwrite").parquet(IndexPaths(root).fuzzy(d))
+    // tie the variant table to the EXACT dictionary build it derives
+    // from: a rebuild over a changed corpus rewrites the dictionary but
+    // only fuzzy_d{fuzzyMaxDistance} — without the token, a stale
+    // lazily-backfilled fuzzy_dD from the old corpus would keep serving
+    // (wrong df, dangling term_ids)
+    Files.writeString(
+      Paths.get(IndexPaths(root).fuzzy(d), IndexBuilder.DictTokenFile),
+      IndexBuilder.tableToken(IndexPaths(root).dictionary))
   }
 
   /** Stage-2 writer shared by build() and Compactor.compact: dictionary
@@ -481,6 +489,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           }
         }
         val sliceWidth = (nDocs + nSlices - 1) / nSlices
+        // Slice manifests carry the GEOMETRY in their fingerprint: a
+        // resume after changing resumeSlices must not accept a slice dir
+        // whose doc range was computed under a different slicing (same
+        // slice_1 name, different [lo, hi) — silently dropped or
+        // double-counted ranges otherwise). The parent segments manifest
+        // keeps the plain fp; geometry only matters while slices resume.
+        val sliceFp = s"$fp-sl$nSlices"
         // Slices run CONCURRENTLY (independent Spark jobs from a small
         // thread pool): the scheduler interleaves their stages into free
         // task slots, so resume granularity costs no wall-clock vs the
@@ -495,7 +510,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           val jobs = (0 until nSlices).map { i =>
             scala.concurrent.Future {
               val dir = s"${paths.segments}/slice_$i"
-              if (!manifestComplete(dir, fp)) {
+              if (!manifestComplete(dir, sliceFp)) {
                 val ts = System.nanoTime()
                 val lo = conf.docIdOffset + 1L + i.toLong * sliceWidth
                 val hi = lo + sliceWidth
@@ -504,7 +519,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
                     docsWithText.filter($"doc_id" >= lo && $"doc_id" < hi),
                     nDocs, highDf)
                     .write.mode("overwrite").parquet(dir) }
-                writeManifest(dir, fp, footerRowCount(dir),
+                writeManifest(dir, sliceFp, footerRowCount(dir),
                   (System.nanoTime() - ts) / 1000000)
               }
             }
@@ -554,6 +569,31 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 }
 
 object IndexBuilder {
+
+  /** Marker file inside a fuzzy_dD dir holding [[tableToken]] of the
+    * dictionary it was derived from.
+    */
+  val DictTokenFile = "_graft_dict_token"
+
+  /** Identity token of an on-disk parquet table: hash of its sorted
+    * (part-file name, size) listing. Part names embed the write's UUID,
+    * so ANY rewrite of the table — same content or not — changes the
+    * token. Cheap to recompute at serve time (one directory listing);
+    * used to tie derived tables (the fuzzy variant tables) to the exact
+    * dictionary build they came from.
+    */
+  def tableToken(dir: String): String = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) "absent"
+    else {
+      val parts = Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => s"${f.getFileName}:${Files.size(f)}")
+        .toSeq.sorted
+      val h = parts.foldLeft(17L)((acc, s) => acc * 1000003L + s.hashCode)
+      java.lang.Long.toHexString(h)
+    }
+  }
 
   /** The manifest/marker layer (per-stage + per-slice resume, streaming
     * replay idempotency, atomic meta writes) is java.nio-based and only

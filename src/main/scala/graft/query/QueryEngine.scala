@@ -392,14 +392,11 @@ class QueryEngine(spark: SparkSession, root: String,
     wdbg(s"theta=$theta best=${best.term} df=${best.df}")
     if (theta <= 0.0) { lastWandPath = "exact"; return topK(exactScores(entries), k) }
 
-    // Essential / non-essential split (driver-side arithmetic).
-    val asc = entries.sortBy(e => (e.max_impact, e.term_id))
-    var cum = 0.0
-    val nonEssential = asc.takeWhile { e =>
-      val keep = cum + e.max_impact < theta
-      if (keep) cum += e.max_impact
-      keep
-    }.map(_.term_id).toSet
+    // Essential / non-essential split (driver-side arithmetic, shared
+    // with MultiGenEngine so the takeWhile subtleties cannot drift).
+    val nonEssential = QueryEngine.nonEssentialSplit(
+      entries.sortBy(e => (e.max_impact, e.term_id))
+        .map(e => e.term_id -> e.max_impact), theta)
     val essential = entries.filterNot(e => nonEssential(e.term_id))
     val nonEssEntries = entries.filter(e => nonEssential(e.term_id))
     wdbg(s"essential=${essential.map(e => s"${e.term}(df=${e.df})").mkString(",")} " +
@@ -771,35 +768,59 @@ class QueryEngine(spark: SparkSession, root: String,
     * levenshtein scan — the difference between O(|q|^d) and O(|lexicon|)
     * per query at the 10^8-term lexicons a 100 TB corpus produces.
     *
-    * Resolution order: the smallest persisted fuzzy_dD with D >= d
-    * (written at index time, IndexConf.fuzzyMaxDistance); otherwise a
-    * one-time lazy backfill AT d. If the root is not writable (a
-    * read-only served snapshot), fuzzyTerms falls back to the
-    * length-pruned dictionary scan instead of failing.
+    * Resolution order: the smallest VALID persisted fuzzy_dD with D >= d
+    * (valid = its dict-token marker matches the CURRENT dictionary —
+    * a rebuild over a changed corpus rewrites the dictionary but not
+    * old lazily-backfilled tables, which must not keep serving);
+    * otherwise a one-time lazy backfill AT d, serialized per (root, d)
+    * so concurrent first lookups can't race two overwrites into one
+    * directory. Backfill only runs for d <= MaxFuzzyTableDistance —
+    * the variant count grows ~C(len, d), so larger distances go to the
+    * length-pruned dictionary scan instead of writing an enormous table
+    * nobody asked to persist. If the root is not writable (a read-only
+    * served snapshot), fuzzyTerms falls back to the scan as well.
     */
   private def fuzzyIndexFor(d: Int): Option[DataFrame] =
     fuzzyIndexCache.getOrElseUpdate(d, {
-      def dirFor(dd: Int) = java.nio.file.Paths.get(paths.fuzzy(dd), "_SUCCESS")
-      def available = (d to MaxFuzzyTableDistance)
-        .find(dd => java.nio.file.Files.exists(dirFor(dd)))
-      if (available.isEmpty &&
-          !QueryEngine.fuzzyBackfillFailed.contains(s"$root#$d")) {
-        try {
-          // same writer the index build uses (one pipeline, no drift)
-          new IndexBuilder(spark, Map.empty,
-            graft.index.IndexConf(
-              numParts = math.max(1, spark.sparkContext.defaultParallelism)))
-            .writeFuzzyIndex(dictionary, root, d)
-        } catch {
-          case scala.util.control.NonFatal(e) =>
-            // remember per-JVM so each fresh engine over this root
-            // doesn't re-run the (large) dictionary-expansion job just
-            // to fail at write time again
-            QueryEngine.fuzzyBackfillFailed.add(s"$root#$d")
-            System.err.println(
-              s"[graft] fuzzy-index backfill failed for $root d=$d " +
-                s"(falling back to dictionary scan): ${e.getMessage}")
+      val dictToken = IndexBuilder.tableToken(paths.dictionary)
+      def valid(dd: Int): Boolean = {
+        val dir = java.nio.file.Paths.get(paths.fuzzy(dd))
+        java.nio.file.Files.exists(dir.resolve("_SUCCESS")) && {
+          val marker = dir.resolve(graft.index.IndexBuilder.DictTokenFile)
+          java.nio.file.Files.exists(marker) &&
+            java.nio.file.Files.readString(marker) == dictToken
         }
+      }
+      // probe EVERY persisted distance (a build may have written
+      // fuzzy_d{fuzzyMaxDistance} above the backfill cap)
+      def available = QueryEngine.fuzzyDistancesOnDisk(root)
+        .filter(_ >= d).find(valid)
+      if (available.isEmpty && d <= MaxFuzzyTableDistance &&
+          !QueryEngine.fuzzyBackfillFailed.contains(s"$root#$d")) {
+        // serialize per (root, d): two concurrent overwrite jobs into the
+        // same directory would delete each other's in-flight files
+        QueryEngine.fuzzyBuildLocks
+          .getOrElseUpdate(s"$root#$d", new Object).synchronized {
+            if (!valid(d) &&
+                !QueryEngine.fuzzyBackfillFailed.contains(s"$root#$d")) {
+              try {
+                // same writer the index build uses (one pipeline, no drift)
+                new IndexBuilder(spark, Map.empty,
+                  graft.index.IndexConf(
+                    numParts = math.max(1, spark.sparkContext.defaultParallelism)))
+                  .writeFuzzyIndex(dictionary, root, d)
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  // remember per-JVM so each fresh engine over this root
+                  // doesn't re-run the (large) dictionary-expansion job
+                  // just to fail at write time again
+                  QueryEngine.fuzzyBackfillFailed.add(s"$root#$d")
+                  System.err.println(
+                    s"[graft] fuzzy-index backfill failed for $root d=$d " +
+                      s"(falling back to dictionary scan): ${e.getMessage}")
+              }
+            }
+          }
       }
       available.map(dd => spark.read.parquet(paths.fuzzy(dd)))
     })
@@ -870,6 +891,43 @@ object QueryEngine {
     */
   private val fuzzyBackfillFailed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** MaxScore essential/non-essential split (driver-side): the longest
+    * ASCENDING-max_impact prefix whose cumulative max_impact stays under
+    * θ — those terms together cannot lift any document to the top-k, so
+    * their postings are only read for surviving candidates. Input must
+    * be ascending by max impact (with a deterministic tie-break); returns
+    * the non-essential keys. One implementation shared by the
+    * single-index WAND and the multi-generation engine — the takeWhile
+    * accumulation is exactly the kind of subtle arithmetic that would
+    * drift between two copies.
+    */
+  def nonEssentialSplit[K](ascByMax: Seq[(K, Double)], theta: Double): Set[K] = {
+    var cum = 0.0
+    ascByMax.takeWhile { case (_, m) =>
+      val keep = cum + m < theta
+      if (keep) cum += m
+      keep
+    }.map(_._1).toSet
+  }
+
+  /** Per-(root, d) locks serializing the lazy fuzzy-table backfill. */
+  private val fuzzyBuildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Distances D with a fuzzy_dD directory under `root` (any validity). */
+  private def fuzzyDistancesOnDisk(root: String): Seq[Int] = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("fuzzy_d") =>
+          n.stripPrefix("fuzzy_d").toIntOption }
+        .flatten.toSeq.sorted
+    }
+  }
 
   /** Forwarder kept for source compatibility; see graft.core.Fuzzy. */
   def deleteVariants(s: String, d: Int): Set[String] =

@@ -436,6 +436,54 @@ class IndexEndToEndSpec extends SparkSpecBase {
       assert(engS.bm25TopK(q, 5).collect().toSeq ==
         engU.bm25TopK(q, 5).collect().toSeq, s"rank drift for '$q'")
     }
+    // GEOMETRY-CHANGED resume: crash after the slices but before the
+    // parent manifest, then resume with resumeSlices=2 — the 4-slice
+    // dirs' manifests must NOT be accepted (their doc ranges were
+    // computed under a different slicing; same slice_1 name, different
+    // [lo, hi) — silent drop/double-count otherwise).
+    Files.delete(Paths.get(paths.segments, "_manifest.json"))
+    rmrf(paths.dictionary); rmrf(paths.postings)
+    Files.delete(Paths.get(paths.meta))
+    new IndexBuilder(spark, lemmas, conf.copy(resumeSlices = 2))
+      .build(Transcripts.generate(spark, 20L), dir)
+    assert(dictRows(dir) == dictRows(unslicedDir),
+      "geometry-changed resume corrupted the dictionary")
+  }
+
+  test("rebuild over a changed corpus invalidates stale backfilled fuzzy tables") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    val spark0 = spark
+    import spark0.implicits._
+    def stage(n: Long, seed: Long, p: String): Unit =
+      Transcripts.generate(spark, n, seed = seed).write
+        .mode("overwrite").parquet(p)
+    val dir = tmpDir("graft-fuzzy-stale")
+    val turnsA = tmpDir("graft-fuzzy-stale-a"); stage(6L, 42L, turnsA)
+    val turnsB = tmpDir("graft-fuzzy-stale-b"); stage(10L, 99L, turnsB)
+    val conf = IndexConf(numParts = 2, fuzzyMaxDistance = 1)
+    val b = new IndexBuilder(spark, lemmas, conf)
+    b.build(spark.read.parquet(turnsA).as[graft.corpus.Turn], dir)
+    val e1 = new QueryEngine(spark, dir, lemmas)
+    e1.fuzzyTerms("alba", 2).collect() // lazily backfills fuzzy_d2
+    assert(Files.exists(Paths.get(s"$dir/fuzzy_d2/_SUCCESS")),
+      "d=2 backfill did not run")
+    // different corpus, SAME root: the rebuild rewrites dictionary and
+    // fuzzy_d1, but not the old backfilled fuzzy_d2 — it must be
+    // detected as stale (dict-token mismatch) instead of serving
+    // old-corpus terms/term_ids/dfs against the new index
+    b.build(spark.read.parquet(turnsB).as[graft.corpus.Turn], dir)
+    val e2 = new QueryEngine(spark, dir, lemmas)
+    Seq("albae", "crba").foreach { q =>
+      val viaIndex = e2.fuzzyTerms(q, 2).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val viaScan = e2.dictionary
+        .filter(levenshtein(col("term"), lit(q)) <= 2)
+        .select(col("term"), col("term_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(viaIndex == viaScan,
+        s"stale fuzzy table served for '$q': $viaIndex != $viaScan")
+    }
   }
 
   test("resume: a second build() skips completed stages") {
