@@ -113,6 +113,11 @@ class MultiGenEngine(spark: SparkSession, root: String,
     */
   var wandCandidateCap: Long = 2000000L
 
+  /** Tier-1 candidate count above which cross-gen theta refinement runs
+    * (50·k floor); <= 0 forces it — test knob, as in QueryEngine.
+    */
+  var refineMinCandidates: Long = 20000L
+
   /** Diagnostic: "pruned" | "exact" path taken by the last top-k call. */
   var lastPath: String = ""
 
@@ -259,7 +264,10 @@ class MultiGenEngine(spark: SparkSession, root: String,
         // of them is a valid, much tighter lower bound on the global
         // k-th best — collapsing tier-2 from O(df) to O(k)-ish.
         var thetaEff = theta
-        if (candPairs.length > math.max(50 * k, 20000)) {
+        val refineGate =
+          if (refineMinCandidates <= 0L) 0L
+          else math.max(50L * k, refineMinCandidates)
+        if (candPairs.length > refineGate) {
           val c = math.max(k, 200)
           val topC = candPairs.sortBy { case (d0, s) => (-s, d0) }.take(c)
           val topCIds = topC.map(_._1)

@@ -215,6 +215,13 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   var chunkMetaCollectCap: Double = 2e6
 
+  /** Tier-1 candidate count above which the theta-refinement pass runs
+    * (with a 50·k floor). <= 0 forces refinement on every pruned query —
+    * a test knob: the refined cut must stay rank-identical to the exact
+    * path at ANY candidate count for the pruning to be trustworthy.
+    */
+  var refineMinCandidates: Long = 20000L
+
   /** Diagnostic: which execution path the last wand() call took —
     * "pruned", "fallback-cap" (tier-1 over wandCandidateCap), "empty",
     * or "exact" (θ/essential-split degenerate cases). Tests assert the
@@ -474,7 +481,10 @@ class QueryEngine(spark: SparkSession, root: String,
     // is already effective and the refinement's two extra jobs are pure
     // overhead.
     var thetaEff = theta
-    if (candPairs.length > math.max(50 * k, 20000)) {
+    val refineGate =
+      if (refineMinCandidates <= 0L) 0L
+      else math.max(50L * k, refineMinCandidates)
+    if (candPairs.length > refineGate) {
       val c = math.max(k, 200)
       val topC = candPairs.sortBy { case (d, s) => (-s, d) }.take(c)
       val topCIds = topC.map(_._1)

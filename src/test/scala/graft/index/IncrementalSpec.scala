@@ -75,6 +75,16 @@ class IncrementalSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(multi.lastPath == "exact", "cap should force the exact fallback")
     assert(gotCap == oracle.bm25TopK("the of", 10))
+    // forced theta refinement: the refined tier-2 cut must stay
+    // rank-identical at ANY candidate count
+    multi.wandCandidateCap = 2000000L
+    multi.refineMinCandidates = 0L
+    Seq("alba corba", "the of", "kelba the sorro", "the").foreach { q =>
+      val got = multi.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == oracle.bm25TopK(q, 10),
+        s"refined multi-gen mismatch for '$q'")
+    }
   }
 
   test("multi-gen boolean/positional/fuzzy == oracle over the full corpus") {

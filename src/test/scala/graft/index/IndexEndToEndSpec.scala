@@ -155,6 +155,24 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
+  test("WAND forced theta refinement: rank-identical at any candidate count") {
+    engine.localMaxPostings = 0L
+    engine.wandMinPostings = 0L
+    engine.refineMinCandidates = 0L // refine on EVERY pruned query
+    try {
+      queries.foreach { q =>
+        val want = oracle.bm25TopK(q, 10)
+        val got = engine.bm25TopK(q, 10, useWand = true)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"refined wand mismatch for '$q'\n got=$got\nwant=$want")
+      }
+    } finally {
+      engine.localMaxPostings = 20000L
+      engine.wandMinPostings = 100000L
+      engine.refineMinCandidates = 20000L
+    }
+  }
+
   test("WAND tier-1 cap: fallback engages before any driver-side candidate collect") {
     engine.localMaxPostings = 0L
     engine.wandMinPostings = 0L
