@@ -1,0 +1,106 @@
+package graft.index
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Marker/manifest IO through the Hadoop FileSystem API — ONE code path
+  * for local roots (tests, single-node) and distributed-FS roots
+  * (hdfs://, s3a://, ...). Every path resolves its own scheme against
+  * the active Spark session's hadoopConfiguration (falling back to a
+  * default Configuration off-session), so the stage-resume manifests,
+  * per-slice markers, generation listings, streaming idempotency
+  * markers and fuzzy-table validity tokens all hold on any
+  * Hadoop-supported filesystem. This replaces the java.nio seam that
+  * previously restricted index roots to the local filesystem.
+  *
+  * Atomicity: [[writeAtomic]] is rename-based — atomic on local/HDFS.
+  * On S3 a rename is copy+delete and there is a small window where the
+  * destination is absent; the marker protocols stay crash-SAFE either
+  * way (a torn write leaves only the .tmp name, never a half-written
+  * marker, and a missing marker just means "redo the idempotent step"),
+  * which is the same guarantee every rename-commit protocol has on S3.
+  */
+private[graft] object Fs {
+
+  private def conf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** FileSystem for `p`'s scheme (Hadoop caches instances per scheme). */
+  def fs(p: String): FileSystem = new HPath(p).getFileSystem(conf())
+
+  def exists(p: String): Boolean = fs(p).exists(new HPath(p))
+
+  def mkdirs(p: String): Unit = { fs(p).mkdirs(new HPath(p)); () }
+
+  def deleteRecursive(p: String): Unit = {
+    val f = fs(p)
+    val hp = new HPath(p)
+    if (f.exists(hp)) { f.delete(hp, true); () }
+  }
+
+  def readString(p: String): String = {
+    val in = fs(p).open(new HPath(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  def writeString(p: String, content: String): Unit = {
+    val out = fs(p).create(new HPath(p), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Temp-write + rename: readers never observe a half-written marker.
+    * Rename does not overwrite on Hadoop, so an existing destination is
+    * deleted first — a crash in the gap leaves the marker absent (the
+    * safe direction: absent = redo the idempotent step).
+    */
+  def writeAtomic(p: String, content: String): Unit = {
+    val f = fs(p)
+    val dst = new HPath(p)
+    val tmp = new HPath(p + ".tmp")
+    writeString(p + ".tmp", content)
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+  }
+
+  /** Child entry names of a directory (empty if it doesn't exist). */
+  def listNames(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val hp = new HPath(dir)
+    if (!f.exists(hp)) Seq.empty
+    else f.listStatus(hp).toSeq.map(_.getPath.getName)
+  }
+
+  /** All files under `dir` (recursive) with the suffix: (path, name,
+    * bytes), name-sorted for deterministic manifests/tokens.
+    */
+  def listFilesRecursive(dir: String, suffix: String): Seq[(String, String, Long)] = {
+    val f = fs(dir)
+    val hp = new HPath(dir)
+    if (!f.exists(hp)) Seq.empty
+    else {
+      val it = f.listFiles(hp, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(suffix))
+          buf += ((s.getPath.toString, s.getPath.getName, s.getLen))
+      }
+      buf.sortBy(_._2).toSeq
+    }
+  }
+
+  /** (length, mtime) when the path exists and is a file. */
+  def statusOf(p: String): Option[(Long, Long)] = {
+    val f = fs(p)
+    val hp = new HPath(p)
+    if (!f.exists(hp)) None
+    else {
+      val s = f.getFileStatus(hp)
+      if (s.isFile) Some((s.getLen, s.getModificationTime)) else None
+    }
+  }
+}

@@ -1,6 +1,5 @@
 package graft.index
 
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -18,14 +17,12 @@ import graft.corpus.Turn
   */
 object Generations {
 
-  def genDirs(root: String): Seq[String] = {
-    val p = Paths.get(root)
-    if (!Files.exists(p)) return Nil
-    Files.list(p).iterator().asScala
-      .filter(d => d.getFileName.toString.startsWith("gen-") &&
-        Files.exists(d.resolve("index_meta.json")))
-      .map(_.toString).toSeq.sorted
-  }
+  def genDirs(root: String): Seq[String] =
+    Fs.listNames(root)
+      .filter(n => n.startsWith("gen-") &&
+        Fs.exists(s"$root/$n/index_meta.json"))
+      .sorted
+      .map(n => s"$root/$n")
 
   def totalDocs(root: String): Long =
     genDirs(root).map(IndexBuilder.readMeta(_).n_docs).sum
@@ -42,11 +39,7 @@ object Generations {
     // max over ALL gen-* dirs, including meta-less partials from a
     // crashed append: reusing a partial dir would resume ITS stage
     // checkpoints and silently build over the crashed batch's data.
-    val p = Paths.get(root)
-    val all =
-      if (!Files.exists(p)) Nil
-      else Files.list(p).iterator().asScala
-        .map(_.getFileName.toString).filter(_.startsWith("gen-")).toSeq
+    val all = Fs.listNames(root).filter(_.startsWith("gen-"))
     // only ^gen-\d+$ names feed the numeric counter: streaming dirs
     // (gen-b<hex-sid>-NNNNN) would otherwise contribute digit runs from
     // inside the random hex sid and make the counter jump arbitrarily
@@ -67,8 +60,7 @@ object Generations {
   def appendAt(spark: SparkSession, turns: Dataset[Turn], root: String,
       dir: String, lemmas: Map[String, String],
       conf: IndexConf = IndexConf()): String = {
-    IndexBuilder.requireLocalRoot(root, "generation root")
-    if (Files.exists(Paths.get(IndexPaths(dir).meta))) return dir
+    if (Fs.exists(IndexPaths(dir).meta)) return dir
     val offset = totalDocs(root)
     new IndexBuilder(spark, lemmas, conf.copy(docIdOffset = offset))
       .build(turns, dir)
@@ -349,7 +341,7 @@ object Compactor {
 
     // docs: union of per-generation docs tables (doc_ids already global)
     val paths = IndexPaths(outDir)
-    Files.createDirectories(Paths.get(outDir))
+    Fs.mkdirs(outDir)
     val docs = gens.map(g => spark.read.parquet(IndexPaths(g).docs))
       .reduce(_ unionByName _)
     docs.write.mode("overwrite").parquet(paths.docs)
@@ -372,7 +364,7 @@ object Compactor {
     val nPostings = spark.read.parquet(paths.postings)
       .agg(sum($"n_postings")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
-    IndexBuilder.writeAtomic(Paths.get(paths.meta),
+    IndexBuilder.writeAtomic(paths.meta,
       s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
       s""""n_postings":$nPostings,"k1":${conf.k1},"b":${conf.b},"fingerprint":"compacted"}""")
     meta

@@ -1,6 +1,5 @@
 package graft.index
 
-import java.nio.file.{Files, Paths, Path}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -275,8 +274,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // only fuzzy_d{fuzzyMaxDistance} — without the token, a stale
     // lazily-backfilled fuzzy_dD from the old corpus would keep serving
     // (wrong df, dangling term_ids)
-    Files.writeString(
-      Paths.get(IndexPaths(root).fuzzy(d), IndexBuilder.DictTokenFile),
+    Fs.writeString(
+      s"${IndexPaths(root).fuzzy(d)}/${IndexBuilder.DictTokenFile}",
       IndexBuilder.tableToken(IndexPaths(root).dictionary))
   }
 
@@ -337,20 +336,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   // ------------------------------------------------------------ manifests
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
-    }
-
   /** Row count from Parquet footers, driver-side — no Spark job. */
   private def footerRowCount(dir: String): Long = {
     val hconf = spark.sessionState.newHadoopConf()
-    Files.walk(Paths.get(dir)).iterator().asScala
-      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .map { f =>
+    Fs.listFilesRecursive(dir, ".parquet")
+      .map { case (path, _, _) =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toString), hconf)
+          new org.apache.hadoop.fs.Path(path), hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
@@ -358,23 +350,21 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   private def writeManifest(dir: String, fingerprint: String, rows: Long,
       wallMs: Long, extra: Map[String, String] = Map.empty): Unit = {
-    val p = Paths.get(dir)
-    Files.createDirectories(p)
-    val files = Files.walk(p).iterator().asScala
-      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f)).toSeq
-    val bytes = files.map(Files.size).sum
+    Fs.mkdirs(dir)
+    val files = Fs.listFilesRecursive(dir, ".parquet")
+    val bytes = files.map(_._3).sum
     val extraJson = extra.map { case (k, v) => s""","$k":"$v"""" }.mkString
     val json =
       s"""{"status":"complete","fingerprint":"$fingerprint","rows":$rows,
          |"bytes":$bytes,"n_files":${files.size},"wall_ms":$wallMs,
-         |"files":[${files.map(f => s"""{"name":"${f.getFileName}","bytes":${Files.size(f)}}""").mkString(",")}]$extraJson}""".stripMargin.replace("\n", "")
-    Files.writeString(p.resolve("_manifest.json"), json)
+         |"files":[${files.map { case (_, n, b) => s"""{"name":"$n","bytes":$b}""" }.mkString(",")}]$extraJson}""".stripMargin.replace("\n", "")
+    Fs.writeString(s"$dir/_manifest.json", json)
   }
 
   private def manifestComplete(dir: String, fingerprint: String): Boolean = {
-    val f = Paths.get(dir, "_manifest.json")
-    Files.exists(f) && {
-      val s = Files.readString(f)
+    val f = s"$dir/_manifest.json"
+    Fs.exists(f) && {
+      val s = Fs.readString(f)
       s.contains("\"status\":\"complete\"") && s.contains(s""""fingerprint":"$fingerprint"""")
     }
   }
@@ -406,10 +396,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       // names + sizes + mtimes: a generator that rewrites fixed-name
       // files in place with unchanged total bytes must still invalidate
       val stats = files.map { f =>
-        try {
-          val p = Paths.get(new java.net.URI(f).getPath)
-          (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        } catch { case _: Throwable => (-1L, -1L) }
+        try Fs.statusOf(f).getOrElse((-1L, -1L))
+        catch { case _: Throwable => (-1L, -1L) }
       }
       val h = (files.mkString(",").hashCode.toLong << 32) ^
         stats.map { case (s, m) => s * 31 + m }.foldLeft(17L)(_ * 31 + _)
@@ -417,11 +405,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     }
   }
 
-  /** End-to-end build with per-stage resumable checkpoints. Returns meta. */
+  /** End-to-end build with per-stage resumable checkpoints — on a local
+    * root or any Hadoop-supported filesystem (the marker seam goes
+    * through [[Fs]]). Returns meta.
+    */
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
-    IndexBuilder.requireLocalRoot(root, "index root")
     val paths = IndexPaths(root)
-    Files.createDirectories(Paths.get(root))
+    Fs.mkdirs(root)
     // v4: fuzzy variant table with +d MaxTermLen slack (boundary recall)
     // (bumping the version invalidates caches with older layouts)
     val fp = s"v4-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}-in${inputFingerprint(turns)}"
@@ -479,14 +469,10 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         // single-slice part files or slice_i >= nSlices from an
         // interrupted run with a different slicing) — the stage-2 read
         // is recursive, so leftovers would silently double-count.
-        val segRoot = Paths.get(paths.segments)
-        if (Files.exists(segRoot)) {
-          Files.list(segRoot).iterator().asScala.toSeq.foreach { p =>
-            val name = p.getFileName.toString
-            val keep = name.startsWith("slice_") &&
-              name.stripPrefix("slice_").toIntOption.exists(_ < nSlices)
-            if (!keep) deleteRecursively(p)
-          }
+        Fs.listNames(paths.segments).foreach { name =>
+          val keep = name.startsWith("slice_") &&
+            name.stripPrefix("slice_").toIntOption.exists(_ < nSlices)
+          if (!keep) Fs.deleteRecursive(s"${paths.segments}/$name")
         }
         val sliceWidth = (nDocs + nSlices - 1) / nSlices
         // Slice manifests carry the GEOMETRY in their fingerprint: a
@@ -561,7 +547,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val nPostings = spark.read.parquet(paths.dictionary)
       .agg(sum($"df")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
-    IndexBuilder.writeAtomic(Paths.get(paths.meta),
+    IndexBuilder.writeAtomic(paths.meta,
       s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
       s""""n_postings":$nPostings,"k1":${conf.k1},"b":${conf.b},"fingerprint":"$fp"}""")
     meta
@@ -583,51 +569,26 @@ object IndexBuilder {
     * dictionary build they came from.
     */
   def tableToken(dir: String): String = {
-    val p = Paths.get(dir)
-    if (!Files.exists(p)) "absent"
+    val parts = Fs.listFilesRecursive(dir, ".parquet")
+      .map { case (_, name, size) => s"$name:$size" }
+    if (parts.isEmpty) "absent"
     else {
-      val parts = Files.list(p).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(f => s"${f.getFileName}:${Files.size(f)}")
-        .toSeq.sorted
       val h = parts.foldLeft(17L)((acc, s) => acc * 1000003L + s.hashCode)
       java.lang.Long.toHexString(h)
     }
   }
 
-  /** The manifest/marker layer (per-stage + per-slice resume, streaming
-    * replay idempotency, atomic meta writes) is java.nio-based and only
-    * holds on a LOCAL filesystem root. A URI-schemed root (hdfs://,
-    * s3a://) would silently lose those guarantees — or throw deep inside
-    * a stage at Paths.get — so fail fast with an actionable message.
-    * Parquet data IO itself goes through Hadoop and would be fine; it's
-    * the marker seam that must be extended to the Hadoop FileSystem API
-    * before distributed-FS roots are supported.
+  /** Torn-write-proof marker write (see [[Fs.writeAtomic]]):
+    * index_meta.json existence is the generation-completeness /
+    * streaming-replay-idempotency marker, so a partial meta must be
+    * impossible — it would either drop a replayed batch or poison
+    * readMeta for the whole root.
     */
-  def requireLocalRoot(p: String, what: String): Unit = {
-    val scheme =
-      try new java.net.URI(p).getScheme catch { case _: Throwable => null }
-    require(scheme == null || scheme == "file" || scheme.length == 1,
-      s"$what must be a local filesystem path, got '$p': the " +
-        "manifest/marker layer (resume, streaming idempotency, atomic " +
-        "meta) uses java.nio and does not hold on a distributed FS")
-  }
-
-  /** Atomic file write (temp + ATOMIC_MOVE): index_meta.json existence is
-    * the generation-completeness / streaming-replay-idempotency marker,
-    * so a torn write must be impossible — a partial meta would either
-    * drop a replayed batch or poison readMeta for the whole root.
-    */
-  def writeAtomic(path: Path, content: String): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  def writeAtomic(path: String, content: String): Unit =
+    Fs.writeAtomic(path, content)
 
   def readMeta(root: String): IndexMeta = {
-    val s = Files.readString(Paths.get(IndexPaths(root).meta))
+    val s = Fs.readString(IndexPaths(root).meta)
     def num(k: String): String =
       s.split(s""""$k":""")(1).takeWhile(c => c != ',' && c != '}')
     IndexMeta(num("n_docs").toLong, num("avgdl").toDouble,

@@ -794,11 +794,11 @@ class QueryEngine(spark: SparkSession, root: String,
     fuzzyIndexCache.getOrElseUpdate(d, {
       val dictToken = IndexBuilder.tableToken(paths.dictionary)
       def valid(dd: Int): Boolean = {
-        val dir = java.nio.file.Paths.get(paths.fuzzy(dd))
-        java.nio.file.Files.exists(dir.resolve("_SUCCESS")) && {
-          val marker = dir.resolve(graft.index.IndexBuilder.DictTokenFile)
-          java.nio.file.Files.exists(marker) &&
-            java.nio.file.Files.readString(marker) == dictToken
+        val dir = paths.fuzzy(dd)
+        graft.index.Fs.exists(s"$dir/_SUCCESS") && {
+          val marker = s"$dir/${graft.index.IndexBuilder.DictTokenFile}"
+          graft.index.Fs.exists(marker) &&
+            graft.index.Fs.readString(marker) == dictToken
         }
       }
       // probe EVERY persisted distance (a build may have written
@@ -926,18 +926,11 @@ object QueryEngine {
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Distances D with a fuzzy_dD directory under `root` (any validity). */
-  private def fuzzyDistancesOnDisk(root: String): Seq[Int] = {
-    val p = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(p).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("fuzzy_d") =>
-          n.stripPrefix("fuzzy_d").toIntOption }
-        .flatten.toSeq.sorted
-    }
-  }
+  private def fuzzyDistancesOnDisk(root: String): Seq[Int] =
+    graft.index.Fs.listNames(root)
+      .collect { case n if n.startsWith("fuzzy_d") =>
+        n.stripPrefix("fuzzy_d").toIntOption }
+      .flatten.sorted
 
   /** Forwarder kept for source compatibility; see graft.core.Fuzzy. */
   def deleteVariants(s: String, d: Int): Set[String] =

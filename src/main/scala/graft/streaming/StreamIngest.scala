@@ -41,12 +41,12 @@ object StreamIngest {
     * idempotency skip would silently DROP the batch.
     */
   private def streamId(checkpointDir: String): String = {
-    val p = java.nio.file.Paths.get(checkpointDir, "graft_stream_id")
-    java.nio.file.Files.createDirectories(p.getParent)
-    if (!java.nio.file.Files.exists(p))
+    val p = s"$checkpointDir/graft_stream_id"
+    graft.index.Fs.mkdirs(checkpointDir)
+    if (!graft.index.Fs.exists(p))
       graft.index.IndexBuilder.writeAtomic(p,
         java.util.UUID.randomUUID().toString.take(8))
-    java.nio.file.Files.readString(p).trim
+    graft.index.Fs.readString(p).trim
   }
 
   def start(spark: SparkSession, inputDir: String, indexRoot: String,
@@ -54,9 +54,8 @@ object StreamIngest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     // the stream-id marker, generation meta markers, and appendAt's
-    // idempotency check are java.nio-based — a distributed-FS root would
-    // silently void the exactly-once seam, so reject it up front
-    graft.index.IndexBuilder.requireLocalRoot(indexRoot, "indexRoot")
+    // idempotency check go through the Hadoop FileSystem API (Fs), so
+    // the exactly-once seam holds on local AND distributed-FS roots
     val checkpoint = s"$indexRoot/_stream_checkpoint"
     val sid = streamId(checkpoint)
     spark.readStream

@@ -468,6 +468,38 @@ class IndexEndToEndSpec extends SparkSpecBase {
       "geometry-changed resume corrupted the dictionary")
   }
 
+  test("URI-schemed root: build + resume + query over file:// (the Fs seam)") {
+    // the marker seam goes through the Hadoop FileSystem API; a
+    // scheme'd root exercises exactly the code path an hdfs:// or
+    // s3a:// root would take (resolved per-URI), with file:// standing
+    // in for the distributed FS this sandbox doesn't have
+    val plain = tmpDir("graft-uri-root")
+    val root = s"file://$plain"
+    val conf = IndexConf(numParts = 2, resumeSlices = 2)
+    val b = new IndexBuilder(spark, lemmas, conf)
+    val m1 = b.build(Transcripts.generate(spark, 10L), root)
+    assert(m1.n_docs > 0)
+    // resume: a second build skips every stage (manifests readable
+    // through the scheme'd path)
+    val t0 = System.nanoTime()
+    val m2 = b.build(Transcripts.generate(spark, 10L), root)
+    assert(m2 == m1)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "resume did not skip stages")
+    // query + lazy fuzzy backfill through the scheme'd root
+    val e = new QueryEngine(spark, root, lemmas)
+    assert(e.bm25TopK("the alba", 3).count() > 0)
+    assert(e.fuzzyTerms("alba", 1).count() >= 1)
+    // generations under a scheme'd root
+    val genRoot = s"file://${tmpDir("graft-uri-gens")}"
+    Generations.append(spark, Transcripts.generate(spark, 4L), genRoot, lemmas,
+      IndexConf(numParts = 2))
+    Generations.append(spark, Transcripts.generate(spark, 4L, seed = 7L),
+      genRoot, lemmas, IndexConf(numParts = 2))
+    assert(Generations.genDirs(genRoot).size == 2)
+    val multi = new MultiGenEngine(spark, genRoot, lemmas)
+    assert(multi.bm25TopK("the", 3).count() == 3)
+  }
+
   test("rebuild over a changed corpus invalidates stale backfilled fuzzy tables") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
