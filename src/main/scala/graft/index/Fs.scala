@@ -23,6 +23,11 @@ private[graft] object Fs {
 
   private def conf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      // getActiveSession is thread-local: a caller on a foreign thread
+      // (server pool) would otherwise silently lose spark.hadoop.*
+      // settings (fs.defaultFS, s3a credentials) and resolve markers
+      // against the wrong filesystem
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
@@ -51,19 +56,32 @@ private[graft] object Fs {
     finally out.close()
   }
 
-  /** Temp-write + rename: readers never observe a half-written marker.
-    * Rename does not overwrite on Hadoop, so an existing destination is
-    * deleted first — a crash in the gap leaves the marker absent (the
-    * safe direction: absent = redo the idempotent step).
+  /** Temp-write + OVERWRITING rename: readers never observe a
+    * half-written OR absent marker. FileContext.rename(OVERWRITE) is
+    * the Hadoop API with atomic-replace semantics (local/HDFS) —
+    * FileSystem.rename can't overwrite, and delete-then-rename would
+    * open a window where a concurrent genDirs/readMeta sees the marker
+    * missing and silently drops a complete generation. Schemes with no
+    * AbstractFileSystem binding (some object stores) fall back to
+    * delete+rename, which is the best any rename-commit protocol has
+    * there; a crash mid-gap leaves the marker absent (the safe
+    * direction: absent = redo the idempotent step).
     */
   def writeAtomic(p: String, content: String): Unit = {
-    val f = fs(p)
     val dst = new HPath(p)
     val tmp = new HPath(p + ".tmp")
     writeString(p + ".tmp", content)
-    if (f.exists(dst)) f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, conf())
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val f = fs(p)
+        if (f.exists(dst)) f.delete(dst, false)
+        if (!f.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
   }
 
   /** Child entry names of a directory (empty if it doesn't exist). */

@@ -1,6 +1,5 @@
 package graft.index
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -250,30 +249,18 @@ class MultiGenEngine(spark: SparkSession, root: String,
             }
           }
 
-        // θ REFINEMENT (same mid-df taming as wandImpl, same gate): with
-        // a dense tier-1 set, exactly scoring the top-C candidates by
-        // essential sum yields real achievable totals, so the k-th best
-        // of them is a valid, much tighter lower bound on the global
-        // k-th best — collapsing tier-2 from O(df) to O(k)-ish.
-        var thetaEff = theta
-        val refineGate =
-          if (refineMinCandidates <= 0L) 0L
-          else math.max(50L * k, refineMinCandidates)
-        if (candPairs.length > refineGate) {
-          val c = math.max(k, 200)
-          val topC = candPairs.sortBy { case (d0, s) => (-s, d0) }.take(c)
-          val topCIds = topC.map(_._1)
-          java.util.Arrays.sort(topCIds)
-          val neSums = nonEssRowsFor(topCIds) match {
-            case Seq() => Map.empty[Long, Double]
-            case rs => rs.reduce(_ unionByName _)
-              .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
-              .as[(Long, Double)].collect().toMap
-          }
-          val totals = topC.map { case (d0, es) => es + neSums.getOrElse(d0, 0.0) }
-            .sorted(Ordering[Double].reverse)
-          if (totals.length >= k) thetaEff = math.max(theta, totals(k - 1) - Eps)
-        }
+        // θ REFINEMENT — shared arithmetic in QueryEngine.refineTheta
+        // (same mid-df taming as wandImpl); the distributed job here
+        // unions the candidates' non-essential sums across generations.
+        val thetaEff = QueryEngine.refineTheta(candPairs, k, theta, Eps,
+          refineMinCandidates, { topCIds =>
+            nonEssRowsFor(topCIds) match {
+              case Seq() => Map.empty[Long, Double]
+              case rs => rs.reduce(_ unionByName _)
+                .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
+                .as[(Long, Double)].collect().toMap
+            }
+          })
 
         val candIds = candPairs.iterator
           .filter { case (_, es) => es + cumNonEssMax >= thetaEff - Eps }

@@ -467,38 +467,18 @@ class QueryEngine(spark: SparkSession, root: String,
     def nonEssForCandidates(cand: Array[Long]): Dataset[ScoredPosting] =
       candidatePrunedPostings(nonEssential.toSeq, cand, totalNonEssChunks)
 
-    // θ REFINEMENT (the mid-df taming): when tier-1 leaves a dense
-    // candidate set, exactly score the top-C candidates by essential sum
-    // — their true totals are real achievable scores, so the k-th best of
-    // them is a (much tighter) valid lower bound on the global k-th best.
-    // θ then jumps from "k-th best single impact" to ~"k-th best total",
-    // and the tier-2 cut (essSum + cumNonEssMax >= θ) collapses the
-    // candidate set from O(df) to O(k)-ish. One extra SMALL job: C docs'
-    // non-essential postings, chunk-pruned (C docs are sparse, so the
-    // skip actually engages).
-    // Refinement only pays when tier-1 is LARGE in absolute terms (the
-    // mid-df pathology): with a few thousand candidates, chunk skipping
-    // is already effective and the refinement's two extra jobs are pure
-    // overhead.
-    var thetaEff = theta
-    val refineGate =
-      if (refineMinCandidates <= 0L) 0L
-      else math.max(50L * k, refineMinCandidates)
-    if (candPairs.length > refineGate) {
-      val c = math.max(k, 200)
-      val topC = candPairs.sortBy { case (d, s) => (-s, d) }.take(c)
-      val topCIds = topC.map(_._1)
-      java.util.Arrays.sort(topCIds)
-      val nonEssSums = nonEssForCandidates(topCIds)
-        .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
-        .toDF("doc_id", "impact")
-        .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
-        .as[(Long, Double)].collect().toMap
-      val totals = topC.map { case (d, es) => es + nonEssSums.getOrElse(d, 0.0) }
-        .sorted(Ordering[Double].reverse)
-      if (totals.length >= k) thetaEff = math.max(theta, totals(k - 1) - Eps)
-      wdbg(s"refined theta=$thetaEff (from $theta)")
-    }
+    // θ REFINEMENT — shared arithmetic in QueryEngine.refineTheta; the
+    // one distributed job (top-C candidates' non-essential sums) is
+    // injected as the callback.
+    val thetaEff = QueryEngine.refineTheta(candPairs, k, theta, Eps,
+      refineMinCandidates, { topCIds =>
+        nonEssForCandidates(topCIds)
+          .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+          .toDF("doc_id", "impact")
+          .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
+          .as[(Long, Double)].collect().toMap
+      })
+    if (thetaEff != theta) wdbg(s"refined theta=$thetaEff (from $theta)")
 
     val candIds = candPairs.iterator
       .filter { case (_, es) => es + cumNonEssMax >= thetaEff - Eps }
@@ -802,10 +782,14 @@ class QueryEngine(spark: SparkSession, root: String,
         }
       }
       // probe EVERY persisted distance (a build may have written
-      // fuzzy_d{fuzzyMaxDistance} above the backfill cap)
-      def available = QueryEngine.fuzzyDistancesOnDisk(root)
+      // fuzzy_d{fuzzyMaxDistance} above the backfill cap). Tables from
+      // pre-token builds (_SUCCESS but no dict-token marker) read as
+      // stale by design — on a writable root they are rebuilt once; on
+      // a read-only snapshot the scan fallback serves (slower but never
+      // wrong) until the snapshot is refreshed by a tokened build.
+      val found = QueryEngine.fuzzyDistancesOnDisk(root)
         .filter(_ >= d).find(valid)
-      if (available.isEmpty && d <= MaxFuzzyTableDistance &&
+      if (found.isEmpty && d <= MaxFuzzyTableDistance &&
           !QueryEngine.fuzzyBackfillFailed.contains(s"$root#$d")) {
         // serialize per (root, d): two concurrent overwrite jobs into the
         // same directory would delete each other's in-flight files
@@ -832,7 +816,10 @@ class QueryEngine(spark: SparkSession, root: String,
             }
           }
       }
-      available.map(dd => spark.read.parquet(paths.fuzzy(dd)))
+      // orElse re-probes only when nothing was found above — i.e. when
+      // the backfill (which writes at exactly d) may have just run
+      found.orElse(Option(d).filter(valid))
+        .map(dd => spark.read.parquet(paths.fuzzy(dd)))
     })
 
   /** Fuzzy term lookup: all dictionary terms within Levenshtein distance d
@@ -919,6 +906,33 @@ object QueryEngine {
       if (keep) cum += m
       keep
     }.map(_._1).toSet
+  }
+
+  /** MaxScore θ refinement (driver-side, shared by the single-index
+    * wandImpl and MultiGenEngine — like [[nonEssentialSplit]], subtle
+    * arithmetic that must not drift between copies): when tier-1 leaves
+    * a dense candidate set, exactly score the top-C candidates by
+    * essential sum — their true totals are real achievable scores, so
+    * the k-th best of them is a (much tighter) valid lower bound on the
+    * global k-th best, collapsing the tier-2 cut from O(df) to
+    * O(k)-ish. Refinement only pays when tier-1 is LARGE in absolute
+    * terms (the mid-df pathology); `gateMin` <= 0 forces it (tests).
+    * `neSumsFor` runs the ONE distributed job: the candidates'
+    * non-essential (chunk-pruned) score sums. Returns θ' >= θ.
+    */
+  def refineTheta(candPairs: Array[(Long, Double)], k: Int, theta: Double,
+      eps: Double, gateMin: Long,
+      neSumsFor: Array[Long] => Map[Long, Double]): Double = {
+    val gate = if (gateMin <= 0L) 0L else math.max(50L * k, gateMin)
+    if (candPairs.length <= gate) return theta
+    val c = math.max(k, 200)
+    val topC = candPairs.sortBy { case (d0, s) => (-s, d0) }.take(c)
+    val ids = topC.map(_._1)
+    java.util.Arrays.sort(ids)
+    val ne = neSumsFor(ids)
+    val totals = topC.map { case (d0, es) => es + ne.getOrElse(d0, 0.0) }
+      .sorted(Ordering[Double].reverse)
+    if (totals.length >= k) math.max(theta, totals(k - 1) - eps) else theta
   }
 
   /** Per-(root, d) locks serializing the lazy fuzzy-table backfill. */
