@@ -104,7 +104,25 @@ object GraftQueries {
 
   // --------------------------------------------------------- query catalog
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The oracle-paired catalog: the sketch queries (q18/q19/q23/q42/q43)
+    * pin [[graft.core.HashFamily.Md5]] EXPLICITLY — their oracleSql is
+    * md5-based, so the pair stays self-consistent for any consumer that
+    * runs `queries` + `oracleSql` in its own session, regardless of the
+    * process-wide `HashFamily.default` (which only graft.Verify pins).
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesFor(graft.core.HashFamily.Md5)
+
+  /** Production-family catalog: identical queries with the sketch ops on
+    * the cheap xxhash64 family — what Bench times (hash VALUES differ,
+    * plan shapes and shuffle weights are identical; family parity is
+    * covered by HashFamilySpec and the planted-duplicate recall tests).
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesFor(graft.core.HashFamily.Xx64)
+
+  private def queriesFor(sketch: graft.core.HashFamily)
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S2/P2/P3: tokenize with positions (split indices; documents text is
     // pre-cleaned so engine tokenizer == split)
@@ -239,26 +257,29 @@ object GraftQueries {
     }),
 
     // dedup: MinHash signatures + LSH banding candidates (planted dups).
-    // Under Verify the hash family is pinned to md5 (StableHash.h60) =>
-    // the DuckDB oracle recomputes every signature and band bucket
-    // bit-for-bit; production/Bench default is xxhash64.
+    // `sketch` family: Md5 in the oracle catalog (the DuckDB oracle
+    // recomputes every signature and band bucket bit-for-bit), xxhash64
+    // in benchQueries.
     "q18_minhash_lsh" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32)
-      Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
+        family = sketch)
+      Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5,
+        family = sketch)
         .orderBy("doc_a", "doc_b")
     }),
 
-    // dedup: SimHash near-dup candidates (planted dups); md5 term hash
-    // under Verify (StableHash.u64) => oracle-reproducible signatures;
-    // xxhash64 in production/Bench.
+    // dedup: SimHash near-dup candidates (planted dups); `sketch` term
+    // hash (StableHash.u64 under Md5 => oracle-reproducible signatures;
+    // xxhash64 in benchQueries).
     "q19_simhash" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      Dedup.simHashCandidates(Dedup.simHash(docs.union(planted)), maxHam = 3)
+      Dedup.simHashCandidates(Dedup.simHash(docs.union(planted), family = sketch),
+          maxHam = 3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -313,11 +334,12 @@ object GraftQueries {
         .orderBy("media_id")
     }),
 
-    // text: order-sensitive rolling fingerprint (md5 token hash under
-    // Verify => DuckDB list_reduce replicates the fold exactly;
-    // xxhash64 in production/Bench)
+    // text: order-sensitive rolling fingerprint (`sketch` token hash:
+    // under Md5 DuckDB's list_reduce replicates the fold exactly;
+    // xxhash64 in benchQueries)
     "q23_rolling_fingerprint" -> ((s, dir) =>
-      TextOps.rollingFingerprint(documents(s, dir)).orderBy("doc_id")),
+      TextOps.rollingFingerprint(documents(s, dir), family = sketch)
+        .orderBy("doc_id")),
 
     // BM25 through the engine's block-max (MaxScore) pruned top-k path,
     // forced on (thresholds floored) so the driver oracle checks the
@@ -558,14 +580,14 @@ object GraftQueries {
     // window surfaces with n_docs >= 2. The md5 family under Verify lets
     // DuckDB recompute every span fingerprint bit-for-bit.
     "q42_duplicate_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(documents(s, dir), n = 8, minDocs = 2)
-        .orderBy("span_fp")),
+      Dedup.duplicateSpans(documents(s, dir), n = 8, minDocs = 2,
+        family = sketch).orderBy("span_fp")),
 
     // dedup: per-document duplicated-span coverage — the q42 consumer
     // (drop boilerplate-heavy docs). Interval union as one window pass.
     "q43_span_coverage" -> ((s, dir) =>
-      Dedup.spanDedupCoverage(documents(s, dir), n = 8, minDocs = 2)
-        .orderBy("doc_id")),
+      Dedup.spanDedupCoverage(documents(s, dir), n = 8, minDocs = 2,
+        family = sketch).orderBy("doc_id")),
 
     // streaming-surface batch analog: gap-based sessionization of the
     // events table (30-min idle gap), integer epoch-ms arithmetic so the

@@ -21,12 +21,19 @@ object Dedup {
   /** Exact dedup: md5 of content; keep = lowest doc_id in the group.
     * At 100 TB this is a single groupBy on the digest (map-side partial
     * aggregation applies); no text comparison ever shuffles.
+    *
+    * Shape: `groupBy(content_hash).agg(count, min)` + join back — NOT a
+    * `content_hash`-partitioned window. A boilerplate hash with 10^8
+    * copies would put the entire group through one WindowExec task
+    * (sort + buffer + spill); the aggregate reduces each hash to one row
+    * with map-side partial combine, and the join back is a streaming
+    * hash-join that AQE can skew-split — no single-task group anywhere.
     */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("content_hash"))
-    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("rep_id", min(col("doc_id")).over(w))
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val groups = hashed.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("rep_id"))
+    hashed.join(groups, Seq("content_hash"))
       .withColumn("is_dup", col("doc_id") =!= col("rep_id"))
       .select("doc_id", "content_hash", "group_size", "rep_id", "is_dup")
   }

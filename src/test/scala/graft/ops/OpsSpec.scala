@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpecBase {
     assert(res(4L)._1 == 1L && !res(4L)._3)
   }
 
+  test("exactDedup: skew-safe plan (HashAggregate, no Window) on a planted 100k-copy group") {
+    val spark0 = spark
+    import spark0.implicits._
+    // one boilerplate text duplicated 100k times + a handful of singletons:
+    // the shape that makes a content_hash-partitioned window a one-task
+    // sort/spill hotspot at web scale
+    val big = spark0.range(0, 100000).select(col("id").as("doc_id"),
+      lit("boilerplate cookie banner text repeated everywhere").as("text"))
+    val small = docsDf(Seq(200001L -> "unique alpha", 200002L -> "unique beta"))
+    val res = Dedup.exactDedup(big.union(small))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"window (skew hotspot) in plan:\n$plan")
+    val byId = res.filter(col("doc_id").isin(0L, 99999L, 200001L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_size"), r.getAs[Long]("rep_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(byId(0L) == ((100000L, 0L, false)))
+    assert(byId(99999L) == ((100000L, 0L, true)))
+    assert(byId(200001L) == ((1L, 200001L, false)))
+  }
+
   test("shingles: correct 3-gram count and content") {
     val sh = Dedup.shingles(docsDf(Seq(1L -> "a b c d")), 3)
       .collect().map(_.getString(1)).toSet
