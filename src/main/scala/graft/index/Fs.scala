@@ -21,18 +21,43 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 private[graft] object Fs {
 
-  private def conf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      // getActiveSession is thread-local: a caller on a foreign thread
-      // (server pool) would otherwise silently lose spark.hadoop.*
-      // settings (fs.defaultFS, s3a credentials) and resolve markers
-      // against the wrong filesystem
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+  /** Count of Fs entry-point calls (driver-side metadata IO) — test
+    * hook: a resumed build must stay O(stages) here, never O(part
+    * files). See IndexBuilderSpec's resume-IO test.
+    */
+  private[graft] val ops = new java.util.concurrent.atomic.AtomicLong
 
-  /** FileSystem for `p`'s scheme (Hadoop caches instances per scheme). */
-  def fs(p: String): FileSystem = new HPath(p).getFileSystem(conf())
+  /** (hadoop conf, came-from-a-Spark-session). getActiveSession is
+    * thread-local: a caller on a foreign thread (server pool) would
+    * otherwise silently lose spark.hadoop.* settings (fs.defaultFS,
+    * s3a credentials) and resolve markers against the wrong filesystem.
+    */
+  private def conf(): (org.apache.hadoop.conf.Configuration, Boolean) =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(s => (s.sparkContext.hadoopConfiguration, true))
+      .getOrElse((new org.apache.hadoop.conf.Configuration(), false))
+
+  // Own instance cache via FileSystem.newInstance, NOT FileSystem.get:
+  // Hadoop's global CACHE keys by scheme+authority and keeps the FIRST
+  // Configuration seen, so one pre-session call resolved against the
+  // bare fallback Configuration would cache a FileSystem without
+  // spark.hadoop.* settings and serve it to every later
+  // session-configured call for that scheme. With the conf SOURCE in our
+  // key, a pre-session instance only ever serves pre-session calls, and
+  // nothing is inserted into (or read from) Hadoop's shared cache.
+  private val fsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Boolean), FileSystem]
+
+  /** FileSystem for `p`'s scheme (cached per scheme+authority+conf-source). */
+  def fs(p: String): FileSystem = {
+    ops.incrementAndGet()
+    val (c, fromSession) = conf()
+    val uri = new HPath(p).toUri
+    val key = (Option(uri.getScheme).getOrElse(""),
+      Option(uri.getAuthority).getOrElse(""), fromSession)
+    fsCache.getOrElseUpdate(key, FileSystem.newInstance(uri, c))
+  }
 
   def exists(p: String): Boolean = fs(p).exists(new HPath(p))
 
@@ -66,23 +91,37 @@ private[graft] object Fs {
     * delete+rename, which is the best any rename-commit protocol has
     * there; a crash mid-gap leaves the marker absent (the safe
     * direction: absent = redo the idempotent step).
+    *
+    * Caveat on those fallback schemes: the delete->rename gap also means
+    * a concurrent READER during an in-place marker OVERWRITE can
+    * transiently miss the marker — for a generation-completeness file
+    * that reads as "generation absent" (fewer docs served, no error)
+    * until the rename lands. Generation metas are effectively
+    * write-once (replays rewrite identical content), so the window only
+    * matters for same-content rewrites; deployments on no-AbstractFs
+    * schemes that cannot tolerate a transient miss should treat markers
+    * as strictly write-once (skip the overwrite when the destination
+    * already exists with the same content).
     */
   // FileContext has NO instance cache (unlike FileSystem.CACHE) — each
   // getFileContext builds a fresh AbstractFileSystem (~80 ms measured);
-  // cache per scheme+authority. None = scheme without an
+  // cache per scheme+authority+conf-source (the same pre-session
+  // poisoning guard as fsCache). None = scheme without an
   // AbstractFileSystem binding (remembered, so the fallback path
   // doesn't retry the lookup every write).
   private val fcCache = scala.collection.concurrent.TrieMap
-    .empty[String, Option[org.apache.hadoop.fs.FileContext]]
+    .empty[(String, Boolean), Option[org.apache.hadoop.fs.FileContext]]
 
   def writeAtomic(p: String, content: String): Unit = {
     val dst = new HPath(p)
     val tmp = new HPath(p + ".tmp")
     writeString(p + ".tmp", content)
     val uri = dst.toUri
-    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    val (c, fromSession) = conf()
+    val key = (s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
+      fromSession)
     val fc = fcCache.getOrElseUpdate(key,
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, conf()))
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, c))
       catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
       })
@@ -142,4 +181,24 @@ private[graft] object Fs {
       if (s.isFile) Some((s.getLen, s.getModificationTime)) else None
     }
   }
+
+  /** [[statusOf]] for many paths, in PARALLEL off a bounded pool: one
+    * serial driver RPC per file is exactly the per-part-file trap the
+    * manifests exist to avoid — an input listing can be 10^5-10^6 files
+    * at 100 TB. Order of results matches `paths`. Missing/erroring
+    * paths yield None.
+    */
+  def statusOfMany(paths: Seq[String], parallelism: Int = 16): Seq[Option[(Long, Long)]] =
+    if (paths.lengthCompare(4) <= 0)
+      paths.map(p => try statusOf(p) catch { case _: Throwable => None })
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, paths.length))
+      try {
+        paths.map(p => pool.submit(new java.util.concurrent.Callable[Option[(Long, Long)]] {
+          def call(): Option[(Long, Long)] =
+            try statusOf(p) catch { case _: Throwable => None }
+        })).map(_.get())
+      } finally pool.shutdown()
+    }
 }

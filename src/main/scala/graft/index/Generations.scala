@@ -333,22 +333,31 @@ object Compactor {
       .reduce(_ unionByName _)
     docs.write.mode("overwrite").parquet(paths.docs)
 
-    // segments: union of the generations' sorted runs; the builder's
-    // resume path re-shuffles + re-sorts by (term, salt, doc_id), which is
-    // exactly the k-way merge (disjoint doc ranges make it a merge, not a
-    // re-group — reference src/positional_intersect/mod.rs:108-131 / J1).
+    // segments: union of the generations' sorted runs, re-shuffled +
+    // re-sorted by (term, salt, doc_id) — exactly the k-way merge
+    // (disjoint doc ranges make it a merge, not a re-group — reference
+    // src/positional_intersect/mod.rs:108-131 / J1). The term-range
+    // filters of writeStage2's per-range resume push BELOW the
+    // repartition, so each range shuffles only its own rows.
     val segs = gens.map(g => spark.read.option("recursiveFileLookup", "true")
         .parquet(IndexPaths(g).segments))
       .reduce(_ unionByName _).as[SegmentRow]
+      .repartition(conf.numParts, $"term", $"salt")
+      .sortWithinPartitions($"term", $"salt", $"doc_id")
     val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()
     val nDocs = agg.getLong(0)
     val avgdl = agg.getDouble(1)
-    val rawChunks = builder.buildRawChunks(segs, avgdl)
     // shared stage-2 writer: identical dictionary/postings/fuzzy layout
-    // guarantees as a fresh build (one implementation, no drift)
-    val dictDf = builder.writeFinalTables(rawChunks, nDocs, outDir)
+    // guarantees as a fresh build (one implementation, no drift), plus
+    // per-term-range resume should a compaction die mid-write. The
+    // fingerprint is deterministic in the input generation set, so
+    // re-compacting the same generations into the same outDir resumes
+    // (a DIFFERENT generation set writes a different fp and rebuilds).
+    val fp = s"compact-${gens.sorted.mkString(",").hashCode.toHexString}-n${gens.size}"
+    val dictDf = builder.writeStage2(segs, nDocs, avgdl, outDir, fp)
     val nTerms = dictDf.count()
-    val nPostings = spark.read.parquet(paths.postings)
+    val nPostings = spark.read.option("recursiveFileLookup", "true")
+      .parquet(paths.postings)
       .agg(sum($"n_postings")).head().getLong(0)
     val meta = IndexMeta(nDocs, avgdl, nTerms, nPostings, conf.k1, conf.b)
     IndexBuilder.writeAtomic(paths.meta,

@@ -46,7 +46,17 @@ final case class IndexConf(
       * single-job fast path, big builds get bounded redo-loss). 1 =
       * single slice (stage-granular resume).
       */
-    resumeSlices: Int = 0)
+    resumeSlices: Int = 0,
+    /** Stage-2 (merge/chunk/postings) resume granularity: the term space
+      * is cut into this many ranges (boundaries read from the completed
+      * dictionary, so they are deterministic across resumes), each
+      * chunked + written + manifested independently — a kill mid-stage-2
+      * re-runs only incomplete ranges, the same pattern stage 1 has with
+      * doc slices. 0 = auto (~1 range per 2M dictionary terms, capped at
+      * 32: small builds keep the single-job fast path). 1 = single range
+      * (stage-granular resume).
+      */
+    stage2Ranges: Int = 0)
 
 final case class IndexPaths(root: String) {
   def docs = s"$root/docs"
@@ -162,25 +172,17 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   // ------------------------------------------------------------- stage 2
 
-  /** Shuffle-merge + chunking: stream doc_id-sorted postings of each
-    * (term, salt) group through a 128-posting chunker (reference k-way
-    * merge src/spimi.rs:50-121 + chunk cut index_merge_writer.rs:148).
-    * Works partition-locally after a (term, salt) shuffle; memory is
-    * bounded by one chunk, not one term (stopword-safe).
-    * chunk_seq = the chunk's min_doc_id (see emit()): unique within a
-    * term because chunk doc ranges are disjoint, globally ascending in
-    * doc order (salts partition the doc_id space into ranges), and
-    * robust to partition/split seams — no per-group counter needed.
-    */
-  def buildRawChunks(segments: Dataset[SegmentRow], avgdl: Double): Dataset[RawChunk] =
-    chunkSorted(
-      segments
-        .repartition(conf.numParts, $"term", $"salt")
-        .sortWithinPartitions($"term", $"salt", $"doc_id"),
-      avgdl)
-
   /** Chunker over an ALREADY (term, salt)-partitioned, (term, salt,
-    * doc_id)-sorted dataset (the stage-1 shuffle output, reused).
+    * doc_id)-sorted dataset (the stage-1 shuffle output, read directly;
+    * Generations.compact re-shuffles its generation union into this
+    * shape first — the k-way merge). Streams each group through a
+    * 128-posting cut (reference k-way merge src/spimi.rs:50-121 + chunk
+    * cut index_merge_writer.rs:148); memory is bounded by one chunk, not
+    * one term (stopword-safe). chunk_seq = the chunk's min_doc_id (see
+    * emit()): unique within a term because chunk doc ranges are
+    * disjoint, globally ascending in doc order (salts partition the
+    * doc_id space into ranges), and robust to partition/split seams —
+    * no per-group counter needed.
     */
   def chunkSorted(sorted: Dataset[SegmentRow], avgdl: Double): Dataset[RawChunk] = {
     val k1 = conf.k1; val b = conf.b
@@ -278,50 +280,30 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       IndexBuilder.tableToken(IndexPaths(root).dictionary))
   }
 
-  /** Stage-2 writer shared by build() and Compactor.compact: dictionary
-    * (term-sorted, range-partitioned — the layout PlanSpec asserts),
-    * final postings (range-partitioned/sorted by (term_id, chunk_seq)),
-    * and the SymSpell fuzzy variant table. One implementation so the
-    * layout guarantees cannot drift between fresh builds and compactions.
-    * Returns the written dictionary as a DataFrame.
+  /** Per-term (df, cf, max_norm) directly off the SEGMENT rows — a
+    * column-pruned pass (term, tf, dl only; the pos_enc blobs are never
+    * read) into one map-side-combined aggregation. Values are
+    * bit-identical to a chunk-level rollup: df counts (term, doc) rows,
+    * cf sums tf, max_norm maxes the SAME Bm25.norm per posting (sums
+    * and maxes are order-free). Computing stats here, not from chunks,
+    * is what lets stage 2 write the dictionary BEFORE any chunking —
+    * no whole-corpus rawChunks persist, and the postings stage can then
+    * resume per term-range against a completed dictionary.
     */
-  def writeFinalTables(rawChunks: Dataset[RawChunk], nDocs: Long,
-      root: String): DataFrame = {
-    val paths = IndexPaths(root)
-    rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dict = buildDictionary(rawChunks, nDocs)
-    vtime("dict_write") {
-      dict.repartitionByRange(conf.numParts, $"term")
-        .sortWithinPartitions($"term")
-        .write.mode("overwrite").parquet(paths.dictionary) }
-    val dictDf = spark.read.parquet(paths.dictionary)
-    val postings = rawChunks.toDF()
-      .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
-      .withColumn("max_impact", col("idf") * col("max_norm"))
-      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
-        $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
-        $"max_impact")
-    vtime("postings_write") {
-      postings
-        .repartitionByRange(conf.numParts, $"term_id", $"chunk_seq")
-        .sortWithinPartitions($"term_id", $"chunk_seq")
-        .write.mode("overwrite").parquet(paths.postings) }
-    rawChunks.unpersist()
-    vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root, conf.fuzzyMaxDistance) }
-    dictDf
+  def dictStats(segments: Dataset[SegmentRow], avgdl: Double): DataFrame = {
+    val k1 = conf.k1; val b = conf.b
+    segments.select($"term", $"tf", $"dl").as[(String, Int, Int)]
+      .map { case (t, tf, dl) => (t, tf.toLong, Bm25.norm(tf, dl, avgdl, k1, b)) }
+      .toDF("term", "tf", "norm")
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+        max($"norm").as("max_norm"))
   }
 
-  /** Dictionary: df/cf aggregation (map-side partials tame skew for a
-    * count agg) + dense term_id in byte-order term sort via RangeRank.
-    * idf + per-term global max_impact land here too.
+  /** Dense term_id in byte-order term sort via RangeRank + idf /
+    * per-term global max_impact, over (term, df, cf, max_norm) stats.
     */
-  def buildDictionary(rawChunks: Dataset[RawChunk], nDocs: Long): Dataset[DictRow] = {
-    val stats = rawChunks
-      .map(c => (c.term, c.n_postings.toLong, c.tfs.map(_.toLong).sum, c.max_norm))
-      .toDF("term", "df_part", "cf_part", "norm_part")
-      .groupBy($"term")
-      .agg(sum($"df_part").as("df"), sum($"cf_part").as("cf"),
-        max($"norm_part").as("max_norm"))
+  def finishDictionary(stats: DataFrame, nDocs: Long): Dataset[DictRow] = {
     val ranked = RangeRank.withRank(stats, Seq("term"), "term_id",
       conf.numParts, smallThreshold = 2000000L)
     val n = nDocs
@@ -333,18 +315,176 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       }
   }
 
+  /** Term boundaries for `nRanges` stage-2 postings ranges, read from
+    * the COMPLETED dictionary (terms at term_id r*width+1): range r =
+    * [bounds(r-1), bounds(r)) in UTF-8 byte order, which IS term_id
+    * order — so ranges are disjoint in term_id too and the per-range
+    * postings dirs concatenate into the same global (term_id, chunk_seq)
+    * range layout a single-dir write produces. Deterministic given the
+    * dictionary, so a resume recomputes identical ranges (nothing extra
+    * to persist). A pushed `term >= lo AND term < hi` probe prunes the
+    * segments scan to ~1/nRanges of its row groups (stage-1 files are
+    * term-sorted within partitions, so row-group min/max terms are
+    * tight).
+    */
+  def rangeBounds(dictDf: DataFrame, nTerms: Long, nRanges: Int): Array[String] =
+    if (nRanges <= 1 || nTerms <= 1) Array.empty
+    else {
+      val width = (nTerms + nRanges - 1) / nRanges
+      val ids = (1 until nRanges).map(r => r * width + 1L).filter(_ <= nTerms)
+      dictDf.filter($"term_id".isin(ids: _*)).select($"term_id", $"term")
+        .collect().sortBy(_.getLong(0)).map(_.getString(1))
+    }
+
+  /** One postings range: join chunk rows with their dictionary slice,
+    * range-partition/sort by (term_id, chunk_seq), write to `dir`.
+    */
+  private def writePostingsRange(chunks: Dataset[RawChunk], dictDf: DataFrame,
+      dir: String, parts: Int): Unit = {
+    val postings = chunks.toDF()
+      .join(dictDf.select($"term", $"term_id", $"idf"), Seq("term"))
+      .withColumn("max_impact", col("idf") * col("max_norm"))
+      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id",
+        $"n_postings", $"doc_gaps", $"tfs", $"dls", $"pos_blob", $"max_tf",
+        $"max_impact")
+    postings
+      .repartitionByRange(parts, $"term_id", $"chunk_seq")
+      .sortWithinPartitions($"term_id", $"chunk_seq")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Stage 2, shared by build() and Generations.compact so the layout
+    * guarantees cannot drift: dictionary (term-sorted, range-partitioned
+    * — the layout PlanSpec asserts), postings (term-range dirs, each
+    * range-partitioned/sorted by (term_id, chunk_seq); readers use
+    * recursiveFileLookup), and the SymSpell fuzzy variant table. Every
+    * piece carries its own manifest under `fp`:
+    *
+    *  - dictionary: one manifest (stats agg + RangeRank are global — a
+    *    dense term_id cannot be assigned per-range — but this pass is
+    *    the CHEAP one: column-pruned, no chunk encoding);
+    *  - postings: one manifest per term-range + a parent manifest, so a
+    *    kill mid-stage-2 redoes only incomplete ranges (the bulk of
+    *    stage-2 wall time is here: chunk encode + blob write);
+    *  - fuzzy table: skipped when its dict-token matches the dictionary
+    *    it was derived from (tableToken), rebuilt otherwise.
+    *
+    * `segments` must be (term, salt)-grouped and (term, salt, doc_id)-
+    * sorted within partitions (stage-1 layout; compaction re-shuffles
+    * its generation union into this shape first). Returns the written
+    * dictionary.
+    */
+  def writeStage2(segments: Dataset[SegmentRow], nDocs: Long, avgdl: Double,
+      root: String, fp: String): DataFrame = {
+    val paths = IndexPaths(root)
+
+    // 2a: dictionary
+    if (!manifestComplete(paths.dictionary, fp)) {
+      val t0 = System.nanoTime()
+      val dict = finishDictionary(dictStats(segments, avgdl), nDocs)
+      vtime("dict_write") {
+        dict.repartitionByRange(conf.numParts, $"term")
+          .sortWithinPartitions($"term")
+          .write.mode("overwrite").parquet(paths.dictionary) }
+      // distributed zero-column count — never per-footer driver IO
+      val rows = spark.read.parquet(paths.dictionary).count()
+      writeManifest(paths.dictionary, fp, rows, (System.nanoTime() - t0) / 1000000)
+    }
+    val dictDf = spark.read.parquet(paths.dictionary)
+    val nTerms = manifestRows(paths.dictionary).getOrElse(dictDf.count())
+
+    // 2b: postings, per term-range
+    if (!manifestComplete(paths.postings, fp)) {
+      val t0 = System.nanoTime()
+      val nRanges = if (conf.stage2Ranges > 0) conf.stage2Ranges
+        else math.max(1L, math.min(32L, nTerms / 2000000L)).toInt
+      val bounds = rangeBounds(dictDf, nTerms, nRanges)
+      val nR = bounds.length + 1
+      // Range manifests carry the geometry (bounds derive from nR + the
+      // fingerprinted dictionary, so nR suffices); drop anything that is
+      // not a current range dir — stale flat part files or range_i >= nR
+      // from a run with different geometry would double-count under the
+      // recursive read.
+      val rangeFp = s"$fp-st2r$nR"
+      Fs.listNames(paths.postings).foreach { name =>
+        val keep = (name.startsWith("range_") &&
+          name.stripPrefix("range_").toIntOption.exists(_ < nR)) ||
+          name == "_manifest.json"
+        if (!keep) Fs.deleteRecursive(s"${paths.postings}/$name")
+      }
+      val parts = math.max(1, conf.numParts / nR)
+      concurrently(nR) { r =>
+        val dir = s"${paths.postings}/range_$r"
+        if (!manifestComplete(dir, rangeFp)) {
+          val ts = System.nanoTime()
+          val lo = if (r == 0) None else Some(bounds(r - 1))
+          val hi = if (r == nR - 1) None else Some(bounds(r))
+          val segsR = (lo.map(b => segments.filter($"term" >= b))
+            .getOrElse(segments)) match {
+            case s => hi.map(b => s.filter($"term" < b)).getOrElse(s)
+          }
+          val dictR = hi.map(b => lo.map(a =>
+              dictDf.filter($"term" >= a && $"term" < b))
+              .getOrElse(dictDf.filter($"term" < b)))
+            .getOrElse(lo.map(a => dictDf.filter($"term" >= a)).getOrElse(dictDf))
+          vtime(s"postings_write_range_$r") {
+            writePostingsRange(chunkSorted(segsR, avgdl), dictR, dir, parts) }
+          writeManifest(dir, rangeFp, spark.read.parquet(dir).count(),
+            (System.nanoTime() - ts) / 1000000)
+        }
+      }
+      val totalRows = (0 until nR)
+        .map(r => manifestRows(s"${paths.postings}/range_$r").getOrElse(0L)).sum
+      writeManifest(paths.postings, fp, totalRows,
+        (System.nanoTime() - t0) / 1000000, Map("n_ranges" -> nR.toString))
+    }
+
+    // 2c: fuzzy variant table — skip when already derived from THIS
+    // dictionary build (the token writeFuzzyIndex leaves behind)
+    val tokenFile =
+      s"${paths.fuzzy(conf.fuzzyMaxDistance)}/${IndexBuilder.DictTokenFile}"
+    val fresh = Fs.exists(tokenFile) &&
+      Fs.readString(tokenFile) == IndexBuilder.tableToken(paths.dictionary)
+    if (!fresh)
+      vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root, conf.fuzzyMaxDistance) }
+    dictDf
+  }
+
+  /** Run `job(0..n-1)` on a small fixed pool — independent Spark jobs
+    * whose stages the scheduler interleaves into free task slots, so
+    * per-slice/per-range resume granularity costs no wall-clock vs a
+    * single job (measured: SEQUENTIAL slices halved c32 build
+    * throughput at 4.2M docs; concurrent slices restore it).
+    */
+  private def concurrently(n: Int)(job: Int => Unit): Unit =
+    if (n <= 1) (0 until n).foreach(job)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          (0 until n).map(i => scala.concurrent.Future(job(i)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+      ()
+    }
+
   // ------------------------------------------------------------ manifests
 
-  /** Row count from Parquet footers, driver-side — no Spark job. */
-  private def footerRowCount(dir: String): Long = {
-    val hconf = spark.sessionState.newHadoopConf()
-    Fs.listFilesRecursive(dir, ".parquet")
-      .map { case (path, _, _) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(path), hconf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+  /** Row count recorded in a stage's manifest, if one exists. Build
+    * stages write counts from DISTRIBUTED zero-column counts at stage
+    * completion; resumed/completed stages read them back here — there is
+    * deliberately NO per-parquet-footer driver loop anywhere (the old
+    * form opened every part file's footer serially on the driver at
+    * every stage completion and resume check: milliseconds at sandbox
+    * scale, minutes of serial driver time at 10^5-10^6 part files).
+    */
+  private def manifestRows(dir: String): Option[Long] = {
+    val f = s"$dir/_manifest.json"
+    if (!Fs.exists(f)) None
+    else "\"rows\":(\\d+)".r.findFirstMatchIn(Fs.readString(f))
+      .map(_.group(1).toLong)
   }
 
   private def writeManifest(dir: String, fingerprint: String, rows: Long,
@@ -393,11 +533,9 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     if (files.isEmpty) "mem"
     else {
       // names + sizes + mtimes: a generator that rewrites fixed-name
-      // files in place with unchanged total bytes must still invalidate
-      val stats = files.map { f =>
-        try Fs.statusOf(f).getOrElse((-1L, -1L))
-        catch { case _: Throwable => (-1L, -1L) }
-      }
+      // files in place with unchanged total bytes must still invalidate.
+      // Parallel stats — the input listing is 10^5-10^6 files at 100 TB.
+      val stats = Fs.statusOfMany(files).map(_.getOrElse((-1L, -1L)))
       val h = (files.mkString(",").hashCode.toLong << 32) ^
         stats.map { case (s, m) => s * 31 + m }.foldLeft(17L)(_ * 31 + _)
       f"f${files.length}-b${stats.map(_._1).sum}-h$h%016x"
@@ -420,7 +558,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val t0 = System.nanoTime()
       val docsWithText = buildDocs(turns)
       vtime("docs_write") { docsWithText.write.mode("overwrite").parquet(paths.docs) }
-      val rows = footerRowCount(paths.docs)
+      val rows = spark.read.parquet(paths.docs).count()
       writeManifest(paths.docs, fp, rows, (System.nanoTime() - t0) / 1000000)
     }
     val docsWithText = spark.read.parquet(paths.docs)
@@ -481,67 +619,50 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         // double-counted ranges otherwise). The parent segments manifest
         // keeps the plain fp; geometry only matters while slices resume.
         val sliceFp = s"$fp-sl$nSlices"
-        // Slices run CONCURRENTLY (independent Spark jobs from a small
-        // thread pool): the scheduler interleaves their stages into free
-        // task slots, so resume granularity costs no wall-clock vs the
-        // single-job form (measured: sequential slices halved c32 build
-        // throughput at 4.2M docs; concurrent slices restore it). Each
-        // slice writes its own dir + manifest — thread-safe by layout.
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(nSlices, 4))
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        try {
-          val jobs = (0 until nSlices).map { i =>
-            scala.concurrent.Future {
-              val dir = s"${paths.segments}/slice_$i"
-              if (!manifestComplete(dir, sliceFp)) {
-                val ts = System.nanoTime()
-                val lo = conf.docIdOffset + 1L + i.toLong * sliceWidth
-                val hi = lo + sliceWidth
-                vtime(s"segments_write_slice_$i") {
-                  buildSegments(
-                    docsWithText.filter($"doc_id" >= lo && $"doc_id" < hi),
-                    nDocs, highDf)
-                    .write.mode("overwrite").parquet(dir) }
-                writeManifest(dir, sliceFp, footerRowCount(dir),
-                  (System.nanoTime() - ts) / 1000000)
-              }
-            }
+        // Slices run CONCURRENTLY (see concurrently()); each writes its
+        // own dir + manifest — thread-safe by layout.
+        concurrently(nSlices) { i =>
+          val dir = s"${paths.segments}/slice_$i"
+          if (!manifestComplete(dir, sliceFp)) {
+            val ts = System.nanoTime()
+            val lo = conf.docIdOffset + 1L + i.toLong * sliceWidth
+            val hi = lo + sliceWidth
+            vtime(s"segments_write_slice_$i") {
+              buildSegments(
+                docsWithText.filter($"doc_id" >= lo && $"doc_id" < hi),
+                nDocs, highDf)
+                .write.mode("overwrite").parquet(dir) }
+            writeManifest(dir, sliceFp, spark.read.parquet(dir).count(),
+              (System.nanoTime() - ts) / 1000000)
           }
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(jobs),
-            scala.concurrent.duration.Duration.Inf)
-        } finally pool.shutdown()
+        }
       }
-      val rows = footerRowCount(paths.segments)
+      // stage row count: sum of the slice manifests when sliced (already
+      // counted), one distributed zero-column count otherwise
+      val rows =
+        if (nSlices <= 1) spark.read.parquet(paths.segments).count()
+        else (0 until nSlices)
+          .map(i => manifestRows(s"${paths.segments}/slice_$i").getOrElse(0L)).sum
       writeManifest(paths.segments, fp, rows, (System.nanoTime() - t0) / 1000000,
         Map("salted_terms" -> highDf.size.toString,
           "n_slices" -> nSlices.toString))
     }
 
-    // Stage 2: merge + chunk + dictionary + final postings. The segments
-    // checkpoint was written one sorted file per (term, salt)-hash
-    // partition, and the Parquet reader preserves row order within each
-    // file/split — so the chunker runs DIRECTLY on the read, with no
-    // second shuffle. A group straddling a split seam just yields an
-    // extra sub-128 seam chunk (chunk_seq = min_doc_id keeps identities
-    // unique and ordered).
-    if (!manifestComplete(paths.dictionary, fp) || !manifestComplete(paths.postings, fp)) {
-      val t0 = System.nanoTime()
-      val rawChunks = chunkSorted(
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(paths.segments).as[SegmentRow], avgdl)
-      // (no explicit materialize: the dictionary stats agg inside is the
-      // first consumer and fills the cache in the same pass)
-      writeFinalTables(rawChunks, nDocs, root)
-      val dictRows = footerRowCount(paths.dictionary)
-      val postRows = footerRowCount(paths.postings)
-      writeManifest(paths.dictionary, fp, dictRows, (System.nanoTime() - t0) / 1000000)
-      writeManifest(paths.postings, fp, postRows, (System.nanoTime() - t0) / 1000000)
-    }
+    // Stage 2: merge + chunk + dictionary + final postings, with
+    // per-substage + per-term-range manifests (writeStage2). The
+    // segments checkpoint was written one sorted file per (term,
+    // salt)-hash partition, and the Parquet reader preserves row order
+    // within each file/split — so the chunker runs DIRECTLY on the
+    // read, with no second shuffle. A group straddling a split seam
+    // just yields an extra sub-128 seam chunk (chunk_seq = min_doc_id
+    // keeps identities unique and ordered).
+    writeStage2(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(paths.segments).as[SegmentRow],
+      nDocs, avgdl, root, fp)
 
-    val nTerms = footerRowCount(paths.dictionary)
+    val nTerms = manifestRows(paths.dictionary).getOrElse(
+      spark.read.parquet(paths.dictionary).count())
     // total postings = sum of per-term document frequencies (tiny scan)
     val nPostings = spark.read.parquet(paths.dictionary)
       .agg(sum($"df")).head().getLong(0)
@@ -572,8 +693,15 @@ object IndexBuilder {
       .map { case (_, name, size) => s"$name:$size" }
     if (parts.isEmpty) "absent"
     else {
-      val h = parts.foldLeft(17L)((acc, s) => acc * 1000003L + s.hashCode)
-      java.lang.Long.toHexString(h)
+      // md5 of the concatenated listing — this token is the ONLY guard
+      // stopping a stale lazily-backfilled fuzzy_dD table (wrong df,
+      // dangling term_ids) from serving after a dictionary rebuild, so
+      // a collision must be cryptographically implausible, not just
+      // unlikely (32-bit String.hashCode folds were the round-3 form)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(parts.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest().map(b => f"$b%02x").mkString
     }
   }
 

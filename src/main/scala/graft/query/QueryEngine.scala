@@ -35,7 +35,11 @@ class QueryEngine(spark: SparkSession, root: String,
   private val paths = IndexPaths(root)
   val meta: IndexMeta = IndexBuilder.readMeta(root)
   val dictionary: DataFrame = spark.read.parquet(paths.dictionary)
-  val postings: DataFrame = spark.read.parquet(paths.postings)
+  // recursive: postings live in per-term-range subdirs (stage-2 resume
+  // granularity); ranges are disjoint in term_id, so pushed term_id
+  // predicates prune whole range dirs' row groups exactly as before
+  val postings: DataFrame = spark.read
+    .option("recursiveFileLookup", "true").parquet(paths.postings)
   val docs: DataFrame = spark.read.parquet(paths.docs)
 
   /** Driver-side lookup of the query terms' dictionary entries — a

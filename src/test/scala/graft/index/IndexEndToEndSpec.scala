@@ -431,7 +431,8 @@ class IndexEndToEndSpec extends SparkSpecBase {
         s"slice_$i bytes differ from uninterrupted build")
     }
     def tableRows(d: String): Seq[Seq[Any]] =
-      spark.read.parquet(d).collect().map(_.toSeq.map {
+      spark.read.option("recursiveFileLookup", "true") // postings: range_* dirs
+        .parquet(d).collect().map(_.toSeq.map {
         case b: Array[Byte] => b.toSeq
         case v => v
       }).sortBy(_.toString()).toSeq
@@ -466,6 +467,102 @@ class IndexEndToEndSpec extends SparkSpecBase {
       .build(Transcripts.generate(spark, 20L), dir)
     assert(dictRows(dir) == dictRows(unslicedDir),
       "geometry-changed resume corrupted the dictionary")
+  }
+
+  test("stage-2 per-range resume: only killed ranges recompute; content identical") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def rmrf(p: String): Unit = {
+      val f = Paths.get(p)
+      if (Files.exists(f)) Files.walk(f)
+        .sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    }
+    // part names embed the write job's UUID: an unchanged listing proves
+    // the range dir was not rewritten
+    def listing(d: String): Seq[String] =
+      Files.list(Paths.get(d)).iterator().asScala.toSeq
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted
+    def rows(d: String): Seq[Seq[Any]] =
+      spark.read.option("recursiveFileLookup", "true").parquet(d)
+        .collect().map(_.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case v => v
+        }).sortBy(_.toString()).toSeq
+    val conf = IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4,
+      stage2Ranges = 4)
+    val refDir = tmpDir("graft-st2-ref")
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), refDir)
+    val dir = tmpDir("graft-st2-crash")
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    val paths = IndexPaths(dir)
+    (0 until 4).foreach { r =>
+      assert(Files.exists(Paths.get(s"${paths.postings}/range_$r", "_manifest.json")),
+        s"range_$r manifest missing")
+    }
+    // simulate a kill mid-stage-2: two ranges lost, parent postings
+    // marker + meta lost; dictionary survived (it completes first)
+    rmrf(s"${paths.postings}/range_1")
+    rmrf(s"${paths.postings}/range_3")
+    Files.delete(Paths.get(paths.postings, "_manifest.json"))
+    Files.delete(Paths.get(paths.meta))
+    val keptParts = Seq(0, 2).map(r => listing(s"${paths.postings}/range_$r"))
+    val keptDict = listing(paths.dictionary)
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    assert(Seq(0, 2).map(r => listing(s"${paths.postings}/range_$r")) == keptParts,
+      "intact ranges were recomputed")
+    assert(listing(paths.dictionary) == keptDict,
+      "completed dictionary was recomputed")
+    (0 until 4).foreach { r =>
+      assert(Files.exists(Paths.get(s"${paths.postings}/range_$r", "_manifest.json")))
+    }
+    // resumed index content == uninterrupted build (parquet BYTES of the
+    // recomputed ranges depend on Spark's range-exchange sample seed, so
+    // content is the right identity here; the intact-listing assertions
+    // above cover the not-recomputed half)
+    val refPaths = IndexPaths(refDir)
+    assert(rows(paths.dictionary) == rows(refPaths.dictionary),
+      "dictionary content differs from uninterrupted build")
+    assert(rows(paths.postings) == rows(refPaths.postings),
+      "postings content differs from uninterrupted build")
+    // ranges partition the term_id space disjointly and completely
+    val perRange = (0 until 4).map { r =>
+      val d = s"${paths.postings}/range_$r"
+      spark.read.parquet(d).select("term_id").collect().map(_.getLong(0)).toSet
+    }
+    val all = spark.read.option("recursiveFileLookup", "true")
+      .parquet(paths.postings).select("term_id").collect().map(_.getLong(0)).toSet
+    assert(perRange.map(_.size).sum == perRange.reduce(_ ++ _).size, "term_id in two ranges")
+    assert(perRange.reduce(_ ++ _) == all)
+    assert(perRange.count(_.nonEmpty) >= 2, "expected multiple non-empty ranges")
+    // and the resumed index serves identical queries
+    val engR = new QueryEngine(spark, dir, lemmas)
+    val engF = new QueryEngine(spark, refDir, lemmas)
+    Seq("the big join", "kelba sorro").foreach { q =>
+      assert(engR.bm25TopK(q, 5).collect().toSeq ==
+        engF.bm25TopK(q, 5).collect().toSeq, s"rank drift for '$q'")
+    }
+  }
+
+  test("resumed build does no per-part-file driver IO (Fs ops stay O(stages))") {
+    val conf = IndexConf(numParts = 8, skewDfThreshold = 300, nSalts = 4,
+      resumeSlices = 4, stage2Ranges = 4)
+    val dir = tmpDir("graft-resume-io")
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    val nPartFiles = Fs.listFilesRecursive(dir, ".parquet").size
+    assert(nPartFiles > 40, s"corpus too small to make the bound meaningful: $nPartFiles")
+    Fs.ops.set(0L)
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 20L), dir)
+    val ops = Fs.ops.get()
+    // a fully-resumed build reads manifests/markers only: O(stages),
+    // strictly below the part-file count (the old footer loop alone was
+    // >= nPartFiles driver opens)
+    assert(ops < nPartFiles && ops <= 40,
+      s"resumed build did $ops Fs ops over $nPartFiles part files")
   }
 
   test("URI-schemed root: build + resume + query over file:// (the Fs seam)") {
