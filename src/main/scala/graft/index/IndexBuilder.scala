@@ -280,25 +280,19 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       IndexBuilder.tableToken(IndexPaths(root).dictionary))
   }
 
-  /** Per-term (df, cf, max_norm) directly off the SEGMENT rows — a
-    * column-pruned pass (term, tf, dl only; the pos_enc blobs are never
-    * read) into one map-side-combined aggregation. Values are
-    * bit-identical to a chunk-level rollup: df counts (term, doc) rows,
-    * cf sums tf, max_norm maxes the SAME Bm25.norm per posting (sums
-    * and maxes are order-free). Computing stats here, not from chunks,
-    * is what lets stage 2 write the dictionary BEFORE any chunking —
-    * no whole-corpus rawChunks persist, and the postings stage can then
-    * resume per term-range against a completed dictionary.
+  /** Per-term (df, cf, max_norm) from chunk rows — a cheap aggregation
+    * over ~n_postings/128 pre-reduced rows (df sums chunk sizes, cf sums
+    * chunk tf totals, max_norm maxes per-chunk maxes of the same
+    * per-posting Bm25.norm; sums and maxes are order-free, so values
+    * are bit-identical to a per-posting rollup).
     */
-  def dictStats(segments: Dataset[SegmentRow], avgdl: Double): DataFrame = {
-    val k1 = conf.k1; val b = conf.b
-    segments.select($"term", $"tf", $"dl").as[(String, Int, Int)]
-      .map { case (t, tf, dl) => (t, tf.toLong, Bm25.norm(tf, dl, avgdl, k1, b)) }
-      .toDF("term", "tf", "norm")
+  def dictStats(rawChunks: Dataset[RawChunk]): DataFrame =
+    rawChunks
+      .map(c => (c.term, c.n_postings.toLong, c.tfs.map(_.toLong).sum, c.max_norm))
+      .toDF("term", "df_part", "cf_part", "norm_part")
       .groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
-        max($"norm").as("max_norm"))
-  }
+      .agg(sum($"df_part").as("df"), sum($"cf_part").as("cf"),
+        max($"norm_part").as("max_norm"))
 
   /** Dense term_id in byte-order term sort via RangeRank + idf /
     * per-term global max_impact, over (term, df, cf, max_norm) stats.
@@ -378,33 +372,26 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       root: String, fp: String): DataFrame = {
     val paths = IndexPaths(root)
 
-    // 2a: dictionary
-    if (!manifestComplete(paths.dictionary, fp)) {
-      val t0 = System.nanoTime()
-      val dict = finishDictionary(dictStats(segments, avgdl), nDocs)
-      vtime("dict_write") {
-        dict.repartitionByRange(conf.numParts, $"term")
-          .sortWithinPartitions($"term")
-          .write.mode("overwrite").parquet(paths.dictionary) }
-      // distributed zero-column count — never per-footer driver IO
-      val rows = spark.read.parquet(paths.dictionary).count()
-      writeManifest(paths.dictionary, fp, rows, (System.nanoTime() - t0) / 1000000)
-    }
-    val dictDf = spark.read.parquet(paths.dictionary)
-    val nTerms = manifestRows(paths.dictionary).getOrElse(dictDf.count())
+    def restrict[T](ds: Dataset[T], lo: Option[String], hi: Option[String]): Dataset[T] =
+      (lo.map(col("term") >= _) ++ hi.map(col("term") < _))
+        .foldLeft(ds)((d, c) => d.filter(c))
 
-    // 2b: postings, per term-range
-    if (!manifestComplete(paths.postings, fp)) {
+    // 2b: per-term-range postings writer, shared by the fresh and resume
+    // paths. chunksFor yields one term-range's chunk rows: a filter over
+    // the fresh path's persisted chunking pass, or a range-pruned
+    // re-chunk of the segments on resume. Range manifests carry the
+    // geometry (bounds derive from nR + the fingerprinted dictionary, so
+    // nR suffices); anything that is not a current range dir — stale
+    // flat part files, or range_i >= nR from a run with different
+    // geometry — is dropped, since the recursive read would silently
+    // double-count it.
+    def writeRanges(dictDf: DataFrame, nTerms: Long,
+        chunksFor: (Option[String], Option[String]) => Dataset[RawChunk]): Unit = {
       val t0 = System.nanoTime()
       val nRanges = if (conf.stage2Ranges > 0) conf.stage2Ranges
         else math.max(1L, math.min(32L, nTerms / 2000000L)).toInt
       val bounds = rangeBounds(dictDf, nTerms, nRanges)
       val nR = bounds.length + 1
-      // Range manifests carry the geometry (bounds derive from nR + the
-      // fingerprinted dictionary, so nR suffices); drop anything that is
-      // not a current range dir — stale flat part files or range_i >= nR
-      // from a run with different geometry would double-count under the
-      // recursive read.
       val rangeFp = s"$fp-st2r$nR"
       Fs.listNames(paths.postings).foreach { name =>
         val keep = (name.startsWith("range_") &&
@@ -419,16 +406,10 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
           val ts = System.nanoTime()
           val lo = if (r == 0) None else Some(bounds(r - 1))
           val hi = if (r == nR - 1) None else Some(bounds(r))
-          val segsR = (lo.map(b => segments.filter($"term" >= b))
-            .getOrElse(segments)) match {
-            case s => hi.map(b => s.filter($"term" < b)).getOrElse(s)
-          }
-          val dictR = hi.map(b => lo.map(a =>
-              dictDf.filter($"term" >= a && $"term" < b))
-              .getOrElse(dictDf.filter($"term" < b)))
-            .getOrElse(lo.map(a => dictDf.filter($"term" >= a)).getOrElse(dictDf))
           vtime(s"postings_write_range_$r") {
-            writePostingsRange(chunkSorted(segsR, avgdl), dictR, dir, parts) }
+            writePostingsRange(chunksFor(lo, hi), restrict(dictDf, lo, hi),
+              dir, parts) }
+          // distributed zero-column count — never per-footer driver IO
           writeManifest(dir, rangeFp, spark.read.parquet(dir).count(),
             (System.nanoTime() - ts) / 1000000)
         }
@@ -438,6 +419,41 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       writeManifest(paths.postings, fp, totalRows,
         (System.nanoTime() - t0) / 1000000, Map("n_ranges" -> nR.toString))
     }
+
+    val dictDf =
+      if (!manifestComplete(paths.dictionary, fp)) {
+        // fresh stage 2: ONE chunking pass serves the dictionary stats
+        // AND every range write (persisted — a second chunking pass for
+        // the postings measured ~15% of build wall; at scale the cache
+        // spills to executor-local disk, still cheaper than re-reading
+        // + re-decoding the segments shuffle output)
+        val t0 = System.nanoTime()
+        val rawChunks = chunkSorted(segments, avgdl)
+        rawChunks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dict = finishDictionary(dictStats(rawChunks), nDocs)
+        vtime("dict_write") {
+          dict.repartitionByRange(conf.numParts, $"term")
+            .sortWithinPartitions($"term")
+            .write.mode("overwrite").parquet(paths.dictionary) }
+        val rows = spark.read.parquet(paths.dictionary).count()
+        writeManifest(paths.dictionary, fp, rows,
+          (System.nanoTime() - t0) / 1000000)
+        val dictDf = spark.read.parquet(paths.dictionary)
+        writeRanges(dictDf, rows, (lo, hi) => restrict(rawChunks, lo, hi))
+        rawChunks.unpersist()
+        dictDf
+      } else {
+        // resume: dictionary complete — chunk ONLY the incomplete
+        // ranges' segments (the term-range predicate prunes the scan to
+        // ~their row groups; stage-1 files are term-sorted within
+        // partitions)
+        val dictDf = spark.read.parquet(paths.dictionary)
+        val nTerms = manifestRows(paths.dictionary).getOrElse(dictDf.count())
+        if (!manifestComplete(paths.postings, fp))
+          writeRanges(dictDf, nTerms, (lo, hi) =>
+            chunkSorted(restrict(segments, lo, hi), avgdl))
+        dictDf
+      }
 
     // 2c: fuzzy variant table — skip when already derived from THIS
     // dictionary build (the token writeFuzzyIndex leaves behind)
