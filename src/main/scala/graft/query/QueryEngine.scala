@@ -47,8 +47,11 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   def lookupTerms(terms: Seq[String]): Seq[DictRow] =
     if (terms.isEmpty) Nil
-    else dictionary.filter($"term".isin(terms.distinct: _*))
-      .as[DictRow].collect().toSeq.sortBy(_.term_id)
+    else {
+      QueryEngine.dictProbes.incrementAndGet() // test hook (probe budget)
+      dictionary.filter($"term".isin(terms.distinct: _*))
+        .as[DictRow].collect().toSeq.sortBy(_.term_id)
+    }
 
   def queryTerms(query: String): Seq[String] =
     Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
@@ -308,11 +311,15 @@ class QueryEngine(spark: SparkSession, root: String,
       .withColumn("tier", lit(0))
     val bigramTerms = Tokenizer.tokenizeQuery(query, lemmas)
       .bigrams.map(_.term).distinct
+    // ONE dictionary probe serves the existence check, the bigram BM25
+    // scoring, and the conjunctive intersection (probing per consumer
+    // cost two redundant pushed dictionary scans per query)
+    val bigramEntries =
+      if (bigramTerms.isEmpty) Nil else lookupTerms(bigramTerms)
     val bigramTier =
-      if (bigramTerms.nonEmpty &&
-          lookupTerms(bigramTerms).size == bigramTerms.size) {
-        bm25Scores(bigramTerms) // thread 2's bigram_scores
-          .join(conjunctive(bigramTerms), Seq("doc_id"), "left_semi")
+      if (bigramTerms.nonEmpty && bigramEntries.size == bigramTerms.size) {
+        exactScores(bigramEntries) // thread 2's bigram_scores
+          .join(conjunctiveFromEntries(bigramEntries), Seq("doc_id"), "left_semi")
           .join(phraseDocs, Seq("doc_id"), "left_anti")
           .withColumn("tier", lit(1))
       } else emptyScores().withColumn("tier", lit(1))
@@ -581,7 +588,16 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   def conjunctive(terms: Seq[String]): DataFrame = {
     val entries = lookupTerms(terms)
-    if (entries.size < terms.distinct.size) return Seq.empty[Long].toDF("doc_id")
+    if (entries.size < terms.distinct.size) Seq.empty[Long].toDF("doc_id")
+    else conjunctiveFromEntries(entries)
+  }
+
+  /** [[conjunctive]] over ALREADY looked-up dictionary entries — for
+    * callers that have probed the dictionary themselves (handleQuery's
+    * bigram tier re-uses one probe for the existence check, the scoring
+    * AND this intersection).
+    */
+  private def conjunctiveFromEntries(entries: Seq[DictRow]): DataFrame = {
     val byDf = entries.sortBy(e => (e.df, e.term_id))
     val docSets = byDf.map { e =>
       decodedPostings(Seq(e.term_id)).select($"doc_id")
@@ -836,9 +852,22 @@ class QueryEngine(spark: SparkSession, root: String,
     * dictionary scan. Recall is complete either way: the table carries
     * variants for terms up to MaxTermLen + d code points, covering every
     * term reachable from an in-domain query.
+    *
+    * COST BOUND of the fallback: d > MaxFuzzyTableDistance (= 3) always
+    * scans — deliberately, since a d=4 deletion table is ~C(len,4)
+    * variants per term (10-100x the d=2 table nobody asked to persist).
+    * The scan is one column-pruned pass over the dictionary with the
+    * +-d code-point-length prefilter pushed to the parquet scan, i.e.
+    * O(|lexicon|) once per query — fine for an occasional d=4 lookup,
+    * wrong as a hot path. Operators can SEE it happening:
+    * [[QueryEngine.fuzzyScanFallbacks]] counts every scan-path query
+    * (monitor it; a climbing counter means someone is serving large-d
+    * fuzzy traffic that deserves a persisted fuzzy_dD table via
+    * IndexConf.fuzzyMaxDistance).
     */
   def fuzzyTerms(q: String, d: Int): DataFrame = {
-    val inDomain = q.codePointCount(0, q.length) <= graft.core.Fuzzy.MaxTermLen
+    val qCp = q.codePointCount(0, q.length)
+    val inDomain = qCp <= graft.core.Fuzzy.MaxTermLen
     val idx = if (inDomain) fuzzyIndexFor(d) else None
     idx match {
       case Some(fi) =>
@@ -847,9 +876,14 @@ class QueryEngine(spark: SparkSession, root: String,
           .select($"term", $"term_id", $"df").distinct()
           .filter(levenshtein($"term", lit(q)) <= d)
       case None =>
+        QueryEngine.fuzzyScanFallbacks.incrementAndGet()
+        // +-d bound on CODE POINTS (Spark's length() counts code
+        // points; the JVM String.length counts UTF-16 units and would
+        // under-bound for supplementary-plane queries, dropping true
+        // matches from the prefilter)
         dictionary
-          .filter(length($"term") >= lit(q.length - d) &&
-            length($"term") <= lit(q.length + d))
+          .filter(length($"term") >= lit(qCp - d) &&
+            length($"term") <= lit(qCp + d))
           .filter(levenshtein($"term", lit(q)) <= d)
           .select($"term", $"term_id", $"df")
     }
@@ -886,6 +920,20 @@ class QueryEngine(spark: SparkSession, root: String,
 }
 
 object QueryEngine {
+
+  /** Dictionary-probe counter (each probe = one pushed driver-side
+    * dictionary scan) — test hook for probe budgets: handleQuery must
+    * probe each term set once (BigramSpec pins the budget).
+    */
+  private[graft] val dictProbes = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Count of fuzzy lookups served by the O(|lexicon|) dictionary-scan
+    * fallback instead of a variant-table probe (d above the backfill
+    * cap, over-long queries, unwritable roots). An operational metric:
+    * a climbing value means large-d fuzzy traffic that deserves a
+    * persisted fuzzy_dD table (IndexConf.fuzzyMaxDistance).
+    */
+  val fuzzyScanFallbacks = new java.util.concurrent.atomic.AtomicLong
 
   /** Roots whose lazy fuzzy-index backfill failed (e.g. read-only
     * mounts): retried at most once per JVM.

@@ -40,36 +40,64 @@ object TurnStreams {
       last_ts: Timestamp,
       duration_ms: Long)
 
-  /** Conversation sessionization: fold each conv_id's turns in a
-    * GroupState, emit the finished session when the conversation has been
-    * idle past `gapMs` (event-time timeout in streaming; end-of-group in
-    * batch). The custom-state analog of the reference's per-document
-    * accumulation loop, lifted to conversations.
+  /** Conversation sessionization (gaps-and-islands): a conversation's
+    * turns split into sessions wherever the idle gap exceeds `gapMs` —
+    * IDENTICAL semantics in both modes (TurnStreamsSpec pins streaming
+    * == batch == ops.Sessions.sessionizeEvents on one event log):
+    *
+    *  - streaming: sessions closed by an in-batch gap emit immediately;
+    *    the open session sits in GroupState with an event-time timeout
+    *    at last_ts + gapMs, emitting when the watermark passes it. The
+    *    custom-state analog of the reference's per-document accumulation
+    *    loop, lifted to conversations. (Cross-batch LATE turns — within
+    *    the watermark but older than the open session — fold into it
+    *    rather than re-splitting an already-emitted boundary: the
+    *    standard streaming approximation, bounded by the watermark.)
+    *  - batch: every group ends, so the per-group fold emits every
+    *    session, closed and final.
     */
   def sessionize(turns: Dataset[Turn], gapMs: Long = 10 * 60 * 1000L,
       watermark: String = "10 minutes"): Dataset[ConvSession] = {
     import turns.sparkSession.implicits._
 
-    def fold(state: Option[ConvSession], batch: Iterator[Turn]): Option[ConvSession] =
-      batch.foldLeft(state) { (acc, t) =>
-        acc match {
-          case None => Some(ConvSession(t.conv_id, 1,
-            if (t.role == "user") 1 else 0,
-            if (t.tool != null && t.tool.nonEmpty) 1 else 0,
-            t.ts, t.ts, 0L))
-          case Some(s) =>
-            val first = if (t.ts.before(s.first_ts)) t.ts else s.first_ts
-            val last = if (t.ts.after(s.last_ts)) t.ts else s.last_ts
-            Some(s.copy(
-              n_turns = s.n_turns + 1,
-              n_user = s.n_user + (if (t.role == "user") 1 else 0),
-              n_tool_calls = s.n_tool_calls +
-                (if (t.tool != null && t.tool.nonEmpty) 1 else 0),
-              first_ts = first,
-              last_ts = last,
-              duration_ms = last.getTime - first.getTime))
+    def one(t: Turn): ConvSession = ConvSession(t.conv_id, 1,
+      if (t.role == "user") 1 else 0,
+      if (t.tool != null && t.tool.nonEmpty) 1 else 0,
+      t.ts, t.ts, 0L)
+
+    def add(s: ConvSession, t: Turn): ConvSession = {
+      val first = if (t.ts.before(s.first_ts)) t.ts else s.first_ts
+      val last = if (t.ts.after(s.last_ts)) t.ts else s.last_ts
+      s.copy(
+        n_turns = s.n_turns + 1,
+        n_user = s.n_user + (if (t.role == "user") 1 else 0),
+        n_tool_calls = s.n_tool_calls +
+          (if (t.tool != null && t.tool.nonEmpty) 1 else 0),
+        first_ts = first,
+        last_ts = last,
+        duration_ms = last.getTime - first.getTime)
+    }
+
+    /** (closed sessions in order, still-open session). Group iterators
+      * arrive UNORDERED (both modes), so the batch is sorted by (ts,
+      * turn_idx) first — without the sort, gap boundaries would depend
+      * on shuffle arrival order.
+      */
+    def fold(state: Option[ConvSession],
+        batch: Iterator[Turn]): (Seq[ConvSession], Option[ConvSession]) = {
+      val sorted = batch.toArray.sortBy(t => (t.ts.getTime, t.turn_idx))
+      var open = state
+      val closed = Seq.newBuilder[ConvSession]
+      sorted.foreach { t =>
+        open = open match {
+          case Some(s) if t.ts.getTime - s.last_ts.getTime > gapMs =>
+            closed += s; Some(one(t))
+          case Some(s) => Some(add(s, t))
+          case None => Some(one(t))
         }
       }
+      (closed.result(), open)
+    }
 
     if (turns.isStreaming) {
       turns
@@ -83,17 +111,19 @@ object TurnStreams {
               state.remove()
               out.iterator
             } else {
-              fold(state.getOption, batch).foreach { s =>
+              val (closed, open) = fold(state.getOption, batch)
+              open.foreach { s =>
                 state.update(s)
                 state.setTimeoutTimestamp(s.last_ts.getTime + gapMs)
               }
-              Iterator.empty
+              closed.iterator
             }
         }
     } else {
-      // batch semantics: every group ends, so every session emits
       turns.groupByKey(_.conv_id).flatMapGroups {
-        (convId: String, batch: Iterator[Turn]) => fold(None, batch).iterator
+        (convId: String, batch: Iterator[Turn]) =>
+          val (closed, open) = fold(None, batch)
+          (closed ++ open).iterator
       }
     }
   }

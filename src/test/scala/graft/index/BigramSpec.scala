@@ -95,6 +95,17 @@ class BigramSpec extends SparkSpecBase {
     assert(sawBigramTier, "no test query exercised the bigram tier")
   }
 
+  test("handleQuery stays within its dictionary-probe budget (one probe per term set)") {
+    engine.handleQuery("warm up", 3).collect() // lazies resolved un-counted
+    QueryEngine.dictProbes.set(0)
+    engine.handleQuery("the big join", 10).collect()
+    val probes = QueryEngine.dictProbes.get()
+    // one probe per term set: unigram scoring, the phrase chain, and the
+    // bigram tier (whose single probe serves existence check + bigram
+    // BM25 + conjunctive; the round-3 form re-probed it per consumer)
+    assert(probes <= 3, s"handleQuery made $probes dictionary probes, budget 3")
+  }
+
   test("handleQuery without indexed bigrams leaves the middle tier empty") {
     // the non-bigram oracle models a non-bigram index: same queries must
     // come back with tiers {0,2} only

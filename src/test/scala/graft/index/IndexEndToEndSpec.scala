@@ -234,6 +234,24 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
+  test("fuzzy d=4 takes the documented scan fallback (counted); d<=3 stays on the table") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    engine.fuzzyTerms("kelba", 1).collect() // table path warmed, un-counted
+    val before = QueryEngine.fuzzyScanFallbacks.get()
+    engine.fuzzyTerms("kelba", 3).collect()
+    assert(QueryEngine.fuzzyScanFallbacks.get() == before,
+      "d<=3 must serve from a variant table, not the lexicon scan")
+    val got = engine.fuzzyTerms("kelba", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(QueryEngine.fuzzyScanFallbacks.get() == before + 1,
+      "d=4 (above the backfill cap) must take the counted scan fallback")
+    val want = engine.dictionary
+      .filter(levenshtein(col("term"), lit("kelba")) <= 4)
+      .select(col("term"), col("term_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "scan-fallback results differ from ground truth")
+  }
+
   test("handle_query: phrase-tier precedence matches oracle") {
     // a query whose first two tokens form a real phrase somewhere
     val t = turnsLocal.find(_.text.split(" ").length > 3).get

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpecBase
 import graft.corpus.{Transcripts, Turn}
+import graft.ops.Sessions
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
@@ -104,5 +105,66 @@ class TurnStreamsSpec extends SparkSpecBase {
       Turn("a", 0, "user", "x y", "", ts(0)),
       Turn("b", 0, "user", "x y", "", ts(1))))).collect()
     assert(batch.length == 1)
+  }
+
+  test("sessionization parity: streaming == batch == Sessions.sessionizeEvents") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 5 * 60000L
+    // one deterministic event log: two users, intra-user gaps both over
+    // and under the threshold, plus a same-timestamp tie (broken by
+    // event id in every implementation)
+    val events = Seq( // (user, eventId, minute)
+      ("u1", 0, 0L), ("u1", 1, 2L), ("u1", 2, 2L),   // session 0 (tie at min 2)
+      ("u1", 3, 10L), ("u1", 4, 13L),                  // session 1 (gap 8 > 5)
+      ("u1", 5, 30L),                                  // session 2
+      ("u2", 0, 1L), ("u2", 1, 5L),                    // session 0 (gap 4 <= 5)
+      ("u2", 2, 20L))                                  // session 1
+    def sessKey(rows: Seq[(String, Long, Long, Long)]) = rows.sorted
+    // (user, n_events, first_ms, last_ms) sorted — the identity compared
+    // across all three implementations
+
+    // path A: the batch window-function form (the q44 oracle shape)
+    val eventsDf = events
+      .map { case (u, e, m) => (u, e.toLong, ts(m), 1.0) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val a = Sessions.sessionizeEvents(eventsDf, gapMs).collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("first_ms"), r.getAs[Long]("last_ms"))).toSeq
+
+    // path B: the batch fold of TurnStreams.sessionize (events as turns)
+    val asTurns = events.map { case (u, e, m) => Turn(u, e, "user", "ev", "", ts(m)) }
+    val b = TurnStreams.sessionize(spark.createDataset(asTurns), gapMs).collect()
+      .map(s => (s.conv_id, s.n_turns.toLong,
+        s.first_ts.getTime, s.last_ts.getTime)).toSeq
+
+    // path C: the streaming fold (two micro-batches split MID-SESSION at
+    // u1 minute 10, so state carry-over is exercised; a sentinel user
+    // advances the watermark to flush the open sessions)
+    val input = MemoryStream[Turn]
+    val query = TurnStreams.sessionize(input.toDS(), gapMs, watermark = "1 minutes")
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val c = try {
+      val (chunk1, chunk2) = asTurns.partition(t => t.ts.getTime <= ts(10L).getTime)
+      input.addData(chunk1: _*)
+      query.processAllAvailable()
+      input.addData(chunk2: _*)
+      query.processAllAvailable()
+      input.addData(Turn("wm", 0, "user", "advance", "", ts(1000L)))
+      query.processAllAvailable()
+      input.addData(Turn("wm", 1, "user", "fire timeouts", "", ts(1001L)))
+      query.processAllAvailable()
+      spark.table("parity_sessions").as[TurnStreams.ConvSession].collect()
+        .filter(_.conv_id != "wm")
+        .map(s => (s.conv_id, s.n_turns.toLong,
+          s.first_ts.getTime, s.last_ts.getTime)).toSeq
+    } finally query.stop()
+
+    assert(sessKey(a) == sessKey(b),
+      s"window form != batch fold\n a=${sessKey(a)}\n b=${sessKey(b)}")
+    assert(sessKey(b) == sessKey(c),
+      s"batch fold != streaming fold\n b=${sessKey(b)}\n c=${sessKey(c)}")
+    assert(a.length == 5, s"expected 5 sessions, got ${a.length}")
   }
 }
