@@ -594,7 +594,25 @@ object GraftQueries {
     // gaps-and-islands oracle reproduces boundaries exactly
     "q44_sessionize" -> ((s, dir) =>
       Sessions.sessionizeEvents(events(s, dir), gapMs = 30 * 60 * 1000L)
-        .orderBy("user_id", "session_idx")))
+        .orderBy("user_id", "session_idx")),
+
+    // dedup: the LSH oversized-bucket AUDIT relation (the "report, don't
+    // hide" side of capBuckets). 40 planted copies of doc 0 put 41
+    // members into one bucket per band; with maxBucket = 32, every such
+    // bucket must be REPORTED (and would be dropped from candidate
+    // generation by capBuckets at the same threshold).
+    "q45_bucket_audit" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = s.range(1, 41)
+        .crossJoin(broadcast(docs.filter(col("doc_id") === 0).select(col("text"))))
+        .select((col("id") + 1000000).as("doc_id"), col("text"))
+      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3,
+        nHashes = 32, family = sketch)
+      val banded = Dedup.minHashBanded(sigs, bands = 8, rowsPerBand = 4,
+        family = sketch)
+      Dedup.oversizedBuckets(banded, Seq("band", "bucket"), maxBucket = 32)
+        .orderBy("band", "bucket")
+    }))
 
   // --------------------------------------------------------- oracle SQL
 
@@ -960,6 +978,33 @@ object GraftQueries {
         |  round(sum(value), 4) AS sum_value
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // the oversized-bucket audit: same md5 MinHash + banding as q18,
+    // final step = bucket membership counts above the cap
+    "q45_bucket_audit" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT t.doc_id + 1000000 AS doc_id,
+        |    (SELECT text FROM documents WHERE doc_id = 0) AS text
+        |  FROM range(1, 41) t(doc_id)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM all_docs),
+        |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |mh AS (
+        |  SELECT doc_id, f,
+        |    min(('0x' || substring(md5(f::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS v
+        |  FROM sh, LATERAL (SELECT unnest(range(0, 32)) AS f)
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT doc_id, list(v ORDER BY f) AS s FROM mh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, bd,
+        |    md5(array_to_string(s[bd*4+1 : bd*4+4], ',')) AS bucket
+        |  FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS bd))
+        |SELECT bd::INT AS band, bucket, count(*)::BIGINT AS n_members
+        |FROM banded GROUP BY bd, bucket HAVING count(*) > 32
+        |ORDER BY band, bucket""".stripMargin,
 
     "q27_normalize" ->
       """WITH kept AS (
