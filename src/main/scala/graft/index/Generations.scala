@@ -353,7 +353,16 @@ object Compactor {
     // fingerprint is deterministic in the input generation set, so
     // re-compacting the same generations into the same outDir resumes
     // (a DIFFERENT generation set writes a different fp and rebuilds).
-    val fp = s"compact-${gens.sorted.mkString(",").hashCode.toHexString}-n${gens.size}"
+    val fp = {
+      // md5 of the generation list, not String.hashCode: the fp decides
+      // whether an existing outDir's stage manifests are reused, so a
+      // collision between two different generation sets must be
+      // implausible, not merely unlikely
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(gens.sorted.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"compact-${md.digest().map(b => f"$b%02x").mkString}-n${gens.size}"
+    }
     val dictDf = builder.writeStage2(segs, nDocs, avgdl, outDir, fp)
     val nTerms = dictDf.count()
     val nPostings = spark.read.option("recursiveFileLookup", "true")
