@@ -56,7 +56,19 @@ private[graft] object Fs {
     val uri = new HPath(p).toUri
     val key = (Option(uri.getScheme).getOrElse(""),
       Option(uri.getAuthority).getOrElse(""), fromSession)
-    fsCache.getOrElseUpdate(key, FileSystem.newInstance(uri, c))
+    fsCache.get(key).getOrElse {
+      // newInstance bypasses Hadoop's cache, so close() is OUR job:
+      // putIfAbsent + close-the-loser, or concurrent first calls (e.g.
+      // the statusOfMany pool) would each leak an instance holding a
+      // connection/thread pool on object-store schemes
+      val inst = FileSystem.newInstance(uri, c)
+      fsCache.putIfAbsent(key, inst) match {
+        case Some(winner) =>
+          try inst.close() catch { case _: java.io.IOException => () }
+          winner
+        case None => inst
+      }
+    }
   }
 
   def exists(p: String): Boolean = fs(p).exists(new HPath(p))
@@ -171,33 +183,40 @@ private[graft] object Fs {
     }
   }
 
-  /** (length, mtime) when the path exists and is a file. */
-  def statusOf(p: String): Option[(Long, Long)] = {
-    val f = fs(p)
-    val hp = new HPath(p)
-    if (!f.exists(hp)) None
-    else {
-      val s = f.getFileStatus(hp)
+  /** (length, mtime) when the path exists and is a file. ONE RPC: a
+    * getFileStatus with FileNotFound mapped to None (exists() is itself
+    * a getFileStatus under the hood — probing first would double the
+    * metadata RPC volume on every per-file call).
+    */
+  def statusOf(p: String): Option[(Long, Long)] =
+    try {
+      val s = fs(p).getFileStatus(new HPath(p))
       if (s.isFile) Some((s.getLen, s.getModificationTime)) else None
-    }
-  }
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** [[statusOf]] for many paths, in PARALLEL off a bounded pool: one
     * serial driver RPC per file is exactly the per-part-file trap the
     * manifests exist to avoid — an input listing can be 10^5-10^6 files
     * at 100 TB. Order of results matches `paths`. Missing/erroring
-    * paths yield None.
+    * paths yield None. The calling thread's SparkSession is propagated
+    * to the pool threads (getActiveSession is thread-local; without the
+    * hand-off, >parallelism-sized listings would resolve their Hadoop
+    * conf differently than small ones).
     */
   def statusOfMany(paths: Seq[String], parallelism: Int = 16): Seq[Option[(Long, Long)]] =
     if (paths.lengthCompare(4) <= 0)
       paths.map(p => try statusOf(p) catch { case _: Throwable => None })
     else {
+      val sess = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, paths.length))
       try {
         paths.map(p => pool.submit(new java.util.concurrent.Callable[Option[(Long, Long)]] {
-          def call(): Option[(Long, Long)] =
+          def call(): Option[(Long, Long)] = {
+            sess.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
             try statusOf(p) catch { case _: Throwable => None }
+          }
         })).map(_.get())
       } finally pool.shutdown()
     }

@@ -354,13 +354,23 @@ object Compactor {
     // re-compacting the same generations into the same outDir resumes
     // (a DIFFERENT generation set writes a different fp and rebuilds).
     val fp = {
-      // md5 of the generation list, not String.hashCode: the fp decides
-      // whether an existing outDir's stage manifests are reused, so a
-      // collision between two different generation sets must be
-      // implausible, not merely unlikely
+      // md5 over (generation name + its index_meta.json content) plus
+      // the scoring/layout-relevant conf. Names alone are not identity:
+      // a re-compaction into the same outDir after the generations were
+      // regenerated (metas carry the per-gen build fingerprints) or
+      // with changed BM25 constants (baked into every chunk's max_norm)
+      // must NOT reuse the stage manifests — it would serve postings
+      // whose block-max bounds no longer match the meta being written.
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(gens.sorted.mkString(",")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def upd(s: String): Unit =
+        md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gens.sorted.foreach { g =>
+        upd(g); upd(" ")
+        upd(try Fs.readString(IndexPaths(g).meta)
+            catch { case scala.util.control.NonFatal(_) => "?" })
+      }
+      upd(s"np${conf.numParts}-salt${conf.nSalts}-k1${conf.k1}-b${conf.b}" +
+        s"-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}")
       s"compact-${md.digest().map(b => f"$b%02x").mkString}-n${gens.size}"
     }
     val dictDf = builder.writeStage2(segs, nDocs, avgdl, outDir, fp)

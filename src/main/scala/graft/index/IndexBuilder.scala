@@ -480,7 +480,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(
-          (0 until n).map(i => scala.concurrent.Future(job(i)))),
+          (0 until n).map(i => scala.concurrent.Future {
+            // getActiveSession is thread-local: hand the builder's
+            // session to the pool thread so the jobs' Fs/conf calls
+            // resolve against the same Hadoop configuration
+            org.apache.spark.sql.SparkSession.setActiveSession(spark)
+            job(i)
+          })),
         scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
       ()
@@ -565,9 +571,11 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def build(turns: Dataset[Turn], root: String): IndexMeta = {
     val paths = IndexPaths(root)
     Fs.mkdirs(root)
-    // v4: fuzzy variant table with +d MaxTermLen slack (boundary recall)
-    // (bumping the version invalidates caches with older layouts)
-    val fp = s"v4-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}-in${inputFingerprint(turns)}"
+    // v5: k1/b join the fingerprint — chunkSorted bakes them into every
+    // chunk's max_norm, so resuming stages built under different BM25
+    // constants would serve invalid block-max bounds (silently wrong
+    // WAND top-k). (Bumping the version invalidates older-layout caches.)
+    val fp = s"v5-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}-k1${conf.k1}-b${conf.b}-in${inputFingerprint(turns)}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {

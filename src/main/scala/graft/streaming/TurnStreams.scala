@@ -78,26 +78,17 @@ object TurnStreams {
         duration_ms = last.getTime - first.getTime)
     }
 
-    /** (closed sessions in order, still-open session). Group iterators
-      * arrive UNORDERED (both modes), so the batch is sorted by (ts,
-      * turn_idx) first — without the sort, gap boundaries would depend
-      * on shuffle arrival order.
+    /** One step of the gaps-and-islands fold over TIME-ORDERED turns of
+      * one conversation: (session closed by this turn if any, the new
+      * open session). Shared by both modes so the boundary rule cannot
+      * drift.
       */
-    def fold(state: Option[ConvSession],
-        batch: Iterator[Turn]): (Seq[ConvSession], Option[ConvSession]) = {
-      val sorted = batch.toArray.sortBy(t => (t.ts.getTime, t.turn_idx))
-      var open = state
-      val closed = Seq.newBuilder[ConvSession]
-      sorted.foreach { t =>
-        open = open match {
-          case Some(s) if t.ts.getTime - s.last_ts.getTime > gapMs =>
-            closed += s; Some(one(t))
-          case Some(s) => Some(add(s, t))
-          case None => Some(one(t))
-        }
+    def step(open: Option[ConvSession], t: Turn): (Option[ConvSession], ConvSession) =
+      open match {
+        case Some(s) if t.ts.getTime - s.last_ts.getTime > gapMs => (Some(s), one(t))
+        case Some(s) => (None, add(s, t))
+        case None => (None, one(t))
       }
-      (closed.result(), open)
-    }
 
     if (turns.isStreaming) {
       turns
@@ -111,20 +102,59 @@ object TurnStreams {
               state.remove()
               out.iterator
             } else {
-              val (closed, open) = fold(state.getOption, batch)
+              // group iterators arrive UNORDERED; the buffer+sort here
+              // is bounded by ONE MICRO-BATCH of one conversation, not
+              // its full history (which lives in the one-row GroupState)
+              val sorted = batch.toArray.sortBy(t => (t.ts.getTime, t.turn_idx))
+              var open = state.getOption
+              val closed = Seq.newBuilder[ConvSession]
+              sorted.foreach { t =>
+                val (c, o) = step(open, t)
+                c.foreach(closed += _)
+                open = Some(o)
+              }
               open.foreach { s =>
                 state.update(s)
                 state.setTimeoutTimestamp(s.last_ts.getTime + gapMs)
               }
-              closed.iterator
+              closed.result().iterator
             }
         }
     } else {
-      turns.groupByKey(_.conv_id).flatMapGroups {
-        (convId: String, batch: Iterator[Turn]) =>
-          val (closed, open) = fold(None, batch)
-          (closed ++ open).iterator
-      }
+      // batch: SECONDARY SORT (repartition by conv_id, sort within
+      // partitions by (conv_id, ts, turn_idx)) + a streaming
+      // mapPartitions fold — NEVER a per-group toArray, which would
+      // buffer a conversation's entire history in one task (the same
+      // single-key hotspot exactDedup's groupBy form exists to avoid).
+      // Memory per task is one open session + one pending emission.
+      turns
+        .repartition(col("conv_id"))
+        .sortWithinPartitions(col("conv_id"), col("ts"), col("turn_idx"))
+        .as[Turn]
+        .mapPartitions { it =>
+          new Iterator[ConvSession] {
+            private var open: Option[ConvSession] = None
+            private val out = scala.collection.mutable.Queue.empty[ConvSession]
+            private def pump(): Unit = {
+              while (out.isEmpty && it.hasNext) {
+                val t = it.next()
+                if (open.exists(_.conv_id != t.conv_id)) {
+                  out += open.get
+                  open = None
+                }
+                val (closed, nowOpen) = step(open, t)
+                closed.foreach(out += _)
+                open = Some(nowOpen)
+              }
+              if (out.isEmpty && !it.hasNext && open.isDefined) {
+                out += open.get
+                open = None
+              }
+            }
+            def hasNext: Boolean = { pump(); out.nonEmpty }
+            def next(): ConvSession = { pump(); out.dequeue() }
+          }
+        }
     }
   }
 
