@@ -564,6 +564,30 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
+  test("changed BM25 constants invalidate resume (k1/b are in the fingerprint)") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val dir = tmpDir("graft-k1b-resume")
+    val conf = IndexConf(numParts = 2)
+    new IndexBuilder(spark, lemmas, conf)
+      .build(Transcripts.generate(spark, 10L), dir)
+    val maxImpactA = spark.read.option("recursiveFileLookup", "true")
+      .parquet(IndexPaths(dir).postings)
+      .orderBy(desc("max_impact")).select("max_impact").head().getDouble(0)
+    // same root, same corpus, different b: every chunk's max_norm bakes
+    // b in, so resume MUST invalidate — reusing the postings would serve
+    // block-max bounds from the old constants (silently wrong WAND top-k)
+    new IndexBuilder(spark, lemmas, conf.copy(b = 0.25))
+      .build(Transcripts.generate(spark, 10L), dir)
+    val manifest = graft.index.Fs.readString(
+      s"${IndexPaths(dir).postings}/_manifest.json")
+    assert(manifest.contains("-b0.25-"), s"fingerprint lacks b: $manifest")
+    val maxImpactB = spark.read.option("recursiveFileLookup", "true")
+      .parquet(IndexPaths(dir).postings)
+      .orderBy(desc("max_impact")).select("max_impact").head().getDouble(0)
+    assert(maxImpactA != maxImpactB,
+      "postings were not rebuilt after the BM25 constants changed")
+  }
+
   test("resumed build does no per-part-file driver IO (Fs ops stay O(stages))") {
     val conf = IndexConf(numParts = 8, skewDfThreshold = 300, nSalts = 4,
       resumeSlices = 4, stage2Ranges = 4)
