@@ -27,35 +27,43 @@ private[graft] object Fs {
     */
   private[graft] val ops = new java.util.concurrent.atomic.AtomicLong
 
-  /** (hadoop conf, came-from-a-Spark-session). getActiveSession is
-    * thread-local: a caller on a foreign thread (server pool) would
-    * otherwise silently lose spark.hadoop.* settings (fs.defaultFS,
-    * s3a credentials) and resolve markers against the wrong filesystem.
+  /** (hadoop conf, identity of the conf OBJECT — 0 for the bare
+    * fallback). getActiveSession is thread-local: a caller on a foreign
+    * thread (server pool) would otherwise silently lose spark.hadoop.*
+    * settings (fs.defaultFS, s3a credentials) and resolve markers
+    * against the wrong filesystem. The identity, not a boolean, keys
+    * the caches below: a NEW SparkSession (new hadoopConfiguration
+    * object, possibly new credentials/endpoints) must get fresh
+    * FileSystem/FileContext instances, not the previous session's.
     */
-  private def conf(): (org.apache.hadoop.conf.Configuration, Boolean) =
+  private def conf(): (org.apache.hadoop.conf.Configuration, Int) =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(s => (s.sparkContext.hadoopConfiguration, true))
-      .getOrElse((new org.apache.hadoop.conf.Configuration(), false))
+      .map(s => (s.sparkContext.hadoopConfiguration,
+        System.identityHashCode(s.sparkContext.hadoopConfiguration)))
+      .getOrElse((new org.apache.hadoop.conf.Configuration(), 0))
 
   // Own instance cache via FileSystem.newInstance, NOT FileSystem.get:
   // Hadoop's global CACHE keys by scheme+authority and keeps the FIRST
   // Configuration seen, so one pre-session call resolved against the
   // bare fallback Configuration would cache a FileSystem without
   // spark.hadoop.* settings and serve it to every later
-  // session-configured call for that scheme. With the conf SOURCE in our
-  // key, a pre-session instance only ever serves pre-session calls, and
-  // nothing is inserted into (or read from) Hadoop's shared cache.
+  // session-configured call for that scheme. With the conf IDENTITY in
+  // our key, a pre-session instance only ever serves pre-session calls,
+  // a later session with a different configuration gets its own
+  // instance, and nothing is inserted into (or read from) Hadoop's
+  // shared cache. (Instances of replaced sessions linger — bounded by
+  // the number of sessions a JVM ever creates.)
   private val fsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Boolean), FileSystem]
+    .empty[(String, String, Int), FileSystem]
 
-  /** FileSystem for `p`'s scheme (cached per scheme+authority+conf-source). */
+  /** FileSystem for `p`'s scheme (cached per scheme+authority+conf-identity). */
   def fs(p: String): FileSystem = {
     ops.incrementAndGet()
-    val (c, fromSession) = conf()
+    val (c, confId) = conf()
     val uri = new HPath(p).toUri
     val key = (Option(uri.getScheme).getOrElse(""),
-      Option(uri.getAuthority).getOrElse(""), fromSession)
+      Option(uri.getAuthority).getOrElse(""), confId)
     fsCache.get(key).getOrElse {
       // newInstance bypasses Hadoop's cache, so close() is OUR job:
       // putIfAbsent + close-the-loser, or concurrent first calls (e.g.
@@ -117,21 +125,21 @@ private[graft] object Fs {
     */
   // FileContext has NO instance cache (unlike FileSystem.CACHE) — each
   // getFileContext builds a fresh AbstractFileSystem (~80 ms measured);
-  // cache per scheme+authority+conf-source (the same pre-session
-  // poisoning guard as fsCache). None = scheme without an
-  // AbstractFileSystem binding (remembered, so the fallback path
-  // doesn't retry the lookup every write).
+  // cache per scheme+authority+conf-identity (the same stale-conf
+  // guard as fsCache). None = scheme without an AbstractFileSystem
+  // binding (remembered, so the fallback path doesn't retry the lookup
+  // every write).
   private val fcCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Boolean), Option[org.apache.hadoop.fs.FileContext]]
+    .empty[(String, Int), Option[org.apache.hadoop.fs.FileContext]]
 
   def writeAtomic(p: String, content: String): Unit = {
     val dst = new HPath(p)
     val tmp = new HPath(p + ".tmp")
     writeString(p + ".tmp", content)
     val uri = dst.toUri
-    val (c, fromSession) = conf()
+    val (c, confId) = conf()
     val key = (s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
-      fromSession)
+      confId)
     val fc = fcCache.getOrElseUpdate(key,
       try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, c))
       catch {

@@ -85,6 +85,13 @@ class MultiGenEngine(spark: SparkSession, root: String,
   val engines: Seq[QueryEngine] = gens.map(new QueryEngine(spark, _, lemmas))
 
   val nDocs: Long = engines.map(_.meta.n_docs).sum
+  // one set of BM25 constants across generations (chunk max_impacts are
+  // baked under them, and a global fold cannot mix two k1/b regimes)
+  require(engines.map(e => (e.meta.k1, e.meta.b)).distinct.size == 1,
+    s"generations disagree on BM25 constants: " +
+      engines.map(e => (e.meta.k1, e.meta.b)).distinct.mkString(","))
+  private val k1 = engines.head.meta.k1
+  private val bParam = engines.head.meta.b
   val avgdl: Double = {
     // identical expression shape to the single-build avg: Long sum / count
     val totalLen = engines.map(e => math.round(e.meta.avgdl * e.meta.n_docs)).sum
@@ -141,6 +148,10 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val foldKey = ordered.zipWithIndex.toMap
     val idf = ordered.map(t => t -> Bm25.idf(nDocs, globalDf(t))).toMap
     val avg = avgdl
+    // local copies: referencing the k1/bParam FIELDS inside the typed
+    // map below would capture `this` (unserializable engine)
+    val k1L = k1
+    val bL = bParam
 
     /** (doc_id, fold_key, impact) rows for `ts` from one generation —
       * `source` lets the pruned path swap in a candidate-pruned read.
@@ -157,7 +168,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
         val bcIdf = spark.sparkContext.broadcast(idfOf)
         Some(source(present.map(dict(_).term_id))
           .map(p => (p.doc_id, bcKey.value(p.term_id),
-            Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg)))
+            Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg, k1L, bL)))
           .toDF("doc_id", "fold_key", "impact"))
       }
     }
@@ -202,9 +213,16 @@ class MultiGenEngine(spark: SparkSession, root: String,
 
       // shared driver-side split (QueryEngine.nonEssentialSplit): one
       // implementation with the single-index WAND, no copy drift
+      // theta - Eps: globalMax values are RESCALED bounds
+      // (max_impact / local_idf * global_idf), whose fp rounding can sit
+      // ~1 ulp below the true achievable impact — without the margin a
+      // term set could be split off as non-essential while its true
+      // cumulative max reaches theta (a hairline-pruned true top-k doc).
+      // The single-index path uses stored bounds verbatim and needs no
+      // margin; every other theta comparison here already carries Eps.
       val nonEss = graft.query.QueryEngine.nonEssentialSplit(
         ordered.sortBy(t => (globalMax(t), t)).map(t => t -> globalMax(t)),
-        theta)
+        theta - Eps)
       val ess = ordered.filterNot(nonEss)
       if (nonEss.isEmpty) return exactPath()
       val cumNonEssMax = nonEss.toSeq.map(globalMax).sum
@@ -230,7 +248,9 @@ class MultiGenEngine(spark: SparkSession, root: String,
         }
         if (candCount > wandCandidateCap) {
           candRel.unpersist(false)
-          return exactPath()
+          val r = exactPath()
+          lastPath = "fallback-cap" // mirrors QueryEngine.lastWandPath
+          return r
         }
         val candPairs = candRel.collect()
         candRel.unpersist(false)
@@ -242,8 +262,9 @@ class MultiGenEngine(spark: SparkSession, root: String,
             val present = ordered.filter(t => nonEss(t) && dict.contains(t))
             if (present.isEmpty) None
             else {
-              val totalChunks =
-                present.map(t => (dict(t).df + 127) / 128).sum.toDouble
+              val totalChunks = present.map(t =>
+                (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
+                  graft.core.ChunkCodec.ChunkSize).sum.toDouble
               foldRows(e, dict, present,
                 ids => e.candidatePrunedPostings(ids, cand, totalChunks))
             }
@@ -326,33 +347,15 @@ object Compactor {
     require(gens.nonEmpty, s"no generations under $root")
     val builder = new IndexBuilder(spark, lemmas, conf)
 
-    // docs: union of per-generation docs tables (doc_ids already global)
     val paths = IndexPaths(outDir)
     Fs.mkdirs(outDir)
-    val docs = gens.map(g => spark.read.parquet(IndexPaths(g).docs))
-      .reduce(_ unionByName _)
-    docs.write.mode("overwrite").parquet(paths.docs)
 
-    // segments: union of the generations' sorted runs, re-shuffled +
-    // re-sorted by (term, salt, doc_id) — exactly the k-way merge
-    // (disjoint doc ranges make it a merge, not a re-group — reference
-    // src/positional_intersect/mod.rs:108-131 / J1). The term-range
-    // filters of writeStage2's per-range resume push BELOW the
-    // repartition, so each range shuffles only its own rows.
-    val segs = gens.map(g => spark.read.option("recursiveFileLookup", "true")
-        .parquet(IndexPaths(g).segments))
-      .reduce(_ unionByName _).as[SegmentRow]
-      .repartition(conf.numParts, $"term", $"salt")
-      .sortWithinPartitions($"term", $"salt", $"doc_id")
-    val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()
-    val nDocs = agg.getLong(0)
-    val avgdl = agg.getDouble(1)
-    // shared stage-2 writer: identical dictionary/postings/fuzzy layout
-    // guarantees as a fresh build (one implementation, no drift), plus
-    // per-term-range resume should a compaction die mid-write. The
-    // fingerprint is deterministic in the input generation set, so
-    // re-compacting the same generations into the same outDir resumes
-    // (a DIFFERENT generation set writes a different fp and rebuilds).
+    // The fingerprint is deterministic in the input generation set + the
+    // conf, so re-compacting the same generations into the same outDir
+    // resumes every stage (docs copy included — at 100 TB the docs table
+    // is the bulk of corpus bytes, and a compaction killed mid-stage-2
+    // must not re-copy it); a DIFFERENT generation set or conf writes a
+    // different fp and rebuilds.
     val fp = {
       // md5 over (generation name + its index_meta.json content) plus
       // the scoring/layout-relevant conf. Names alone are not identity:
@@ -365,7 +368,7 @@ object Compactor {
       def upd(s: String): Unit =
         md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gens.sorted.foreach { g =>
-        upd(g); upd(" ")
+        upd(g); upd("\n")
         upd(try Fs.readString(IndexPaths(g).meta)
             catch { case scala.util.control.NonFatal(_) => "?" })
       }
@@ -373,6 +376,37 @@ object Compactor {
         s"-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}")
       s"compact-${md.digest().map(b => f"$b%02x").mkString}-n${gens.size}"
     }
+
+    // docs: union of per-generation docs tables (doc_ids already global),
+    // manifested like every other stage so a resumed compaction skips it
+    if (!builder.manifestComplete(paths.docs, fp)) {
+      val t0 = System.nanoTime()
+      gens.map(g => spark.read.parquet(IndexPaths(g).docs))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(paths.docs)
+      builder.writeManifest(paths.docs, fp,
+        spark.read.parquet(paths.docs).count(),
+        (System.nanoTime() - t0) / 1000000)
+    }
+    val docs = spark.read.parquet(paths.docs)
+
+    // segments: union of the generations' sorted runs, re-shuffled +
+    // re-sorted by (term, salt, doc_id) — exactly the k-way merge
+    // (disjoint doc ranges make it a merge, not a re-group — reference
+    // src/positional_intersect/mod.rs:108-131 / J1). The term-range
+    // filters of writeStage2's per-range resume push BELOW the
+    // repartition, so each range shuffles only its own rows. Stage-2
+    // writing is shared with fresh builds (writeStage2): identical
+    // dictionary/postings/fuzzy layout guarantees, no drift, plus
+    // per-term-range resume should a compaction die mid-write.
+    val segs = gens.map(g => spark.read.option("recursiveFileLookup", "true")
+        .parquet(IndexPaths(g).segments))
+      .reduce(_ unionByName _).as[SegmentRow]
+      .repartition(conf.numParts, $"term", $"salt")
+      .sortWithinPartitions($"term", $"salt", $"doc_id")
+    val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()
+    val nDocs = agg.getLong(0)
+    val avgdl = agg.getDouble(1)
     val dictDf = builder.writeStage2(segs, nDocs, avgdl, outDir, fp)
     val nTerms = dictDf.count()
     val nPostings = spark.read.option("recursiveFileLookup", "true")

@@ -502,14 +502,14 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * every stage completion and resume check: milliseconds at sandbox
     * scale, minutes of serial driver time at 10^5-10^6 part files).
     */
-  private def manifestRows(dir: String): Option[Long] = {
+  private[index] def manifestRows(dir: String): Option[Long] = {
     val f = s"$dir/_manifest.json"
     if (!Fs.exists(f)) None
     else "\"rows\":(\\d+)".r.findFirstMatchIn(Fs.readString(f))
       .map(_.group(1).toLong)
   }
 
-  private def writeManifest(dir: String, fingerprint: String, rows: Long,
+  private[index] def writeManifest(dir: String, fingerprint: String, rows: Long,
       wallMs: Long, extra: Map[String, String] = Map.empty): Unit = {
     Fs.mkdirs(dir)
     val files = Fs.listFilesRecursive(dir, ".parquet")
@@ -522,7 +522,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     Fs.writeString(s"$dir/_manifest.json", json)
   }
 
-  private def manifestComplete(dir: String, fingerprint: String): Boolean = {
+  private[index] def manifestComplete(dir: String, fingerprint: String): Boolean = {
     val f = s"$dir/_manifest.json"
     Fs.exists(f) && {
       val s = Fs.readString(f)

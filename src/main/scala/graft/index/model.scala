@@ -125,8 +125,9 @@ object Bm25 {
   def norm(tf: Int, dl: Int, avgdl: Double, k1: Double = K1, b: Double = B): Double =
     tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
-  def impact(idf: Double, tf: Int, dl: Int, avgdl: Double): Double =
-    idf * norm(tf, dl, avgdl)
+  def impact(idf: Double, tf: Int, dl: Int, avgdl: Double,
+      k1: Double = K1, b: Double = B): Double =
+    idf * norm(tf, dl, avgdl, k1, b)
 
   /** Reference parity scorer (src/scoring/mod.rs:34-48). */
   def tfIdf(n: Long, df: Long, tf: Int): Double =

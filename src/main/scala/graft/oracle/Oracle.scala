@@ -78,7 +78,7 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     present.foreach { t =>
       val w = idf(t)
       postings(t).foreach { case (docId, tf, _) =>
-        val imp = Bm25.impact(w, tf, docLen(docId), avgdl)
+        val imp = Bm25.impact(w, tf, docLen(docId), avgdl, k1, b)
         perDoc(docId) = (termId(t), imp) :: perDoc.getOrElse(docId, Nil)
       }
     }
@@ -125,7 +125,8 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
       val score = ordered.foldLeft(0.0) { (acc, bg) =>
         val ps = bigramPostings(bg)
         val tf = ps.find(_._1 == d).get._2
-        acc + Bm25.impact(Bm25.idf(nDocs, ps.size.toLong), tf, docLen(d), avgdl)
+        acc + Bm25.impact(Bm25.idf(nDocs, ps.size.toLong), tf, docLen(d), avgdl,
+          k1, b)
       }
       d -> score
     }.toMap
@@ -139,15 +140,17 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     */
   def handleQuery(query: String, k: Int): Seq[(Long, Double, Int)] = {
     val qt = Tokenizer.tokenizeQuery(query, lemmas)
-    val terms = qt.unigrams.map(_.term).distinct
+    // phrase tier matches the FULL lemma sequence (dups kept: "to be or
+    // not to be" must not phrase-match "to be or not"); scoring dedups
+    val phraseSeq = qt.unigrams.map(_.term)
+    val terms = phraseSeq.distinct
     if (terms.isEmpty) return Nil
-    val present = terms.filter(postings.contains)
     val scoredAll = bm25TopKForTerms(terms, Int.MaxValue)
-    if (terms.size == 1)
+    if (phraseSeq.size == 1)
       return scoredAll.map { case (d, s) => (d, s, 2) }
         .sortBy { case (d, s, t) => (t, -s, d) }.take(k)
-    val phraseDocs = if (present.size == terms.size)
-      phraseMatch(terms) else Set.empty[Long]
+    val phraseDocs = if (terms.forall(postings.contains))
+      phraseMatch(phraseSeq) else Set.empty[Long]
     val bgScores = bigramScores(qt.bigrams.map(_.term).distinct)
     val unigramRest = scoredAll.collect {
       case (d, s) if !phraseDocs(d) && !bgScores.contains(d) => (d, s, 2)

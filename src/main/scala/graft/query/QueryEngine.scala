@@ -156,7 +156,7 @@ class QueryEngine(spark: SparkSession, root: String,
     val bcIdf = spark.sparkContext.broadcast(idfById)
     decodedPostings(entries.map(_.term_id), chunkFilter)
       .map(p => (p.doc_id, p.term_id,
-        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdl)))
+        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdl, k1, b)))
       .toDF("doc_id", "term_id", "impact")
       .groupBy($"doc_id")
       .agg(aggregate(
@@ -254,7 +254,7 @@ class QueryEngine(spark: SparkSession, root: String,
         val ids = ChunkCodec.decodeDocGaps(gaps, n)
         var i = 0
         while (i < n) {
-          val imp = Bm25.impact(e.idf, tfs(i), dls(i), avgdl)
+          val imp = Bm25.impact(e.idf, tfs(i), dls(i), avgdl, meta.k1, meta.b)
           perDoc(ids(i)) = (e.term_id, imp) :: perDoc.getOrElse(ids(i), Nil)
           i += 1
         }
@@ -299,14 +299,20 @@ class QueryEngine(spark: SparkSession, root: String,
     * precedence), ordered (tier asc, score desc, doc_id asc), top-k.
     */
   def handleQuery(query: String, k: Int): DataFrame = {
-    val terms = queryTerms(query)
+    // phrase tier matches the FULL lemma sequence (duplicates kept:
+    // "to be or not to be" must not phrase-match "to be or not");
+    // scoring and the probe dedup
+    val phraseSeq = Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term)
+    val terms = phraseSeq.distinct
     if (terms.isEmpty) return emptyScores()
-    val scored = bm25Scores(terms)
-    if (terms.size == 1)
+    // ONE unigram dictionary probe serves scoring AND the phrase chain
+    val entries = lookupTerms(terms)
+    val scored = if (entries.isEmpty) emptyScores() else exactScores(entries)
+    if (phraseSeq.size == 1)
       return scored.withColumn("tier", lit(2))
         .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
         .select($"doc_id", $"score", $"tier")
-    val phraseDocs = phraseMatch(terms)
+    val phraseDocs = phraseMatchFromEntries(phraseSeq, entries)
     val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
       .withColumn("tier", lit(0))
     val bigramTerms = Tokenizer.tokenizeQuery(query, lemmas)
@@ -400,11 +406,17 @@ class QueryEngine(spark: SparkSession, root: String,
       bestPostings: Dataset[ScoredPosting],
       registerEss: Dataset[ScoredPosting] => Dataset[ScoredPosting]): DataFrame = {
     val avgdl = meta.avgdl
+    // the INDEX's BM25 constants (meta.k1/b): chunk max_impacts were
+    // built under them, so scoring with the defaults instead would (a)
+    // return the wrong BM25 and (b) make the block-max bounds unsound
+    // for any index built with non-default constants
+    val k1 = meta.k1
+    val b = meta.b
 
     // Pass 0: threshold from the strongest term's own postings.
     val bestIdf = best.idf
     val thetaRows = bestPostings
-      .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avgdl))
+      .map(p => Bm25.impact(bestIdf, p.tf, p.dl, avgdl, k1, b))
       .orderBy($"value".desc).limit(k).collect()
     val theta = if (thetaRows.length < k) 0.0 else thetaRows.last
     wdbg(s"theta=$theta best=${best.term} df=${best.df}")
@@ -447,7 +459,8 @@ class QueryEngine(spark: SparkSession, root: String,
           decodedPostings(essential.map(_.term_id).filterNot(_ == best.term_id)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candRel = essPostings
-      .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+      .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc,
+        k1, b)))
       .toDF("doc_id", "impact")
       .groupBy($"doc_id").agg(sum($"impact").as("ess_sum"))
       .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
@@ -473,8 +486,11 @@ class QueryEngine(spark: SparkSession, root: String,
     candRel.unpersist(false)
     lastWandPath = "pruned"
 
+    // approximate: salting and split seams add sub-size chunks beyond
+    // ceil(df/ChunkSize); fine for the skip-vs-scan heuristics this feeds
     val totalNonEssChunks =
-      nonEssEntries.map(e => (e.df + 127) / 128).sum.toDouble
+      nonEssEntries.map(e =>
+        (e.df + ChunkCodec.ChunkSize - 1) / ChunkCodec.ChunkSize).sum.toDouble
     def nonEssForCandidates(cand: Array[Long]): Dataset[ScoredPosting] =
       candidatePrunedPostings(nonEssential.toSeq, cand, totalNonEssChunks)
 
@@ -484,7 +500,8 @@ class QueryEngine(spark: SparkSession, root: String,
     val thetaEff = QueryEngine.refineTheta(candPairs, k, theta, Eps,
       refineMinCandidates, { topCIds =>
         nonEssForCandidates(topCIds)
-          .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc)))
+          .map(p => (p.doc_id, Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdlLoc,
+            k1, b)))
           .toDF("doc_id", "impact")
           .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
           .as[(Long, Double)].collect().toMap
@@ -503,7 +520,7 @@ class QueryEngine(spark: SparkSession, root: String,
     val avg = avgdl
     val exact = essPostings.union(nonEssPostings)
       .map(p => (p.doc_id, p.term_id,
-        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg)))
+        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg, k1, b)))
       .toDF("doc_id", "term_id", "impact")
       .groupBy($"doc_id")
       .agg(aggregate(
@@ -666,7 +683,16 @@ class QueryEngine(spark: SparkSession, root: String,
   def phraseMatch(terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty)
     if (terms.size == 1) return conjunctive(terms)
-    val entries = lookupTerms(terms)
+    phraseMatchFromEntries(terms, lookupTerms(terms))
+  }
+
+  /** [[phraseMatch]] over ALREADY looked-up entries (handleQuery shares
+    * one unigram probe between scoring and this chain). `terms` is the
+    * full phrase sequence — duplicates allowed and position-significant.
+    */
+  private def phraseMatchFromEntries(terms: Seq[String],
+      entries: Seq[DictRow]): DataFrame = {
+    require(terms.size >= 2, "single-term phrase goes through phraseMatch")
     val byTerm = entries.map(e => e.term -> e).toMap
     if (terms.exists(t => !byTerm.contains(t))) return Seq.empty[Long].toDF("doc_id")
     val idxByDf = terms.indices.sortBy(i => (byTerm(terms(i)).df, i))

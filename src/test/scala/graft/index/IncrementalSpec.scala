@@ -73,7 +73,8 @@ class IncrementalSpec extends SparkSpecBase {
     multi.wandCandidateCap = 1L
     val gotCap = multi.bm25TopK("the of", 10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(multi.lastPath == "exact", "cap should force the exact fallback")
+    assert(multi.lastPath == "fallback-cap",
+      s"cap should force (and LABEL) the exact fallback: ${multi.lastPath}")
     assert(gotCap == oracle.bm25TopK("the of", 10))
     // forced theta refinement: the refined tier-2 cut must stay
     // rank-identical at ANY candidate count

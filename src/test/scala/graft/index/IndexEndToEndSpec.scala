@@ -586,6 +586,47 @@ class IndexEndToEndSpec extends SparkSpecBase {
       .orderBy(desc("max_impact")).select("max_impact").head().getDouble(0)
     assert(maxImpactA != maxImpactB,
       "postings were not rebuilt after the BM25 constants changed")
+    // and QUERY-side scoring must use the index's constants, not the
+    // defaults — on both the exact and the forced-WAND path (block-max
+    // bounds are only sound when query impacts use the same k1/b the
+    // chunk max_norms were built under)
+    val eng = new QueryEngine(spark, dir, lemmas)
+    val scalar = new graft.oracle.Oracle(
+      Transcripts.generateLocal(10L), lemmas, b = 0.25)
+    Seq("the alba", "kelba sorro the").foreach { q =>
+      val exact = eng.bm25TopK(q, 5, useWand = false).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(exact == scalar.bm25TopK(q, 5),
+        s"custom-constant exact scoring diverges from scalar for '$q'")
+      eng.wandMinPostings = 0L // force pruning
+      val pruned = eng.bm25TopK(q, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pruned == exact, s"custom-constant WAND diverges for '$q'")
+    }
+  }
+
+  test("handleQuery phrase tier matches the FULL query sequence (repeated words)") {
+    import graft.corpus.Turn
+    val ts0 = new java.sql.Timestamp(0L)
+    // doc 1 contains the DEDUPED sequence "to be or not" but NOT the
+    // query phrase; doc 2 contains the full phrase. Before round 4 the
+    // phrase tier ran on the deduplicated terms and promoted doc 1.
+    val miniTurns = Seq(
+      Turn("c1", 0, "user", "to be or not at all zz qq", "", ts0),
+      Turn("c2", 0, "user", "to be or not to be that is the question", "", ts0))
+    val dir = tmpDir("graft-phrase-dup")
+    import spark.implicits._
+    new IndexBuilder(spark, Map.empty, IndexConf(numParts = 2))
+      .build(spark.createDataset(miniTurns), dir)
+    val eng = new QueryEngine(spark, dir, Map.empty)
+    val got = eng.handleQuery("to be or not to be", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val tierOf = got.map(r => r._1 -> r._3).toMap
+    assert(tierOf(2L) == 0, s"full-phrase doc must be tier 0: $got")
+    assert(tierOf(1L) == 2, s"deduped-subsequence doc must stay tier 2: $got")
+    val want = new graft.oracle.Oracle(miniTurns, Map.empty)
+      .handleQuery("to be or not to be", 10)
+    assert(got == want, s"engine/oracle drift\n got=$got\nwant=$want")
   }
 
   test("resumed build does no per-part-file driver IO (Fs ops stay O(stages))") {
