@@ -277,11 +277,45 @@ class QueryEngine(spark: SparkSession, root: String,
 
   def bm25TopKForTerms(terms: Seq[String], k: Int, useWand: Boolean = true): DataFrame = {
     val entries = lookupTerms(terms)
-    if (entries.isEmpty) return emptyScores()
+    if (entries.isEmpty) emptyScores()
+    else topKFromEntries(entries, k, useWand)
+  }
+
+  /** The top-k dispatch (local / WAND / direct) over already-looked-up
+    * entries — all three paths return identical results.
+    */
+  private def topKFromEntries(entries: Seq[DictRow], k: Int,
+      useWand: Boolean = true): DataFrame = {
     val totalDf = entries.map(_.df).sum
     if (totalDf <= localMaxPostings && localMaxPostings > 0) bm25TopKLocal(entries, k)
     else if (useWand && totalDf >= wandMinPostings) wand(entries, k)
     else topK(exactScores(entries), k)
+  }
+
+  /** Exact BM25 scores RESTRICTED to `cand` (a sorted doc_id array),
+    * through the block-max candidate machinery (chunk skipping + exact
+    * per-posting filter): a candidate doc's complete postings for the
+    * entries are included, so its score is bit-identical to the
+    * all-docs exactScores fold.
+    */
+  private def scoresForCandidates(entries: Seq[DictRow],
+      cand: Array[Long]): DataFrame = {
+    if (entries.isEmpty || cand.isEmpty) return emptyScores()
+    val avgdl = meta.avgdl
+    val k1 = meta.k1
+    val b = meta.b
+    val bcIdf = spark.sparkContext.broadcast(entries.map(e => e.term_id -> e.idf).toMap)
+    val totalChunks = entries.map(e =>
+      (e.df + ChunkCodec.ChunkSize - 1) / ChunkCodec.ChunkSize).sum.toDouble
+    candidatePrunedPostings(entries.map(_.term_id), cand, totalChunks)
+      .map(p => (p.doc_id, p.term_id,
+        Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdl, k1, b)))
+      .toDF("doc_id", "term_id", "impact")
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"term_id", $"impact"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("impact")).as("score"))
   }
 
   /** The reference's intended handle_query (src/search_engine/mod.rs:
@@ -298,6 +332,18 @@ class QueryEngine(spark: SparkSession, root: String,
     * A doc keeps its HIGHEST tier (the reference's append order is the
     * precedence), ordered (tier asc, score desc, doc_id asc), top-k.
     */
+  /** Claimed-doc cap for handleQuery's PRUNED tier construction: when
+    * the phrase + bigram-conjunctive doc sets are each within this
+    * bound they are collected and the unigram tier runs through the
+    * block-max top-k machinery; above it the full exact-scoring form
+    * runs (a query whose phrase matches millions of docs is scoring
+    * stopword-scale sets anyway). Test knob, like wandMinPostings.
+    */
+  var handleQueryClaimCap: Int = 100000
+
+  /** Diagnostic: "pruned" | "exact" form taken by the last handleQuery. */
+  var lastHandlePath: String = ""
+
   def handleQuery(query: String, k: Int): DataFrame = {
     // phrase tier matches the FULL lemma sequence (duplicates kept:
     // "to be or not to be" must not phrase-match "to be or not");
@@ -305,37 +351,82 @@ class QueryEngine(spark: SparkSession, root: String,
     val phraseSeq = Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term)
     val terms = phraseSeq.distinct
     if (terms.isEmpty) return emptyScores()
-    // ONE unigram dictionary probe serves scoring AND the phrase chain
+    // ONE unigram dictionary probe serves scoring, the phrase chain and
+    // the unigram tier's top-k dispatch
     val entries = lookupTerms(terms)
-    val scored = if (entries.isEmpty) emptyScores() else exactScores(entries)
-    if (phraseSeq.size == 1)
-      return scored.withColumn("tier", lit(2))
+    if (phraseSeq.size == 1) {
+      lastHandlePath = "pruned"
+      return (if (entries.isEmpty) emptyScores()
+              else topKFromEntries(entries, k))
+        .withColumn("tier", lit(2))
         .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
         .select($"doc_id", $"score", $"tier")
+    }
     val phraseDocs = phraseMatchFromEntries(phraseSeq, entries)
-    val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
-      .withColumn("tier", lit(0))
     val bigramTerms = Tokenizer.tokenizeQuery(query, lemmas)
       .bigrams.map(_.term).distinct
     // ONE dictionary probe serves the existence check, the bigram BM25
-    // scoring, and the conjunctive intersection (probing per consumer
-    // cost two redundant pushed dictionary scans per query)
+    // scoring, and the conjunctive intersection
     val bigramEntries =
       if (bigramTerms.isEmpty) Nil else lookupTerms(bigramTerms)
-    val bigramTier =
-      if (bigramTerms.nonEmpty && bigramEntries.size == bigramTerms.size) {
-        exactScores(bigramEntries) // thread 2's bigram_scores
-          .join(conjunctiveFromEntries(bigramEntries), Seq("doc_id"), "left_semi")
-          .join(phraseDocs, Seq("doc_id"), "left_anti")
-          .withColumn("tier", lit(1))
-      } else emptyScores().withColumn("tier", lit(1))
-    val claimed = inPhrase.select($"doc_id")
-      .unionByName(bigramTier.select($"doc_id"))
-    val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
-      .withColumn("tier", lit(2))
-    inPhrase.unionByName(bigramTier).unionByName(rest)
-      .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-      .select($"doc_id", $"score", $"tier")
+    val bigramActive =
+      bigramTerms.nonEmpty && bigramEntries.size == bigramTerms.size
+    val conjDocs =
+      if (bigramActive) Some(conjunctiveFromEntries(bigramEntries)) else None
+
+    // PRUNED form: collect the (limit-capped) claimed sets, score each
+    // tier only for ITS members via the block-max candidate machinery,
+    // and serve the unigram tier from the pruned top-(k + |claimed|) —
+    // at most |claimed| of those rows are claimed, so >= k unclaimed
+    // survive the anti-join: the exact top-k of the unclaimed set,
+    // WITHOUT ever fully decoding a stopword's postings. limit(cap+1)
+    // bounds the collect BEFORE it happens; an over-cap set falls back.
+    val cap = handleQueryClaimCap
+    val phraseIds = phraseDocs.select($"doc_id")
+      .limit(cap + 1).as[Long].collect()
+    val conjIds = conjDocs.map(_.select($"doc_id")
+      .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
+    if (entries.nonEmpty && phraseIds.length <= cap && conjIds.length <= cap) {
+      lastHandlePath = "pruned"
+      java.util.Arrays.sort(phraseIds)
+      val tier0 = scoresForCandidates(entries, phraseIds)
+        .withColumn("tier", lit(0))
+      val phraseSet = phraseIds.toSet
+      val tier1 =
+        if (bigramActive) {
+          val t1Ids = conjIds.filterNot(phraseSet)
+          java.util.Arrays.sort(t1Ids)
+          scoresForCandidates(bigramEntries, t1Ids).withColumn("tier", lit(1))
+        } else emptyScores().withColumn("tier", lit(1))
+      val claimedIds = (phraseIds ++ conjIds).distinct
+      val tier2 = topKFromEntries(entries, k + claimedIds.length)
+        .join(broadcast(claimedIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      tier0.unionByName(tier1).unionByName(tier2)
+        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", $"score", $"tier")
+    } else {
+      // EXACT form (over-cap claimed sets, or no matching unigrams):
+      // full scoring with DataFrame-side claims, no driver collection
+      lastHandlePath = "exact"
+      val scored = if (entries.isEmpty) emptyScores() else exactScores(entries)
+      val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
+        .withColumn("tier", lit(0))
+      val bigramTier =
+        if (bigramActive) {
+          exactScores(bigramEntries) // thread 2's bigram_scores
+            .join(conjDocs.get, Seq("doc_id"), "left_semi")
+            .join(phraseDocs, Seq("doc_id"), "left_anti")
+            .withColumn("tier", lit(1))
+        } else emptyScores().withColumn("tier", lit(1))
+      val claimed = inPhrase.select($"doc_id")
+        .unionByName(bigramTier.select($"doc_id"))
+      val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      inPhrase.unionByName(bigramTier).unionByName(rest)
+        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", $"score", $"tier")
+    }
   }
 
   private def emptyScores(): DataFrame =

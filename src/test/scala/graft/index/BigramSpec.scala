@@ -106,6 +106,24 @@ class BigramSpec extends SparkSpecBase {
     assert(probes <= 3, s"handleQuery made $probes dictionary probes, budget 3")
   }
 
+  test("handleQuery pruned and exact forms are identical (pruned engages by default)") {
+    def run(q: String): Seq[(Long, Double, Int)] =
+      engine.handleQuery(q, 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    Seq("the big join", "kelba sorro the", "alba the corba").foreach { q =>
+      engine.handleQueryClaimCap = 100000
+      val pruned = run(q)
+      assert(engine.lastHandlePath == "pruned",
+        s"default cap should take the pruned form for '$q'")
+      engine.handleQueryClaimCap = -1 // force the full-scoring form
+      val exact = run(q)
+      assert(engine.lastHandlePath == "exact")
+      engine.handleQueryClaimCap = 100000
+      assert(pruned == exact, s"tier construction drift for '$q'\n " +
+        s"pruned=$pruned\n exact=$exact")
+    }
+  }
+
   test("handleQuery without indexed bigrams leaves the middle tier empty") {
     // the non-bigram oracle models a non-bigram index: same queries must
     // come back with tiers {0,2} only
