@@ -757,7 +757,9 @@ object GraftQueries {
         |derived AS (
         |  SELECT doc_id, n_chars_actual, n_tokens,
         |    round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio,
-        |    round(n_punct::DOUBLE / n_chars_actual, 4) AS punct_ratio,
+        |    CASE WHEN n_chars_actual > 0
+        |      THEN round(n_punct::DOUBLE / n_chars_actual, 4)
+        |      ELSE 0.0 END AS punct_ratio,
         |    round((n_chars_actual - (n_tokens - 1))::DOUBLE / n_tokens, 4) AS mean_token_len
         |  FROM base)
         |SELECT *,
@@ -789,8 +791,7 @@ object GraftQueries {
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q16_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(array_to_string(string_split(text,' '), ' ')) AS fingerprint
+      """SELECT doc_id, md5(text) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q25_handle_query" ->

@@ -71,24 +71,11 @@ object ChunkCodec {
   /** Encode per-posting position lists: for each posting,
     * vb(nPositions) then delta-gapped VByte positions.
     */
-  def encodePositions(positions: Array[Array[Int]]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(64)
-    var i = 0
-    while (i < positions.length) {
-      val ps = positions(i)
-      VByte.encodeTo(ps.length.toLong, out)
-      var prev = 0L
-      var j = 0
-      while (j < ps.length) {
-        val v = ps(j).toLong
-        if (j == 0) VByte.encodeTo(v, out) else VByte.encodeTo(v - prev, out)
-        prev = v
-        j += 1
-      }
-      i += 1
-    }
-    out.toByteArray
-  }
+  def encodePositions(positions: Array[Array[Int]]): Array[Byte] =
+    // by construction the exact concatenation of per-posting units (the
+    // SPIMI path encodes units individually and concatenates them with
+    // concatUnits) — one loop, no twin to drift from
+    concatUnits(positions.map(encodePostingUnit))
 
   def decodePositions(blob: Array[Byte], nPostings: Int): Array[Array[Int]] = {
     val out = new Array[Array[Int]](nPostings)

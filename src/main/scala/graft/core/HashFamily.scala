@@ -99,17 +99,22 @@ object HashFamily {
       * multi-arg xxhash64 chains acc = 42 -> hashInt(i, acc) ->
       * hashBytes(utf8(c), acc). Parity asserted in HashFamilySpec.
       */
-    def signatureKernel(n: Int): String => Array[Long] = s => {
-      val bytes = s.getBytes(StandardCharsets.UTF_8)
-      val arr = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val seed = XXH64.hashInt(i, 42L)
-        arr(i) = XXH64.hashUnsafeBytes(
-          bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed) >>> 4
-        i += 1
+    def signatureKernel(n: Int): String => Array[Long] = {
+      // per-partition scratch, as the trait contract invites: the n
+      // per-index seeds are shingle-independent (Md5's kernel hoists
+      // its prefixes the same way)
+      val seeds = Array.tabulate(n)(i => XXH64.hashInt(i, 42L))
+      s => {
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        val arr = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          arr(i) = XXH64.hashUnsafeBytes(
+            bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seeds(i)) >>> 4
+          i += 1
+        }
+        arr
       }
-      arr
     }
 
     def u64(s: String): Long = {

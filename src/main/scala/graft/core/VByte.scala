@@ -103,19 +103,6 @@ object Gaps {
     out.toByteArray
   }
 
-  def encodeInts(sorted: Array[Int]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(sorted.length * 2 + 8)
-    var prev = 0L
-    var i = 0
-    while (i < sorted.length) {
-      val v = sorted(i).toLong
-      if (i == 0) VByte.encodeTo(v, out) else VByte.encodeTo(v - prev, out)
-      prev = v
-      i += 1
-    }
-    out.toByteArray
-  }
-
   def decode(bytes: Array[Byte], n: Int): Array[Long] = {
     val out = new Array[Long](n)
     val r = new VByte.Reader(bytes)

@@ -52,11 +52,21 @@ object Dedup {
     */
   private[ops] def shinglesRaw(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(
-        transform(
-          when(size(col("toks")) >= k, sequence(lit(0), size(col("toks")) - k))
-            .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))).as("shingle"))
+      .select(col("doc_id"),
+        explode(shingleArrayCol(col("toks"), k)).as("shingle"))
+
+  /** The k-shingle array of a token-array column — ONE implementation of
+    * the guarded window expression (the `when` keeps sub-k docs from a
+    * DESCENDING `sequence`, which would produce negative slice indices),
+    * shared by shinglesRaw, spanWindows and TextOps.repetitionScore so
+    * the subtle guard cannot drift between consumers.
+    */
+  private[ops] def shingleArrayCol(toks: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    transform(
+      when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
 
   /** MinHash signatures: n independent 60-bit min-hashes over a doc's
     * shingle set, computed in ONE typed pass (32 separate codegen'd
@@ -196,7 +206,10 @@ object Dedup {
     val pairs = docs.select(col("doc_id").as("doc_a"),
       (col("doc_id") + 1).as("doc_b"))
     jaccardForPairs(docs, pairs, k)
-      .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    // (no doc_b existence filter needed: jaccardForPairs inner-joins
+    // both sides against the shingle-set relation, which only contains
+    // real docs — a former trailing left_semi here could never filter
+    // anything and just added a join to the plan)
   }
 
   /** SimHash: 64-bit signature where bit j is the sign of the tf-weighted
@@ -210,7 +223,9 @@ object Dedup {
     import spark.implicits._
     // One typed map, ZERO shuffles: a doc's token stream fits in a task,
     // so the tf-weighted bit-majority folds locally.
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // coalesce: a null-text row must not NPE the typed map
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val tf = scala.collection.mutable.HashMap.empty[String, Int]
         text.split(' ').foreach(t => if (t.nonEmpty) tf(t) = tf.getOrElse(t, 0) + 1)
@@ -320,11 +335,7 @@ object Dedup {
   private[ops] def spanWindows(docs: DataFrame, n: Int,
       family: graft.core.HashFamily): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(
-        transform(
-          when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
-            .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .select(col("doc_id"), posexplode(shingleArrayCol(col("toks"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         family.h60Col(col("col")).as("span_fp"))
 

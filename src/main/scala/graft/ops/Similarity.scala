@@ -56,6 +56,10 @@ object Similarity {
     * codegen and was ~10x slower at sf0.1.
     */
   def withHyperplaneSig(embeddings: DataFrame, nPlanes: Int, dim: Int): DataFrame = {
+    // a 64-bit signature holds at most 63 usable planes: `1L << p` wraps
+    // at 64 (shift mod 64), silently aliasing plane 64 onto plane 0 and
+    // degrading candidate recall with no error
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63]: $nPlanes")
     val spark = embeddings.sparkSession
     import spark.implicits._
     embeddings.select(col("vec_id"), col("embedding"))
@@ -103,6 +107,7 @@ object Similarity {
     */
   def annCandidates(embeddings: DataFrame, query: Array[Float],
       nPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63]: $nPlanes")
     val dim = query.length
     val qSig = (0 until nPlanes).map { p =>
       val dot = (0 until dim).map(d => query(d) * planeWeight(p, d)).sum

@@ -50,11 +50,7 @@ object TextOps {
     * expressions; docs shorter than k tokens score 0.
     */
   def repetitionScore(docs: DataFrame, k: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = transform(
-      when(size(toks) >= k, sequence(lit(0), size(toks) - k))
-        .otherwise(array().cast("array<int>")),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    val sh = Dedup.shingleArrayCol(split(col("text"), " "), k)
     docs.select(col("doc_id"),
         size(sh).as("n_shingles"),
         size(array_distinct(sh)).as("n_distinct_shingles"))
@@ -79,7 +75,12 @@ object TextOps {
       length(col("text")).as("n_chars_actual"),
       nTok.as("n_tokens"),
       round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
-      round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+      // guarded: an empty text would make this NULL (x/0), and a NULL
+      // quality passes NEITHER side of a threshold gate — the doc would
+      // vanish from both partitions of a quality split
+      when(length(col("text")) > 0,
+        round(nPunct.cast("double") / length(col("text")), 4))
+        .otherwise(lit(0.0)).as("punct_ratio"),
       round((length(col("text")) - (nTok - lit(1))).cast("double") / nTok, 4)
         .as("mean_token_len"))
       .withColumn("quality",
@@ -129,7 +130,10 @@ object TextOps {
     import spark.implicits._
     val bcLem = spark.sparkContext.broadcast(lemmas)
     val stop = stopwords.toSet
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // coalesce: one null-text row (corrupt record, outer-join artifact)
+    // must not NPE a whole job in the typed map below
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val toks = graft.core.Tokenizer.tokenize(text, bcLem.value).map(_.term)
         val kept = if (dropStopwords) toks.filterNot(stop) else toks
@@ -137,13 +141,14 @@ object TextOps {
       }.toDF("doc_id", "text_norm", "n_tokens_kept")
   }
 
-  /** Content-defined document fingerprint: md5 over the normalized token
-    * stream. Identical content (after normalization) -> identical
-    * fingerprint across any engine.
+  /** Content fingerprint: md5 of the text bytes — identical content,
+    * identical fingerprint, on any engine. (A round-3 form split and
+    * re-joined the text first, which is the identity — runs of spaces
+    * survive a split/concat_ws round trip — so the values are unchanged
+    * and the no-op is gone.)
     */
   def fingerprintMd5(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(concat_ws(" ", split(col("text"), " "))).as("fingerprint"))
+    docs.select(col("doc_id"), md5(col("text")).as("fingerprint"))
 
   /** Rolling polynomial fingerprint (Karp-Rabin style) over token hashes:
     * h = fold(acc * B + token_hash mod M) mod M — order-sensitive,

@@ -173,21 +173,30 @@ object TurnStreams {
     import turns.sparkSession.implicits._
     val withHash = turns
       .withColumn("content_hash", md5(col("text")))
+    // NULL-text rows pass through untouched: md5(null) = null, and both
+    // dedup mechanisms treat null keys as EQUAL — two unrelated turns
+    // that merely lack text would silently collapse into one
+    val nullText = withHash.filter(col("content_hash").isNull)
+    val hashed = withHash.filter(col("content_hash").isNotNull)
     val deduped =
       if (turns.isStreaming)
-        withHash.withWatermark("ts", watermark)
+        hashed.withWatermark("ts", watermark)
           .dropDuplicatesWithinWatermark("content_hash")
       else {
-        // batch: keep the DETERMINISTIC representative (min conv_id,
-        // turn_idx — exactDedup's min-doc rule); plain dropDuplicates
-        // keeps whichever row a partition delivers first, which varies
-        // with parallelism and would break run-to-run reproducibility
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("content_hash"))
-          .orderBy(col("conv_id"), col("turn_idx"))
-        withHash.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+        // batch: keep the DETERMINISTIC representative (min (conv_id,
+        // turn_idx) — exactDedup's min-doc rule), via groupBy + join
+        // back, NOT a content_hash-partitioned window: a boilerplate
+        // hash with 10^8 copies would put the whole group through one
+        // WindowExec task (the hotspot exactDedup's shape avoids);
+        // plain dropDuplicates would keep whichever row a partition
+        // delivers first, breaking run-to-run reproducibility
+        val reps = hashed.groupBy(col("content_hash"))
+          .agg(min(struct(col("conv_id"), col("turn_idx"))).as("_rep"))
+        hashed.join(reps, Seq("content_hash"))
+          .filter(col("conv_id") === col("_rep.conv_id") &&
+            col("turn_idx") === col("_rep.turn_idx"))
+          .drop("_rep")
       }
-    deduped.drop("content_hash").as[Turn]
+    deduped.unionByName(nullText).drop("content_hash").as[Turn]
   }
 }

@@ -100,11 +100,20 @@ class TurnStreamsSpec extends SparkSpecBase {
       assert(texts.count(_ == "unique text") == 1)
     } finally query.stop()
 
-    // batch path: same function, plain dropDuplicates
+    // batch path: same function, deterministic min-representative
     val batch = TurnStreams.dedupedTurns(spark.createDataset(Seq(
       Turn("a", 0, "user", "x y", "", ts(0)),
       Turn("b", 0, "user", "x y", "", ts(1))))).collect()
     assert(batch.length == 1)
+    assert(batch.head.conv_id == "a", "must keep the min (conv_id, turn_idx) rep")
+    // null-text rows pass through: md5(null) = null and null dedup keys
+    // compare EQUAL, so without the guard two unrelated text-less turns
+    // would silently collapse into one
+    val withNulls = TurnStreams.dedupedTurns(spark.createDataset(Seq(
+      Turn("a", 0, "user", null, "", ts(0)),
+      Turn("b", 0, "user", null, "", ts(1)),
+      Turn("c", 0, "user", "x", "", ts(2))))).collect()
+    assert(withNulls.length == 3, s"null-text turns were deduped: ${withNulls.toSeq}")
   }
 
   test("sessionization parity: streaming == batch == Sessions.sessionizeEvents") {
