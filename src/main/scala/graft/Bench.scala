@@ -167,7 +167,12 @@ object Bench {
       }.min
     }.sorted
     results("bm25_p50_sec") = lat(lat.length / 2)
-    results("bm25_p95_sec") = lat(math.min(lat.length - 1, (lat.length * 0.95).toInt))
+    // nearest-rank p95: the ceil(0.95n)-th order statistic. The former
+    // (n*0.95).toInt indexed the MAXIMUM of the 20-query set, so rounds
+    // 1-3 reported worst-case latency under the p95 name — the fixed
+    // value can only be <= those (comparison note in BENCH.md).
+    results("bm25_p95_sec") =
+      lat(math.min(lat.length - 1, math.ceil(lat.length * 0.95).toInt - 1))
 
     // ---- north-rule rank identity across parallelism levels: the
     // indexes built at N and 4N cores must answer every reference query
@@ -237,10 +242,17 @@ object Bench {
           GraftQueries.benchQueries.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
         case None => GraftQueries.benchQueries.toSeq.sortBy(_._1)
       }
+    var catalogFailures = 0
     val passes = (1 to 2).map { _ =>
       catalog.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            // visible + counted: a failing query's near-zero elapsed
+            // time must never read as a performance win
+            catalogFailures += 1
+            System.err.println(s"[bench] catalog query $name FAILED: $t")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     }
@@ -250,7 +262,10 @@ object Bench {
       results(name) = ts.min
       if (ts.min > 0.05) maxSpread = math.max(maxSpread, ts.max / ts.min)
     }
-    if (catalog.nonEmpty) results("catalog_spread_max_ratio") = maxSpread
+    if (catalog.nonEmpty) {
+      results("catalog_spread_max_ratio") = maxSpread
+      results("catalog_failures") = catalogFailures.toDouble
+    }
 
     val total = catalog.map { case (n, _) => results(n) }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

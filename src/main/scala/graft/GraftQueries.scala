@@ -51,7 +51,10 @@ object GraftQueries {
     * candidate sets, synthesized media): per-sf-dir so concurrent runs at
     * different scales never clobber each other. Verify substitutes this
     * path for the `{AUX}` placeholder in oracle SQL, so DuckDB reads the
-    * exact tables the queries wrote.
+    * exact tables the queries wrote. LIMITATION: two PROCESSES over the
+    * SAME sf dir share this path and the /tmp index cache — they must
+    * run sequentially (as the driver runs Verify and Bench); a
+    * concurrent same-sf pair could overwrite a directory mid-read.
     */
   def auxDir(dir: String): String = s"/tmp/graft_aux_${safeName(dir)}"
 
@@ -495,15 +498,13 @@ object GraftQueries {
     // DuckDB oracle is boundary-stable
     "q25_handle_query" -> ((s, dir) => {
       val eng = engineFor(s, dir)
-      val terms = Seq("table", "scan")
-      val scored = eng.bm25Scores(terms)
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
-      val phrase = eng.phraseMatch(terms)
-      val tiered = scored.join(phrase, Seq("doc_id"), "left_semi")
-        .withColumn("tier", lit(0))
-        .unionByName(scored.join(phrase, Seq("doc_id"), "left_anti")
-          .withColumn("tier", lit(1)))
-      withOrigDocId(eng, tiered)
+      // the PRODUCTION three-tier path (pruned claim-cap form included),
+      // not a re-composition of its primitives: exact top-100 by raw
+      // score, then the q07/q24 rounded-score reorder for cross-engine
+      // boundary stability. No indexed bigrams here, so tiers are {0, 2}.
+      val got = eng.handleQuery("table scan", 100)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("tier"))
+      withOrigDocId(eng, got)
         .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
         .limit(10)
         .select("doc_id", "score", "tier")
@@ -535,22 +536,12 @@ object GraftQueries {
     // DuckDB oracle is boundary-stable.
     "q38_handle_query_tiers" -> ((s, dir) => {
       val eng = engineLemmaFor(s, dir)
-      val terms = Seq("merge", "sort", "table")
-      val bigrams = Seq("merge sort", "sort table")
-      val uniScores = eng.bm25Scores(terms)
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
-      val phrase = eng.phraseMatch(terms)
-      val bgScores = eng.bm25Scores(bigrams)
-        .join(eng.conjunctive(bigrams), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
-      val tier0 = uniScores.join(phrase, Seq("doc_id"), "left_semi")
-        .withColumn("tier", lit(0))
-      val tier1 = bgScores.join(phrase, Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(1))
-      val claimed = tier0.select("doc_id").unionByName(tier1.select("doc_id"))
-      val tier2 = uniScores.join(claimed, Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(2))
-      withOrigDocId(eng, tier0.unionByName(tier1).unionByName(tier2))
+      // the PRODUCTION three-tier path over the bigram index (pruned
+      // claim-cap form included): exact top-100 by raw score, then the
+      // rounded-score reorder for cross-engine boundary stability
+      val got = eng.handleQuery("merge sort table", 100)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("tier"))
+      withOrigDocId(eng, got)
         .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
         .limit(10)
         .select("doc_id", "score", "tier")
@@ -816,7 +807,7 @@ object GraftQueries {
          |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
          |  WHERE t1.term = 'table' AND t2.term = 'scan')
          |SELECT s.doc_id, s.score,
-         |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 1 END AS tier
+         |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 2 END AS tier
          |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
          |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin,
 
@@ -1251,7 +1242,8 @@ object GraftQueries {
         |scored AS (
         |  SELECT doc_id, text, n_tokens,
         |    round(least(1.0, n_tokens::DOUBLE / 20.0) *
-        |      (1.0 - round(n_punct::DOUBLE / n_chars, 4)) *
+        |      (1.0 - CASE WHEN n_chars > 0
+        |        THEN round(n_punct::DOUBLE / n_chars, 4) ELSE 0.0 END) *
         |      (CASE WHEN round(n_stop::DOUBLE / n_tokens, 4) BETWEEN 0.1 AND 0.6
         |        THEN 1.0 ELSE 0.7 END), 4) AS quality
         |  FROM base),

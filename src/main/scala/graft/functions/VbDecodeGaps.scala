@@ -50,9 +50,18 @@ object GraftFunctions {
     * expression is usable from SQL and from the Column API via
     * functions.call_function("vb_decode_gaps", blob, n).
     */
+  /** A clear arity error instead of a raw IndexOutOfBoundsException from
+    * exprs(1) during function resolution.
+    */
+  private[functions] def build(exprs: Seq[Expression]): VbDecodeGaps = {
+    require(exprs.length == 2,
+      s"vb_decode_gaps expects 2 arguments (blob BINARY, n INT), got ${exprs.length}")
+    VbDecodeGaps(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vb_decode_gaps", exprs => VbDecodeGaps(exprs(0), exprs(1)), "built-in")
+      "vb_decode_gaps", build _, "built-in")
 
   /** Column-API form (session must have the function registered). */
   def vb_decode_gaps(blob: Column, n: Column): Column =
@@ -68,6 +77,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vb_decode_gaps"),
       new ExpressionInfo(classOf[VbDecodeGaps].getName, "vb_decode_gaps"),
-      (exprs: Seq[Expression]) => VbDecodeGaps(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
   }
 }

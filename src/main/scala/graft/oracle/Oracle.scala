@@ -16,9 +16,15 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
       */
     indexBigrams: Boolean = false) {
 
-  /** doc_id = dense 1-based rank under (conv_id, turn_idx) order. */
+  /** doc_id = dense 1-based rank under (conv_id, turn_idx) order —
+    * conv_id in UTF-8 BYTE order (Tokenizer.utf8Ordering), matching the
+    * engine's RangeRank over Spark's binary string collation; Java's
+    * default UTF-16 compare would swap doc_ids for supplementary-plane
+    * conv_ids (same divergence the term order already guards against).
+    */
   val docsSorted: Vector[Turn] =
-    turns.sortBy(t => (t.conv_id, t.turn_idx)).toVector
+    turns.sortBy(t => (t.conv_id, t.turn_idx))(
+      Ordering.Tuple2(Tokenizer.utf8Ordering, Ordering.Int)).toVector
 
   val docIdOf: Map[(String, Int), Long] =
     docsSorted.zipWithIndex.map { case (t, i) => (t.conv_id, t.turn_idx) -> (i + 1L) }.toMap
