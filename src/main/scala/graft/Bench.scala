@@ -72,6 +72,128 @@ object Bench {
     }
   }
 
+  // ------------------------------------------------- interleaved A/B mode
+
+  /** The round-3 verdict commit: the pinned baseline the interleaved A/B
+    * below builds against, so a round-over-round build-throughput delta
+    * in the driver artifact is attributable to CODE vs HOST NOISE inside
+    * the artifact itself (the round-4 driver run measured c32 29% below
+    * round 3 while the SAME run's c8 was FASTER — unpaired samples from
+    * different host windows cannot distinguish the two).
+    */
+  private val AbBaselineCommit = "61ffc87"
+
+  /** Run a subprocess; returns (exitCode, stdout). Stderr is inherited
+    * (visible in the bench log, never on OUR stdout — Bench's contract
+    * is one JSON line). Kills the process on timeout.
+    */
+  private def runProc(cmd: Seq[String], cwd: java.io.File,
+      extraEnv: Map[String, String], timeoutSec: Long): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
+    val out = new java.lang.StringBuilder
+    val gobbler = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+      try src.getLines().foreach { l => out.append(l).append('\n') }
+      finally src.close()
+    })
+    gobbler.setDaemon(true)
+    gobbler.start()
+    val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) {
+      p.destroyForcibly()
+      p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      (-1, out.toString)
+    } else {
+      gobbler.join(5000)
+      (p.exitValue(), out.toString)
+    }
+  }
+
+  /** Interleaved A/B of the c{cpus} index build: HEAD vs the pinned
+    * [[AbBaselineCommit]], N pairs alternating H,B,H,B,... within this
+    * one bench session. Each sample is a fresh JVM running this same
+    * Bench in single-level BUILD_ONLY mode (so both sides get identical
+    * harness conditions: own warmup, best-of-3, same staged input
+    * table). Host-window noise hits both sides of a pair equally and
+    * cancels in the ratio; a real code regression shows in EVERY pair.
+    * Emits ab_head/_base per pair + the median paired ratio. Soft-fails
+    * (stderr note, no metrics) when git/sbt/the commit are unavailable;
+    * SPARK_GRAFT_BENCH_AB=0 disables.
+    */
+  private def abBuildCompare(results: scala.collection.mutable.Map[String, Double],
+      cpus: Int): Unit = {
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_AB_PAIRS", "3").toInt
+    val repo = Seq(System.getProperty("user.dir"), "/root/repo")
+      .find(d => new java.io.File(d, ".git").exists())
+      .getOrElse { System.err.println("[bench/ab] no git repo found; skipping"); return }
+    val abDir = new java.io.File("/dev/shm/graft/ab_base")
+    // 1. worktree of the pinned commit (idempotent)
+    if (!new java.io.File(abDir, "build.sbt").exists()) {
+      val (c1, _) = runProc(Seq("git", "worktree", "add", "-f",
+        abDir.getAbsolutePath, AbBaselineCommit),
+        new java.io.File(repo), Map.empty, 120)
+      if (c1 != 0) { System.err.println(s"[bench/ab] worktree add failed ($c1); skipping"); return }
+    }
+    // 2. compile it (offline coursier; skip when classes already built)
+    val baseClasses = new java.io.File(abDir, "target/scala-2.13/classes")
+    if (!new java.io.File(baseClasses, "graft/Bench.class").exists()) {
+      val (c2, _) = runProc(Seq("sbt", "-batch", "compile"), abDir,
+        Map("COURSIER_MODE" -> "offline"), 900)
+      if (c2 != 0 || !new java.io.File(baseClasses, "graft/Bench.class").exists()) {
+        System.err.println(s"[bench/ab] baseline compile failed ($c2); skipping"); return
+      }
+    }
+    // 3. locate HEAD's classes from this very class's code source
+    val headClasses = new java.io.File(
+      Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def sample(classes: java.io.File): Option[Double] = {
+      val cp = s"${classes.getAbsolutePath}:/opt/spark/jars/*"
+      val (code, out) = runProc(
+        Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
+          "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench"),
+        new java.io.File(repo),
+        Map("SPARK_GRAFT_BENCH_LEVELS" -> cpus.toString,
+          "SPARK_GRAFT_BENCH_BUILD_ONLY" -> "1",
+          "SPARK_GRAFT_BENCH_AB" -> "0", // no recursion
+          "SPARK_GRAFT_CPUS" -> cpus.toString), 600)
+      if (code != 0) { System.err.println(s"[bench/ab] sample exited $code"); None }
+      else s""""index_build_turns_per_sec_c$cpus":([0-9.E+-]+)""".r
+        .findFirstMatchIn(out).map(_.group(1).toDouble)
+    }
+    val ratios = (1 to pairs).flatMap { i =>
+      val h = sample(headClasses)
+      val b = sample(baseClasses)
+      (h, b) match {
+        case (Some(ht), Some(bt)) =>
+          results(s"ab_head_c${cpus}_tps_p$i") = ht
+          results(s"ab_base_c${cpus}_tps_p$i") = bt
+          Some(ht / bt)
+        case _ => None
+      }
+    }
+    if (ratios.nonEmpty) {
+      val sorted = ratios.sorted
+      results("ab_pairs") = ratios.size.toDouble
+      results("ab_ratio_head_over_base_median") = sorted(sorted.size / 2)
+      results("ab_ratio_head_over_base_min") = sorted.head
+      results("ab_ratio_head_over_base_max") = sorted.last
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -113,16 +235,22 @@ object Bench {
       .build(Transcripts.generate(warm, math.max(200L, nConvs / 25),
         partitions = cpus), "/dev/shm/graft/warmup_idx")
     warm.stop()
-    levels.foreach { c =>
-      val s = newSession(c)
-      val turns = s.read.parquet(turnsPath).as(
-        org.apache.spark.sql.Encoders.product[graft.corpus.Turn])
-      // best-of-3: the sandbox shares its host, so single runs swing by
-      // >30%; the minimum is the faithful estimate of machine capability
-      // (round-3 evidence: the same 420k-turn build measured 32.5k vs
-      // round-2's 41.8k turns/s best-of-2 — two samples aren't enough)
-      val reuse = sys.env.contains("SPARK_GRAFT_BENCH_REUSE_IDX") // dev knob
-      val sec = (1 to (if (reuse) 1 else 3)).map { _ =>
+    // best-of-3 per level, INTERLEAVED by round (2,8,32, 2,8,32, ...):
+    // the sandbox shares its host and single runs swing >30%; a
+    // per-level best-of-3 in blocked order still absorbs a slow host
+    // window unevenly across levels (the round-4 driver run's c8>r3 /
+    // c32<r3 inversion) — interleaving spreads any window across ALL
+    // levels, and the per-level max/min spread is reported so the
+    // artifact itself shows how noisy the session was.
+    val reuse = sys.env.contains("SPARK_GRAFT_BENCH_REUSE_IDX") // dev knob
+    val buildRounds = if (reuse) 1 else 3
+    val buildTimes =
+      scala.collection.mutable.Map.empty[Int, List[Double]].withDefault(_ => Nil)
+    (1 to buildRounds).foreach { _ =>
+      levels.foreach { c =>
+        val s = newSession(c)
+        val turns = s.read.parquet(turnsPath).as(
+          org.apache.spark.sql.Encoders.product[graft.corpus.Turn])
         val dir = s"/dev/shm/graft/bench_idx_c$c"
         if (!reuse) rmrf(dir)
         val builder = new IndexBuilder(s, Transcripts.lemmas,
@@ -130,11 +258,17 @@ object Bench {
         val t0 = System.nanoTime()
         val meta = builder.build(turns, dir)
         nTurns = meta.n_docs
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      results(s"index_build_sec_c$c") = sec
-      results(s"index_build_turns_per_sec_c$c") = nTurns / sec
-      if (c != cpus) s.stop()
+        buildTimes(c) = ((System.nanoTime() - t0) / 1e9) :: buildTimes(c)
+        s.stop()
+      }
+    }
+    levels.foreach { c =>
+      val ts = buildTimes(c)
+      results(s"index_build_sec_c$c") = ts.min
+      results(s"index_build_turns_per_sec_c$c") = nTurns / ts.min
+      // like catalog_spread_max_ratio: how far apart this level's
+      // samples were within THIS session
+      results(s"build_spread_max_ratio_c$c") = ts.max / ts.min
     }
     def thr(c: Int) = results(s"index_build_turns_per_sec_c$c")
     levels.sliding(2).foreach {
@@ -157,7 +291,10 @@ object Bench {
     val spark = newSession(cpus) // same session as high-parallelism build
     val engine = new QueryEngine(spark, s"/dev/shm/graft/bench_idx_c$cpus",
       Transcripts.lemmas)
-    engine.warm() // resident dictionary + postings, as a server would
+    // resident dictionary (always safe) + the OPT-IN postings cache —
+    // valid here because the bench index fits; a 100 TB deployment
+    // calls warmDictionary() only (see QueryEngine scaladoc)
+    engine.warmDictionary().cachePostings()
     // best-of-2 per query: single runs swing >30% on this shared-host VM
     val lat = referenceQueries.map { q =>
       (1 to 2).map { _ =>
@@ -242,32 +379,48 @@ object Bench {
           GraftQueries.benchQueries.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
         case None => GraftQueries.benchQueries.toSeq.sortBy(_._1)
       }
-    var catalogFailures = 0
-    val passes = (1 to 2).map { _ =>
+    val passes: Seq[Map[String, Option[Double]]] = (1 to 2).map { _ =>
       catalog.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
-            // visible + counted: a failing query's near-zero elapsed
-            // time must never read as a performance win
-            catalogFailures += 1
             System.err.println(s"[bench] catalog query $name FAILED: $t")
+            false
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
     var maxSpread = 1.0
+    var failedQueries = 0
     catalog.foreach { case (name, _) =>
-      val ts = passes.map(_(name))
-      results(name) = ts.min
-      if (ts.min > 0.05) maxSpread = math.max(maxSpread, ts.max / ts.min)
+      val ts = passes.flatMap(_(name))
+      // catalog_failures counts distinct failing QUERIES (not failing
+      // passes); a query that failed every pass is OMITTED from
+      // results/catalog_total entirely — its near-zero elapsed time
+      // must never read as a round-over-round speedup
+      if (ts.length < passes.length) failedQueries += 1
+      if (ts.nonEmpty) {
+        results(name) = ts.min
+        if (ts.length == passes.length && ts.min > 0.05)
+          maxSpread = math.max(maxSpread, ts.max / ts.min)
+      }
     }
     if (catalog.nonEmpty) {
       results("catalog_spread_max_ratio") = maxSpread
-      results("catalog_failures") = catalogFailures.toDouble
+      results("catalog_failures") = failedQueries.toDouble
     }
 
-    val total = catalog.map { case (n, _) => results(n) }.sum
+    // ---- interleaved A/B vs the pinned round-3 commit (head/base paired
+    // build-throughput ratios; see abBuildCompare). Last so a failure
+    // here can never cost the metrics above; soft-fails on its own.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_AB", "1") != "0") {
+      spark.stop() // the samples are whole fresh JVMs; free this one's slots
+      try abBuildCompare(results, cpus)
+      catch { case t: Throwable =>
+        System.err.println(s"[bench/ab] skipped: $t") }
+    }
+
+    val total = catalog.flatMap { case (n, _) => results.get(n) }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_turns":$nTurns}""")

@@ -105,6 +105,49 @@ object GraftQueries {
       .drop("doc_id").withColumnRenamed("orig_doc_id", "doc_id")
   }
 
+  /** [[withOrigDocId]] over a multi-generation engine: the mapping is
+    * the union of the generations' docs tables (doc_id ranges disjoint).
+    */
+  def withOrigDocIdMulti(m: graft.index.MultiGenEngine, df: DataFrame): DataFrame = {
+    val mapping = m.engines.map(_.docs).reduce(_ unionByName _)
+      .select(col("doc_id"),
+        expr("cast(substring(conv_id, 6) as long)").as("orig_doc_id"))
+    df.join(mapping, Seq("doc_id"))
+      .drop("doc_id").withColumnRenamed("orig_doc_id", "doc_id")
+  }
+
+  /** Two-generation UNCOMPACTED root over `documents` (hot-append
+    * serving shape, q46): the corpus split at the median doc_id into
+    * two `Generations.appendAt` batches — contiguous halves in conv_id
+    * order, so internal doc order (gen-0 then gen-1) equals original
+    * doc order and tie-breaks agree with the single-index oracle.
+    * The root path carries the INPUT's table token: appendAt's
+    * idempotency is meta-existence only, so a /tmp root surviving a
+    * testdata regeneration must resolve to a fresh directory rather
+    * than silently serving the old corpus.
+    */
+  def multiGenFor(spark: SparkSession, dir: String): graft.index.MultiGenEngine = {
+    val key = s"twogen:$dir"
+    val root = indexCache.getOrElseUpdate(key, {
+      val token = IndexBuilder.tableToken(s"$dir/documents.parquet").take(12)
+      val out = s"/tmp/graft_index_twogen_${safeName(dir)}_$token"
+      val conf = IndexConf(numParts = spark.sparkContext.defaultParallelism,
+        skewDfThreshold = 100000L, nSalts = 8)
+      val split = documents(spark, dir)
+        .agg(max(col("doc_id"))).head().getLong(0) / 2
+      import spark.implicits._
+      val turns = docsAsTurns(spark, dir)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id < f"conv-${split + 1}%010d"),
+        out, s"$out/gen-00000", Map.empty, conf)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id >= f"conv-${split + 1}%010d"),
+        out, s"$out/gen-00001", Map.empty, conf)
+      out
+    })
+    new graft.index.MultiGenEngine(spark, root, Map.empty)
+  }
+
   // --------------------------------------------------------- query catalog
 
   /** The oracle-paired catalog: the sketch queries (q18/q19/q23/q42/q43)
@@ -603,6 +646,21 @@ object GraftQueries {
         family = sketch)
       Dedup.oversizedBuckets(banded, Seq("band", "bucket"), maxBucket = 32)
         .orderBy("band", "bucket")
+    }),
+
+    // reference handle_query served from an UNCOMPACTED two-generation
+    // root (MultiGenEngine.handleQuery — the hot-append serving entry
+    // point): global BM25 statistics make it tier/rank/score-identical
+    // to the single-index q25, so the oracle IS the q25 oracle. Same
+    // top-100-raw + rounded-reorder envelope for boundary stability.
+    "q46_handle_query_twogen" -> ((s, dir) => {
+      val m = multiGenFor(s, dir)
+      val got = m.handleQuery("table scan", 100)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("tier"))
+      withOrigDocIdMulti(m, got)
+        .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "score", "tier")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -643,6 +701,38 @@ object GraftQueries {
   }
 
   private val bm25Sql: String = bm25SqlFor(Seq("query", "join"))
+
+  /** handle_query("table scan") oracle — tiers {0, 2} (no indexed
+    * bigrams on the q25/q46 engines). Shared verbatim by q25 (single
+    * index) and q46 (two-generation root): global statistics make the
+    * two engines score-identical, which is exactly what sharing the
+    * oracle asserts.
+    */
+  private val handleQuerySql: String =
+    s"""WITH toks AS ($toks),
+       |stats AS (SELECT count(*)::DOUBLE AS n,
+       |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
+       |   count(*)::DOUBLE AS avgdl FROM documents),
+       |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ('table','scan') GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+       |       WHERE term IN ('table','scan') GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    round(sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+       |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4)
+       |      AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+       |  GROUP BY tf.doc_id),
+       |phrase AS (
+       |  SELECT DISTINCT t1.doc_id FROM toks t1
+       |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       |  WHERE t1.term = 'table' AND t2.term = 'scan')
+       |SELECT s.doc_id, s.score,
+       |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 2 END AS tier
+       |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
+       |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q01_tokens" -> s"SELECT doc_id, pos, term FROM ($toks) ORDER BY doc_id, pos",
@@ -785,31 +875,11 @@ object GraftQueries {
       """SELECT doc_id, md5(text) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q25_handle_query" ->
-      s"""WITH toks AS ($toks),
-         |stats AS (SELECT count(*)::DOUBLE AS n,
-         |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
-         |   count(*)::DOUBLE AS avgdl FROM documents),
-         |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-         |       WHERE term IN ('table','scan') GROUP BY doc_id, term),
-         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
-         |       WHERE term IN ('table','scan') GROUP BY term),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    round(sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
-         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4)
-         |      AS score
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
-         |  GROUP BY tf.doc_id),
-         |phrase AS (
-         |  SELECT DISTINCT t1.doc_id FROM toks t1
-         |  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
-         |  WHERE t1.term = 'table' AND t2.term = 'scan')
-         |SELECT s.doc_id, s.score,
-         |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 2 END AS tier
-         |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
-         |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin,
+    "q25_handle_query" -> handleQuerySql,
+
+    // identical by design: the two-generation engine must reproduce the
+    // single-index handle_query bit-for-bit under global statistics
+    "q46_handle_query_twogen" -> handleQuerySql,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

@@ -132,6 +132,20 @@ private[graft] object Fs {
   private val fcCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), Option[org.apache.hadoop.fs.FileContext]]
 
+  /** Test knob: pretend the scheme has no AbstractFileSystem binding,
+    * forcing [[writeAtomic]] onto its no-FileContext fallback path (the
+    * shape some object stores have) so its write-once semantics are
+    * testable on local roots.
+    */
+  private[graft] var forceNoFileContext: Boolean = false
+
+  /** Count of destination pre-deletes taken by the no-FileContext
+    * fallback — each one is a transient marker-absent window; the
+    * write-once skip below keeps this at zero for same-content rewrites
+    * (test-pinned).
+    */
+  private[graft] val fallbackPreDeletes = new java.util.concurrent.atomic.AtomicLong
+
   def writeAtomic(p: String, content: String): Unit = {
     val dst = new HPath(p)
     val tmp = new HPath(p + ".tmp")
@@ -140,17 +154,34 @@ private[graft] object Fs {
     val (c, confId) = conf()
     val key = (s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
       confId)
-    val fc = fcCache.getOrElseUpdate(key,
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, c))
-      catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
-      })
+    val fc =
+      if (forceNoFileContext) None
+      else fcCache.getOrElseUpdate(key,
+        try Some(org.apache.hadoop.fs.FileContext.getFileContext(uri, c))
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None
+        })
     fc match {
       case Some(c) =>
         c.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       case None =>
         val f = fs(p)
-        if (f.exists(dst)) f.delete(dst, false)
+        if (f.exists(dst)) {
+          // WRITE-ONCE on the fallback path: a same-content rewrite (a
+          // replayed generation meta, a re-resumed stage manifest) must
+          // not open a delete->rename gap in which a concurrent
+          // genDirs/readMeta transiently sees a COMPLETE generation as
+          // absent (round-4 verdict #7) — skip it. Only a genuinely
+          // different marker (new fingerprint) still pays the window,
+          // and there a crash mid-gap leaves the marker absent, the
+          // safe direction (absent = redo the idempotent step).
+          if (readString(p) == content) {
+            f.delete(tmp, false)
+            return
+          }
+          fallbackPreDeletes.incrementAndGet()
+          f.delete(dst, false)
+        }
         if (!f.rename(tmp, dst))
           throw new java.io.IOException(s"rename $tmp -> $dst failed")
     }

@@ -119,6 +119,99 @@ class MultiGenEngine(spark: SparkSession, root: String,
   /** Diagnostic: "pruned" | "exact" path taken by the last top-k call. */
   var lastPath: String = ""
 
+  /** Per-query GLOBAL statistics for a term set: per-generation
+    * dictionary rows (ONE pushed dictionary probe per generation per
+    * set), summed global df, byte-order fold keys and global idf.
+    * Shared by the top-k, candidate-scoring and handleQuery paths so a
+    * term set is never re-probed per consumer.
+    */
+  private final class GlobalStats(terms: Seq[String]) {
+    val perGen: Seq[Map[String, DictRow]] =
+      engines.map(e => e.lookupTerms(terms).map(t => t.term -> t).toMap)
+    val globalDf: Map[String, Long] = terms.distinct.map { t =>
+      t -> perGen.map(_.get(t).map(_.df).getOrElse(0L)).sum
+    }.toMap.filter(_._2 > 0)
+    // byte-order fold — the order compacted dense term_ids encode, so
+    // folds are bit-identical to the compacted single index (and oracle)
+    val ordered: Seq[String] =
+      globalDf.keys.toSeq.sorted(graft.core.Tokenizer.utf8Ordering)
+    val foldKey: Map[String, Int] = ordered.zipWithIndex.toMap
+    val idf: Map[String, Double] =
+      ordered.map(t => t -> Bm25.idf(nDocs, globalDf(t))).toMap
+    def allPresent(ts: Seq[String]): Boolean = ts.forall(globalDf.contains)
+  }
+
+  /** (doc_id, fold_key, impact) rows for `ts` from one generation —
+    * `source` lets pruned paths swap in a candidate-pruned read.
+    */
+  private def foldRows(st: GlobalStats, e: QueryEngine,
+      dict: Map[String, DictRow], ts: Seq[String],
+      source: Seq[Long] => Dataset[graft.query.ScoredPosting]): Option[DataFrame] = {
+    val present = st.ordered.filter(t => ts.contains(t) && dict.contains(t))
+    if (present.isEmpty) None
+    else {
+      val keyOf = present.map(t => dict(t).term_id -> st.foldKey(t)).toMap
+      val idfOf = present.map(t => dict(t).term_id -> st.idf(t)).toMap
+      val bcKey = spark.sparkContext.broadcast(keyOf)
+      val bcIdf = spark.sparkContext.broadcast(idfOf)
+      val avg = avgdl
+      // local copies: referencing the k1/bParam FIELDS inside the typed
+      // map below would capture `this` (unserializable engine)
+      val k1L = k1
+      val bL = bParam
+      Some(source(present.map(dict(_).term_id))
+        .map(p => (p.doc_id, bcKey.value(p.term_id),
+          Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg, k1L, bL)))
+        .toDF("doc_id", "fold_key", "impact"))
+    }
+  }
+
+  /** Per-doc fixed-order fold of (fold_key, impact) rows — same sorted
+    * per-doc fold as the single index's term_id order, so scores are
+    * bit-identical at any parallelism and to the compacted build.
+    */
+  private def aggScores(all: DataFrame): DataFrame =
+    all.groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"fold_key", $"impact"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("impact")).as("score"))
+
+  private def emptyScores(): DataFrame =
+    Seq.empty[(Long, Double)].toDF("doc_id", "score")
+
+  /** Exact global BM25 scores for every matching doc (no limit) — the
+    * handleQuery exact-form scorer.
+    */
+  private def exactScoresAll(st: GlobalStats): DataFrame = {
+    val rows = engines.zip(st.perGen)
+      .flatMap { case (e, d) => foldRows(st, e, d, st.ordered, e.scoredPostings) }
+    if (rows.isEmpty) emptyScores() else aggScores(rows.reduce(_ unionByName _))
+  }
+
+  /** Exact global BM25 scores RESTRICTED to `cand` (a SORTED doc_id
+    * array), via each generation's candidate-pruned chunk machinery — a
+    * candidate's complete postings are included, so its score equals
+    * the all-docs fold bit-for-bit. Generation doc ranges are disjoint,
+    * so the whole candidate array is handed to every generation:
+    * foreign-range candidates simply match no chunk there.
+    */
+  private def scoresForCandidates(st: GlobalStats, cand: Array[Long]): DataFrame = {
+    if (st.ordered.isEmpty || cand.isEmpty) return emptyScores()
+    val rows = engines.zip(st.perGen).flatMap { case (e, dict) =>
+      val present = st.ordered.filter(dict.contains)
+      if (present.isEmpty) None
+      else {
+        val totalChunks = present.map(t =>
+          (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
+            graft.core.ChunkCodec.ChunkSize).sum.toDouble
+        foldRows(st, e, dict, present,
+          ids => e.candidatePrunedPostings(ids, cand, totalChunks))
+      }
+    }
+    if (rows.isEmpty) emptyScores() else aggScores(rows.reduce(_ unionByName _))
+  }
+
   /** BM25 top-k across generations, deterministic fold order by query-term
     * rank in byte-order term sort (term_ids are generation-local, so the
     * global fold key is the term's sorted position among the query terms).
@@ -135,56 +228,23 @@ class MultiGenEngine(spark: SparkSession, root: String,
     * (same impacts, same byte-order fold).
     */
   def bm25TopKForTerms(terms: Seq[String], k: Int): DataFrame = {
-    val uniq = terms.distinct
-    // global df per term
-    val perGen = engines.map(e => e.lookupTerms(uniq).map(t => t.term -> t).toMap)
-    val globalDf: Map[String, Long] = uniq.map { t =>
-      t -> perGen.map(_.get(t).map(_.df).getOrElse(0L)).sum
-    }.toMap.filter(_._2 > 0)
-    if (globalDf.isEmpty)
-      return Seq.empty[(Long, Double)].toDF("doc_id", "score")
-    val ordered = globalDf.keys.toSeq
-      .sorted(graft.core.Tokenizer.utf8Ordering) // byte-order fold, as oracle
-    val foldKey = ordered.zipWithIndex.toMap
-    val idf = ordered.map(t => t -> Bm25.idf(nDocs, globalDf(t))).toMap
-    val avg = avgdl
-    // local copies: referencing the k1/bParam FIELDS inside the typed
-    // map below would capture `this` (unserializable engine)
-    val k1L = k1
-    val bL = bParam
+    val st = new GlobalStats(terms.distinct)
+    if (st.ordered.isEmpty) emptyScores() else topKFromStats(st, k)
+  }
 
-    /** (doc_id, fold_key, impact) rows for `ts` from one generation —
-      * `source` lets the pruned path swap in a candidate-pruned read.
-      */
-    def foldRows(e: QueryEngine, dict: Map[String, graft.index.DictRow],
-        ts: Seq[String],
-        source: Seq[Long] => Dataset[graft.query.ScoredPosting]): Option[DataFrame] = {
-      val present = ordered.filter(t => ts.contains(t) && dict.contains(t))
-      if (present.isEmpty) None
-      else {
-        val keyOf = present.map(t => dict(t).term_id -> foldKey(t)).toMap
-        val idfOf = present.map(t => dict(t).term_id -> idf(t)).toMap
-        val bcKey = spark.sparkContext.broadcast(keyOf)
-        val bcIdf = spark.sparkContext.broadcast(idfOf)
-        Some(source(present.map(dict(_).term_id))
-          .map(p => (p.doc_id, bcKey.value(p.term_id),
-            Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg, k1L, bL)))
-          .toDF("doc_id", "fold_key", "impact"))
-      }
-    }
+  private def topKFromStats(st: GlobalStats, k: Int): DataFrame = {
+    val perGen = st.perGen
+    val globalDf = st.globalDf
+    val ordered = st.ordered
+    val idf = st.idf
 
     def aggTopK(all: DataFrame): DataFrame =
-      all.groupBy($"doc_id")
-        .agg(aggregate(
-          sort_array(collect_list(struct($"fold_key", $"impact"))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("impact")).as("score"))
-        .orderBy($"score".desc, $"doc_id".asc).limit(k)
+      aggScores(all).orderBy($"score".desc, $"doc_id".asc).limit(k)
 
     def exactPath(): DataFrame = {
       lastPath = "exact"
       aggTopK(engines.zip(perGen)
-        .flatMap { case (e, d) => foldRows(e, d, ordered, e.scoredPostings) }
+        .flatMap { case (e, d) => foldRows(st, e, d, ordered, e.scoredPostings) }
         .reduce(_ unionByName _))
     }
 
@@ -202,7 +262,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // rows serve both the theta pass and the essential union below —
     // the cross-gen analog of wandImpl's bestPostings cache
     val bestRows = engines.zip(perGen)
-      .flatMap { case (e, d) => foldRows(e, d, Seq(best), e.scoredPostings) }
+      .flatMap { case (e, d) => foldRows(st, e, d, Seq(best), e.scoredPostings) }
       .reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -229,7 +289,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
 
       val essOther = ess.filterNot(_ == best)
       val essRows = (Seq(bestRows) ++ engines.zip(perGen)
-        .flatMap { case (e, d) => foldRows(e, d, essOther, e.scoredPostings) })
+        .flatMap { case (e, d) => foldRows(st, e, d, essOther, e.scoredPostings) })
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -265,7 +325,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
               val totalChunks = present.map(t =>
                 (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
                   graft.core.ChunkCodec.ChunkSize).sum.toDouble
-              foldRows(e, dict, present,
+              foldRows(st, e, dict, present,
                 ids => e.candidatePrunedPostings(ids, cand, totalChunks))
             }
           }
@@ -301,6 +361,115 @@ class MultiGenEngine(spark: SparkSession, root: String,
 
   def bm25TopK(query: String, k: Int): DataFrame =
     bm25TopKForTerms(queryTerms(query), k)
+
+  /** Claimed-doc cap for handleQuery's pruned tier construction
+    * (mirrors QueryEngine.handleQueryClaimCap; -1 forces the exact form,
+    * values near Int.MaxValue are clamped before the +1).
+    */
+  var handleQueryClaimCap: Int = 100000
+
+  /** Diagnostic: "pruned" | "exact" form taken by the last handleQuery. */
+  var lastHandlePath: String = ""
+
+  /** The reference's tiered handle_query (src/search_engine/mod.rs:
+    * 118-206) across UNCOMPACTED generations — the hot-append serving
+    * entry point: tier 0 = exact-phrase docs (unigram-BM25-scored),
+    * tier 1 = docs containing EVERY query bigram as an indexed bigram
+    * term (bigram-BM25-scored), tier 2 = the disjunctive unigram
+    * matches; a doc keeps its HIGHEST tier, ordered (tier asc, score
+    * desc, doc_id asc), top-k.
+    *
+    * All scoring runs under GLOBAL statistics (summed df, doc-weighted
+    * avgdl, byte-order folds), so results are tier-, rank- and
+    * BIT-identical to QueryEngine.handleQuery over the same corpus
+    * compacted into one index (IncrementalSpec parity test) — an
+    * appended index serves the flagship query shape without compacting
+    * first. Structure mirrors the single-index pruned/exact dual form:
+    * claimed tier sets are collected only under the cap (limit-bounded
+    * BEFORE the collect), each claimed tier is scored only for ITS
+    * members through the per-generation candidate-pruned chunk
+    * machinery, and the unigram tier serves from the cross-generation
+    * block-max top-(k + |claimed|) with a broadcast anti-join — exact
+    * by the same counting argument (at most |claimed| of those rows are
+    * claimed, so >= k unclaimed survive). Dictionary probes: one per
+    * generation for the unigram set and one per generation for the
+    * bigram set via [[GlobalStats]]; the phrase/conjunctive doc-id
+    * chains run their own per-generation probes (not shared across the
+    * generation boundary — term_ids are generation-local).
+    */
+  def handleQuery(query: String, k: Int): DataFrame = {
+    // phrase tier matches the FULL lemma sequence (duplicates kept:
+    // "to be or not to be" must not phrase-match "to be or not")
+    val parsed = graft.core.Tokenizer.tokenizeQuery(query, lemmas)
+    val phraseSeq = parsed.unigrams.map(_.term)
+    val terms = phraseSeq.distinct
+    if (terms.isEmpty) return emptyScores()
+    val st = new GlobalStats(terms)
+    if (phraseSeq.size == 1) {
+      lastHandlePath = "pruned"
+      return (if (st.ordered.isEmpty) emptyScores() else topKFromStats(st, k))
+        .withColumn("tier", lit(2))
+        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", $"score", $"tier")
+    }
+    val phraseDocs = phraseMatch(phraseSeq)
+    val bigramTerms = parsed.bigrams.map(_.term).distinct
+    val bst =
+      if (bigramTerms.isEmpty) None else Some(new GlobalStats(bigramTerms))
+    // the bigram tier engages only when EVERY query bigram exists as an
+    // indexed term somewhere (global presence == compacted-dictionary
+    // presence); a per-generation miss is handled by conjunctive()
+    // itself (that generation contributes no docs)
+    val bigramActive = bst.exists(_.allPresent(bigramTerms))
+    val conjDocs = if (bigramActive) Some(conjunctive(bigramTerms)) else None
+    val cap = math.min(handleQueryClaimCap, Int.MaxValue - 1)
+    val phraseIds = phraseDocs.select($"doc_id")
+      .limit(cap + 1).as[Long].collect()
+    val conjIds = conjDocs.map(_.select($"doc_id")
+      .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
+    if (st.ordered.nonEmpty && phraseIds.length <= cap && conjIds.length <= cap) {
+      lastHandlePath = "pruned"
+      java.util.Arrays.sort(phraseIds)
+      val tier0 = scoresForCandidates(st, phraseIds)
+        .withColumn("tier", lit(0))
+      val phraseSet = phraseIds.toSet
+      val tier1 =
+        if (bigramActive) {
+          val t1Ids = conjIds.filterNot(phraseSet)
+          java.util.Arrays.sort(t1Ids)
+          scoresForCandidates(bst.get, t1Ids).withColumn("tier", lit(1))
+        } else emptyScores().withColumn("tier", lit(1))
+      val claimedIds = (phraseIds ++ conjIds).distinct
+      val tier2 = topKFromStats(st, k + claimedIds.length)
+        .join(broadcast(claimedIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      tier0.unionByName(tier1).unionByName(tier2)
+        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", $"score", $"tier")
+    } else {
+      // EXACT form (over-cap claimed sets, or no matching unigrams):
+      // full global scoring with DataFrame-side claims, no driver
+      // collection — identical tier algebra to QueryEngine.handleQuery
+      lastHandlePath = "exact"
+      val scored = if (st.ordered.isEmpty) emptyScores() else exactScoresAll(st)
+      val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
+        .withColumn("tier", lit(0))
+      val bigramTier =
+        if (bigramActive) {
+          exactScoresAll(bst.get)
+            .join(conjDocs.get, Seq("doc_id"), "left_semi")
+            .join(phraseDocs, Seq("doc_id"), "left_anti")
+            .withColumn("tier", lit(1))
+        } else emptyScores().withColumn("tier", lit(1))
+      val claimed = inPhrase.select($"doc_id")
+        .unionByName(bigramTier.select($"doc_id"))
+      val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      inPhrase.unionByName(bigramTier).unionByName(rest)
+        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
+        .select($"doc_id", $"score", $"tier")
+    }
+  }
 
   // Boolean / positional / fuzzy across generations: doc_id ranges are
   // globally disjoint, so per-generation results union losslessly —
@@ -369,8 +538,19 @@ object Compactor {
         md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gens.sorted.foreach { g =>
         upd(g); upd("\n")
+        // fail fast on an unreadable generation meta: genDirs only lists
+        // generations whose meta EXISTS, so a read failure here means an
+        // incomplete/racing generation — folding a constant in (the old
+        // form) would hash two differently-broken generation sets
+        // identically and resume stale stage manifests over them.
         upd(try Fs.readString(IndexPaths(g).meta)
-            catch { case scala.util.control.NonFatal(_) => "?" })
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"unreadable generation meta for $g — generation " +
+                    s"incomplete or concurrently modified; refusing to " +
+                    s"fingerprint a compaction over it", e)
+            })
       }
       upd(s"np${conf.numParts}-salt${conf.nSalts}-k1${conf.k1}-b${conf.b}" +
         s"-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}")

@@ -168,12 +168,24 @@ class QueryEngine(spark: SparkSession, root: String,
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
 
-  /** Cache the query-hot tables (dictionary + postings). What a serving
-    * deployment would keep resident; at full scale only the dictionary
-    * fits and the postings scan relies on term_id range pruning instead.
+  /** Cache the dictionary — always safe: the lexicon is orders of
+    * magnitude smaller than the corpus (~10^8 rows at 100 TB) and every
+    * query path probes it. This is the half of warming a serving
+    * deployment should copy unconditionally.
     */
-  def warm(): this.type = {
+  def warmDictionary(): this.type = {
     dictionary.cache().count()
+    this
+  }
+
+  /** OPT-IN postings cache, for bench/small-corpus serving ONLY: at full
+    * scale the postings table does not fit in cluster memory — serving
+    * relies on the (term_id, chunk_seq) range layout + Parquet row-group
+    * pruning instead, which [[warmDictionary]] leaves untouched. Split
+    * from dictionary warming (round-4 verdict) precisely so the
+    * example nobody should copy at 100 TB is not the default.
+    */
+  def cachePostings(): this.type = {
     postings.cache().count()
     this
   }
@@ -381,7 +393,9 @@ class QueryEngine(spark: SparkSession, root: String,
     // survive the anti-join: the exact top-k of the unclaimed set,
     // WITHOUT ever fully decoding a stopword's postings. limit(cap+1)
     // bounds the collect BEFORE it happens; an over-cap set falls back.
-    val cap = handleQueryClaimCap
+    // Clamped: limit(cap + 1) with cap = Int.MaxValue (a natural way to
+    // "disable" the cap) would overflow to a negative limit and throw.
+    val cap = math.min(handleQueryClaimCap, Int.MaxValue - 1)
     val phraseIds = phraseDocs.select($"doc_id")
       .limit(cap + 1).as[Long].collect()
     val conjIds = conjDocs.map(_.select($"doc_id")
@@ -710,13 +724,18 @@ class QueryEngine(spark: SparkSession, root: String,
     val docSets = byDf.map { e =>
       decodedPostings(Seq(e.term_id)).select($"doc_id")
     }
-    // rarest-first: the accumulator is bounded by the min df. Broadcast it
-    // only when that bound is broadcast-sized — an all-stopword query
-    // (df ~ N) must shuffle-join instead (AQE picks the strategy).
-    val hint: DataFrame => DataFrame =
-      if (byDf.head.df <= 1000000L) broadcast _ else identity _
-    docSets.reduceLeft { (acc, next) =>
-      hint(acc).join(next, Seq("doc_id"), "inner")
+    // Broadcast ONLY the first (rarest) relation, and only when its df
+    // bound is broadcast-sized — an all-stopword query (df ~ N) must
+    // shuffle-join instead. Later join steps are left to AQE: re-hinting
+    // the ACCUMULATED result would plan a fresh BroadcastExchange of the
+    // (shrinking, but un-sized at plan time) accumulator at every step
+    // (one per join), where AQE broadcasts at runtime iff the measured
+    // size is small — the same rationale phraseMatch documents for its
+    // positional chain. PlanSpec pins one BroadcastExchange total.
+    val first =
+      if (byDf.head.df <= 1000000L) broadcast(docSets.head) else docSets.head
+    docSets.tail.foldLeft(first) { (acc, next) =>
+      acc.join(next, Seq("doc_id"), "inner")
     }.distinct()
   }
 
@@ -970,16 +989,25 @@ class QueryEngine(spark: SparkSession, root: String,
     * variants for terms up to MaxTermLen + d code points, covering every
     * term reachable from an in-domain query.
     *
-    * COST BOUND of the fallback: d > MaxFuzzyTableDistance (= 3) always
-    * scans — deliberately, since a d=4 deletion table is ~C(len,4)
-    * variants per term (10-100x the d=2 table nobody asked to persist).
-    * The scan is one column-pruned pass over the dictionary with the
-    * +-d code-point-length prefilter pushed to the parquet scan, i.e.
-    * O(|lexicon|) once per query — fine for an occasional d=4 lookup,
-    * wrong as a hot path. Operators can SEE it happening:
-    * [[QueryEngine.fuzzyScanFallbacks]] counts every scan-path query
-    * (monitor it; a climbing counter means someone is serving large-d
-    * fuzzy traffic that deserves a persisted fuzzy_dD table via
+    * COST BOUND above the variant tables: d > MaxFuzzyTableDistance
+    * (= 3) deliberately builds no deletion table — a d=4 table is
+    * ~C(len,4) variants per term (10-100x the d=2 table nobody asked to
+    * persist). Instead it probes the build-time `dict_by_len` layout
+    * (the dictionary re-sorted by (cp_len, term)) with a PUSHED
+    * `cp_len BETWEEN len-d AND len+d` range predicate: parquet
+    * row-group stats skip every length band but the query's, so the
+    * levenshtein verify runs over O(lexicon ∩ length band), not
+    * O(lexicon) — and the same probe serves queries beyond
+    * Fuzzy.MaxTermLen (outside the variant tables' domain) at ANY d.
+    * PlanSpec asserts the pushdown; [[QueryEngine.fuzzyRangeProbes]]
+    * counts these lookups.
+    *
+    * Only when even dict_by_len is unavailable (an index root from an
+    * older build, never re-built since) does the O(|lexicon|)
+    * length-prefiltered dictionary scan run — counted in
+    * [[QueryEngine.fuzzyScanFallbacks]] (monitor it; a climbing counter
+    * means a root that deserves one build() pass to lay dict_by_len
+    * down, or large-d traffic that deserves a persisted fuzzy_dD via
     * IndexConf.fuzzyMaxDistance).
     */
   def fuzzyTerms(q: String, d: Int): DataFrame = {
@@ -993,17 +1021,42 @@ class QueryEngine(spark: SparkSession, root: String,
           .select($"term", $"term_id", $"df").distinct()
           .filter(levenshtein($"term", lit(q)) <= d)
       case None =>
-        QueryEngine.fuzzyScanFallbacks.incrementAndGet()
-        // +-d bound on CODE POINTS (Spark's length() counts code
-        // points; the JVM String.length counts UTF-16 units and would
-        // under-bound for supplementary-plane queries, dropping true
-        // matches from the prefilter)
-        dictionary
-          .filter(length($"term") >= lit(qCp - d) &&
-            length($"term") <= lit(qCp + d))
-          .filter(levenshtein($"term", lit(q)) <= d)
-          .select($"term", $"term_id", $"df")
+        dictByLen match {
+          case Some(dbl) =>
+            QueryEngine.fuzzyRangeProbes.incrementAndGet()
+            dbl.filter($"cp_len" >= lit(qCp - d) && $"cp_len" <= lit(qCp + d))
+              .filter(levenshtein($"term", lit(q)) <= d)
+              .select($"term", $"term_id", $"df")
+          case None =>
+            QueryEngine.fuzzyScanFallbacks.incrementAndGet()
+            // +-d bound on CODE POINTS (Spark's length() counts code
+            // points; the JVM String.length counts UTF-16 units and would
+            // under-bound for supplementary-plane queries, dropping true
+            // matches from the prefilter)
+            dictionary
+              .filter(length($"term") >= lit(qCp - d) &&
+                length($"term") <= lit(qCp + d))
+              .filter(levenshtein($"term", lit(q)) <= d)
+              .select($"term", $"term_id", $"df")
+        }
     }
+  }
+
+  /** The `dict_by_len` layout (build-time (cp_len, term)-sorted
+    * dictionary projection), validated against the CURRENT dictionary
+    * via the same dict-token staleness guard the fuzzy variant tables
+    * use; None for roots from builds that predate the layout (the
+    * counted scan fallback serves those).
+    */
+  private lazy val dictByLen: Option[DataFrame] = {
+    val dir = paths.dictByLen
+    val marker = s"$dir/${graft.index.IndexBuilder.DictTokenFile}"
+    if (graft.index.Fs.exists(s"$dir/_SUCCESS") &&
+        graft.index.Fs.exists(marker) &&
+        graft.index.Fs.readString(marker) ==
+          graft.index.IndexBuilder.tableToken(paths.dictionary))
+      Some(spark.read.parquet(dir))
+    else None
   }
 
   /** Attach document metadata to a result with a `doc_id` column — the
@@ -1045,12 +1098,21 @@ object QueryEngine {
   private[graft] val dictProbes = new java.util.concurrent.atomic.AtomicInteger
 
   /** Count of fuzzy lookups served by the O(|lexicon|) dictionary-scan
-    * fallback instead of a variant-table probe (d above the backfill
-    * cap, over-long queries, unwritable roots). An operational metric:
-    * a climbing value means large-d fuzzy traffic that deserves a
-    * persisted fuzzy_dD table (IndexConf.fuzzyMaxDistance).
+    * fallback — taken only when NEITHER a variant table NOR the
+    * dict_by_len range layout is available (an index root from a build
+    * predating the layout). An operational metric: a climbing value
+    * means a root that deserves one build() pass to lay dict_by_len
+    * down, or large-d traffic that deserves a persisted fuzzy_dD table
+    * (IndexConf.fuzzyMaxDistance).
     */
   val fuzzyScanFallbacks = new java.util.concurrent.atomic.AtomicLong
+
+  /** Count of fuzzy lookups served by the dict_by_len pushed cp_len
+    * range probe (d above the variant-table cap, or queries beyond
+    * Fuzzy.MaxTermLen): O(length band), not O(lexicon) — the expected
+    * path for occasional large-d traffic.
+    */
+  val fuzzyRangeProbes = new java.util.concurrent.atomic.AtomicLong
 
   /** Roots whose lazy fuzzy-index backfill failed (e.g. read-only
     * mounts): retried at most once per JVM.

@@ -234,17 +234,48 @@ class IndexEndToEndSpec extends SparkSpecBase {
     }
   }
 
-  test("fuzzy d=4 takes the documented scan fallback (counted); d<=3 stays on the table") {
+  test("fuzzy d=4 takes the dict_by_len range probe (no scan fallback); d<=3 stays on the variant table") {
     import org.apache.spark.sql.functions.{col, levenshtein, lit}
     engine.fuzzyTerms("kelba", 1).collect() // table path warmed, un-counted
-    val before = QueryEngine.fuzzyScanFallbacks.get()
+    val beforeScans = QueryEngine.fuzzyScanFallbacks.get()
+    val beforeProbes = QueryEngine.fuzzyRangeProbes.get()
     engine.fuzzyTerms("kelba", 3).collect()
-    assert(QueryEngine.fuzzyScanFallbacks.get() == before,
-      "d<=3 must serve from a variant table, not the lexicon scan")
+    assert(QueryEngine.fuzzyScanFallbacks.get() == beforeScans &&
+      QueryEngine.fuzzyRangeProbes.get() == beforeProbes,
+      "d<=3 must serve from a variant table, not the length layout or scan")
     val got = engine.fuzzyTerms("kelba", 4).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(QueryEngine.fuzzyScanFallbacks.get() == beforeScans,
+      "in-domain d=4 must NOT take the O(lexicon) scan (round-4 verdict #4)")
+    assert(QueryEngine.fuzzyRangeProbes.get() == beforeProbes + 1,
+      "d=4 (above the variant-table cap) must take the cp_len range probe")
+    val want = engine.dictionary
+      .filter(levenshtein(col("term"), lit("kelba")) <= 4)
+      .select(col("term"), col("term_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "range-probe results differ from ground truth")
+  }
+
+  test("fuzzy large-d on a root WITHOUT dict_by_len takes the counted scan fallback") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    // clone the index root minus dict_by_len: an older-build root shape
+    val oldRoot = tmpDir("graft-oldroot")
+    val src = new java.io.File(indexDir)
+    def copyTree(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    src.listFiles().filter(_.getName != "dict_by_len")
+      .foreach(f => copyTree(f, new java.io.File(oldRoot, f.getName)))
+    val oldEngine = new QueryEngine(spark, oldRoot, lemmas)
+    val before = QueryEngine.fuzzyScanFallbacks.get()
+    val got = oldEngine.fuzzyTerms("kelba", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(QueryEngine.fuzzyScanFallbacks.get() == before + 1,
-      "d=4 (above the backfill cap) must take the counted scan fallback")
+      "without dict_by_len, d=4 must take the COUNTED scan fallback")
     val want = engine.dictionary
       .filter(levenshtein(col("term"), lit("kelba")) <= 4)
       .select(col("term"), col("term_id")).collect()
@@ -646,6 +677,27 @@ class IndexEndToEndSpec extends SparkSpecBase {
     // >= nPartFiles driver opens)
     assert(ops < nPartFiles && ops <= 40,
       s"resumed build did $ops Fs ops over $nPartFiles part files")
+  }
+
+  test("resume rebuilds a stage whose part files were deleted under a surviving manifest") {
+    // the round-4 ADVICE scenario: a range dir loses parquet files but
+    // its _manifest.json survives — manifestComplete must read the
+    // stage as INCOMPLETE (n_files/bytes vs one listing) and the resume
+    // must rebuild it, never serve truncated postings
+    val conf2 = IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4,
+      stage2Ranges = 2)
+    val dir = tmpDir("graft-manifest-integrity")
+    val turns = Transcripts.generate(spark, 20L)
+    new IndexBuilder(spark, lemmas, conf2).build(turns, dir)
+    val fullRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings").count()
+    val victim = Fs.listFilesRecursive(s"$dir/postings", ".parquet").head._1
+    Fs.deleteRecursive(victim)
+    new IndexBuilder(spark, lemmas, conf2).build(turns, dir)
+    val rebuilt = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/postings").count()
+    assert(rebuilt == fullRows,
+      s"resume served truncated postings: $rebuilt rows != $fullRows")
   }
 
   test("URI-schemed root: build + resume + query over file:// (the Fs seam)") {

@@ -45,12 +45,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("pos_blob"), "fuzzy probe must not touch postings columns")
   }
 
-  test("fuzzy fallback (query beyond MaxTermLen) keeps the length-prefiltered scan") {
+  test("fuzzy d=4 (above the variant-table cap) is a PUSHED cp_len range probe") {
+    val plan = planOf(engine.fuzzyTerms("alba", 4))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(cp_len") &&
+      plan.contains("LessThanOrEqual(cp_len"),
+      s"d=4 should push a cp_len range into the dict_by_len scan, got:\n$plan")
+    assert(!plan.contains("In(variant"), "d=4 must not probe a variant table")
+    assert(!plan.contains("pos_blob"), "fuzzy probe must not touch postings columns")
+  }
+
+  test("fuzzy beyond MaxTermLen ALSO takes the cp_len range probe (not a full scan)") {
     val longQ = "a" * (graft.core.Fuzzy.MaxTermLen + 1)
     val plan = planOf(engine.fuzzyTerms(longQ, 1))
-    assert(plan.contains("ReadSchema"), plan)
+    assert(plan.contains("GreaterThanOrEqual(cp_len"),
+      s"over-long query should range-probe dict_by_len:\n$plan")
     assert(!plan.contains("In(variant"), "over-long query must not probe the variant table")
-    assert(!plan.contains("pos_blob"), "dictionary scan must not touch postings columns")
+    assert(!plan.contains("pos_blob"), "fuzzy probe must not touch postings columns")
   }
 
   test("dictionary layout: term IN pushdown over a term-sorted, range-partitioned table") {
@@ -92,6 +103,26 @@ class PlanSpec extends SparkSpecBase {
   test("conjunctive chain broadcasts the rare side") {
     val plan = planOf(engine.conjunctive(Seq("the", "alba")))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("conjunctive chain hints ONE BroadcastExchange total, not one per join step") {
+    // hinting the ACCUMULATED join result each step (the round-4 shape)
+    // would re-broadcast the shrinking accumulator at every join; only
+    // the first (rarest) relation carries the hint, later steps are
+    // AQE's call at runtime. Auto-broadcast is disabled so the static
+    // plan shows hint-driven exchanges ONLY.
+    val terms = engine.dictionary
+      .filter(col("df") >= 2).orderBy(col("term")).limit(3)
+      .collect().map(_.getAs[String]("term")).toSeq
+    assert(terms.size == 3, "corpus too small for a 3-term conjunctive")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(engine.conjunctive(terms))
+      val n = "BroadcastExchange".r.findAllIn(plan).size
+      assert(n == 1,
+        s"expected exactly 1 hint-driven BroadcastExchange for 3 rare terms, got $n in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("whole-stage codegen covers the quality-scoring expressions") {
