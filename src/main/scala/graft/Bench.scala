@@ -131,8 +131,29 @@ object Bench {
       .find(d => new java.io.File(d, ".git").exists())
       .getOrElse { System.err.println("[bench/ab] no git repo found; skipping"); return }
     val abDir = new java.io.File("/dev/shm/graft/ab_base")
-    // 1. worktree of the pinned commit (idempotent)
-    if (!new java.io.File(abDir, "build.sbt").exists()) {
+    // 1. worktree of the pinned commit. Reuse is VERIFIED, never assumed:
+    // a surviving /dev/shm dir from an older run (or an AbBaselineCommit
+    // bump since it was created) must not silently serve the wrong
+    // baseline's classes under the pinned commit's name — the exact
+    // measurement misattribution this stage exists to prevent.
+    val atPinned = new java.io.File(abDir, "build.sbt").exists() && {
+      val (c0, out0) = runProc(Seq("git", "rev-parse", "HEAD"), abDir,
+        Map.empty, 60)
+      c0 == 0 && out0.trim.startsWith(AbBaselineCommit)
+    }
+    if (!atPinned) {
+      if (abDir.exists()) {
+        runProc(Seq("git", "worktree", "remove", "-f", abDir.getAbsolutePath),
+          new java.io.File(repo), Map.empty, 60)
+        // worktree remove refuses non-worktree dirs; clear leftovers
+        if (abDir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(abDir)
+        }
+      }
       val (c1, _) = runProc(Seq("git", "worktree", "add", "-f",
         abDir.getAbsolutePath, AbBaselineCommit),
         new java.io.File(repo), Map.empty, 120)
@@ -160,16 +181,26 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // The sample's work scales with the INHERITED SPARK_GRAFT_BENCH_CONVS
+    // (warmup + best-of-3 builds): a fixed timeout sized for the 20k-conv
+    // default would kill every sample of a 200k-conv run in a slow host
+    // window — losing the ab_* metrics exactly when they are needed.
+    // ~0.6 s/1000 convs per c32 build x4 builds, x10 slow-window slack,
+    // min 600 s; heap follows SPARK_DRIVER_MEM (8g is this rig's sweet
+    // spot, see BENCH.md — but a parent tuned differently must agree).
+    val sampleConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "20000").toLong
+    val sampleTimeoutSec = math.max(600L, sampleConvs / 1000 * 24)
+    val sampleHeap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     def sample(classes: java.io.File): Option[Double] = {
       val cp = s"${classes.getAbsolutePath}:/opt/spark/jars/*"
       val (code, out) = runProc(
-        Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
+        Seq(javaBin) ++ addOpens ++ Seq(s"-Xmx$sampleHeap",
           "-Dspark.ui.enabled=false", "-cp", cp, "graft.Bench"),
         new java.io.File(repo),
         Map("SPARK_GRAFT_BENCH_LEVELS" -> cpus.toString,
           "SPARK_GRAFT_BENCH_BUILD_ONLY" -> "1",
           "SPARK_GRAFT_BENCH_AB" -> "0", // no recursion
-          "SPARK_GRAFT_CPUS" -> cpus.toString), 600)
+          "SPARK_GRAFT_CPUS" -> cpus.toString), sampleTimeoutSec)
       if (code != 0) { System.err.println(s"[bench/ab] sample exited $code"); None }
       else s""""index_build_turns_per_sec_c$cpus":([0-9.E+-]+)""".r
         .findFirstMatchIn(out).map(_.group(1).toDouble)

@@ -97,24 +97,26 @@ object GraftQueries {
     new QueryEngine(spark, root, testLemmas)
   }
 
-  /** internal engine doc_id -> original documents.doc_id. */
-  def withOrigDocId(engine: QueryEngine, df: DataFrame): DataFrame = {
-    val mapping = engine.docs.select(col("doc_id"),
+  /** internal engine doc_id -> original documents.doc_id, given the
+    * engine's docs table — ONE home for the conv_id -> orig_doc_id
+    * encoding so the single- and multi-generation variants cannot drift.
+    */
+  private def withOrigDocIdFrom(docs: DataFrame, df: DataFrame): DataFrame = {
+    val mapping = docs.select(col("doc_id"),
       expr("cast(substring(conv_id, 6) as long)").as("orig_doc_id"))
     df.join(mapping, Seq("doc_id"))
       .drop("doc_id").withColumnRenamed("orig_doc_id", "doc_id")
   }
 
+  /** internal engine doc_id -> original documents.doc_id. */
+  def withOrigDocId(engine: QueryEngine, df: DataFrame): DataFrame =
+    withOrigDocIdFrom(engine.docs, df)
+
   /** [[withOrigDocId]] over a multi-generation engine: the mapping is
     * the union of the generations' docs tables (doc_id ranges disjoint).
     */
-  def withOrigDocIdMulti(m: graft.index.MultiGenEngine, df: DataFrame): DataFrame = {
-    val mapping = m.engines.map(_.docs).reduce(_ unionByName _)
-      .select(col("doc_id"),
-        expr("cast(substring(conv_id, 6) as long)").as("orig_doc_id"))
-    df.join(mapping, Seq("doc_id"))
-      .drop("doc_id").withColumnRenamed("orig_doc_id", "doc_id")
-  }
+  def withOrigDocIdMulti(m: graft.index.MultiGenEngine, df: DataFrame): DataFrame =
+    withOrigDocIdFrom(m.engines.map(_.docs).reduce(_ unionByName _), df)
 
   /** Two-generation UNCOMPACTED root over `documents` (hot-append
     * serving shape, q46): the corpus split at the median doc_id into

@@ -395,9 +395,13 @@ class MultiGenEngine(spark: SparkSession, root: String,
     * generation for the unigram set and one per generation for the
     * bigram set via [[GlobalStats]]; the phrase/conjunctive doc-id
     * chains run their own per-generation probes (not shared across the
-    * generation boundary — term_ids are generation-local).
+    * generation boundary — term_ids are generation-local). The tier
+    * composition itself lives in [[graft.query.TieredQuery]] — shared
+    * with QueryEngine.handleQuery; this method only wires the
+    * GLOBAL-STATISTICS scorers in.
     */
   def handleQuery(query: String, k: Int): DataFrame = {
+    import graft.query.TieredQuery
     // phrase tier matches the FULL lemma sequence (duplicates kept:
     // "to be or not to be" must not phrase-match "to be or not")
     val parsed = graft.core.Tokenizer.tokenizeQuery(query, lemmas)
@@ -407,10 +411,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val st = new GlobalStats(terms)
     if (phraseSeq.size == 1) {
       lastHandlePath = "pruned"
-      return (if (st.ordered.isEmpty) emptyScores() else topKFromStats(st, k))
-        .withColumn("tier", lit(2))
-        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-        .select($"doc_id", $"score", $"tier")
+      return TieredQuery.singleTerm(
+        n => if (st.ordered.isEmpty) emptyScores() else topKFromStats(st, n), k)
     }
     val phraseDocs = phraseMatch(phraseSeq)
     val bigramTerms = parsed.bigrams.map(_.term).distinct
@@ -422,53 +424,18 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // itself (that generation contributes no docs)
     val bigramActive = bst.exists(_.allPresent(bigramTerms))
     val conjDocs = if (bigramActive) Some(conjunctive(bigramTerms)) else None
-    val cap = math.min(handleQueryClaimCap, Int.MaxValue - 1)
-    val phraseIds = phraseDocs.select($"doc_id")
-      .limit(cap + 1).as[Long].collect()
-    val conjIds = conjDocs.map(_.select($"doc_id")
-      .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
-    if (st.ordered.nonEmpty && phraseIds.length <= cap && conjIds.length <= cap) {
-      lastHandlePath = "pruned"
-      java.util.Arrays.sort(phraseIds)
-      val tier0 = scoresForCandidates(st, phraseIds)
-        .withColumn("tier", lit(0))
-      val phraseSet = phraseIds.toSet
-      val tier1 =
-        if (bigramActive) {
-          val t1Ids = conjIds.filterNot(phraseSet)
-          java.util.Arrays.sort(t1Ids)
-          scoresForCandidates(bst.get, t1Ids).withColumn("tier", lit(1))
-        } else emptyScores().withColumn("tier", lit(1))
-      val claimedIds = (phraseIds ++ conjIds).distinct
-      val tier2 = topKFromStats(st, k + claimedIds.length)
-        .join(broadcast(claimedIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(2))
-      tier0.unionByName(tier1).unionByName(tier2)
-        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-        .select($"doc_id", $"score", $"tier")
-    } else {
-      // EXACT form (over-cap claimed sets, or no matching unigrams):
-      // full global scoring with DataFrame-side claims, no driver
-      // collection — identical tier algebra to QueryEngine.handleQuery
-      lastHandlePath = "exact"
-      val scored = if (st.ordered.isEmpty) emptyScores() else exactScoresAll(st)
-      val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
-        .withColumn("tier", lit(0))
-      val bigramTier =
-        if (bigramActive) {
-          exactScoresAll(bst.get)
-            .join(conjDocs.get, Seq("doc_id"), "left_semi")
-            .join(phraseDocs, Seq("doc_id"), "left_anti")
-            .withColumn("tier", lit(1))
-        } else emptyScores().withColumn("tier", lit(1))
-      val claimed = inPhrase.select($"doc_id")
-        .unionByName(bigramTier.select($"doc_id"))
-      val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(2))
-      inPhrase.unionByName(bigramTier).unionByName(rest)
-        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-        .select($"doc_id", $"score", $"tier")
-    }
+    TieredQuery.run(spark, TieredQuery.Scorers(
+      unigramsPresent = st.ordered.nonEmpty,
+      bigramActive = bigramActive,
+      phraseDocs = phraseDocs,
+      conjDocs = conjDocs,
+      topK = n => topKFromStats(st, n),
+      candScores = ids => scoresForCandidates(st, ids),
+      bigramCandScores = ids => scoresForCandidates(bst.get, ids),
+      exactScores = () => exactScoresAll(st),
+      bigramExactScores = () => exactScoresAll(bst.get),
+      empty = () => emptyScores()),
+      k, handleQueryClaimCap, p => lastHandlePath = p)
   }
 
   // Boolean / positional / fuzzy across generations: doc_id ranges are

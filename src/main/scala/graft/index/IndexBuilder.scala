@@ -577,23 +577,15 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     Fs.exists(f) && {
       val s = Fs.readString(f)
       s.contains("\"status\":\"complete\"") &&
-      s.contains(s""""fingerprint":"$fingerprint"""") && {
-        // Integrity check (round-4 ADVICE): the manifest alone is not
-        // the stage — a dir whose part files were partially deleted
-        // while its manifest survived must read as INCOMPLETE, or a
-        // resume silently serves truncated postings. One recursive
-        // listing per stage check compares the manifest's n_files/bytes
-        // against what is actually on disk: O(stages) driver IO,
-        // within the Fs-ops budget (test-pinned).
-        val declared = for {
-          nf <- "\"n_files\":(\\d+)".r.findFirstMatchIn(s)
-          by <- "\"bytes\":(\\d+)".r.findFirstMatchIn(s)
-        } yield (nf.group(1).toLong, by.group(1).toLong)
-        declared.forall { case (nFiles, bytes) =>
-          val files = Fs.listFilesRecursive(dir, ".parquet")
-          files.size.toLong == nFiles && files.map(_._3).sum == bytes
-        }
-      }
+      s.contains(s""""fingerprint":"$fingerprint"""") &&
+      // Integrity check (round-4 ADVICE): the manifest alone is not
+      // the stage — a dir whose part files were partially deleted
+      // while its manifest survived must read as INCOMPLETE, or a
+      // resume silently serves truncated postings. One recursive
+      // listing per stage check compares the manifest's n_files/bytes
+      // against what is actually on disk: O(stages) driver IO,
+      // within the Fs-ops budget (test-pinned).
+      IndexBuilder.declaredMatchesDisk(dir, s)
     }
   }
 
@@ -771,6 +763,34 @@ object IndexBuilder {
     * dictionary it was derived from.
     */
   val DictTokenFile = "_graft_dict_token"
+
+  /** Does `manifest` (a _manifest.json body) agree with `dir`'s actual
+    * parquet files (n_files + bytes)? The integrity core shared by the
+    * build-side [[IndexBuilder.manifestComplete]] resume gate and the
+    * query-side [[manifestIntact]]: a dir whose part files were
+    * partially deleted while its manifest survived must never be
+    * trusted, at build OR serve time. Vacuously true for manifests
+    * predating the n_files/bytes fields.
+    */
+  private[graft] def declaredMatchesDisk(dir: String, manifest: String): Boolean = {
+    val declared = for {
+      nf <- "\"n_files\":(\\d+)".r.findFirstMatchIn(manifest)
+      by <- "\"bytes\":(\\d+)".r.findFirstMatchIn(manifest)
+    } yield (nf.group(1).toLong, by.group(1).toLong)
+    declared.forall { case (nFiles, bytes) =>
+      val files = Fs.listFilesRecursive(dir, ".parquet")
+      files.size.toLong == nFiles && files.map(_._3).sum == bytes
+    }
+  }
+
+  /** Query-side integrity gate for a derived layout dir: its manifest
+    * (when present) must match the files on disk. One manifest read +
+    * one listing, once per engine instance (callers are lazy vals).
+    */
+  private[graft] def manifestIntact(dir: String): Boolean = {
+    val f = s"$dir/_manifest.json"
+    !Fs.exists(f) || declaredMatchesDisk(dir, Fs.readString(f))
+  }
 
   /** Identity token of an on-disk parquet table: hash of its sorted
     * (part-file name, size) listing. Part names embed the write's UUID,

@@ -359,8 +359,11 @@ class QueryEngine(spark: SparkSession, root: String,
   def handleQuery(query: String, k: Int): DataFrame = {
     // phrase tier matches the FULL lemma sequence (duplicates kept:
     // "to be or not to be" must not phrase-match "to be or not");
-    // scoring and the probe dedup
-    val phraseSeq = Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term)
+    // scoring and the probe dedup. The tier composition itself lives in
+    // [[TieredQuery]] — shared with MultiGenEngine.handleQuery; this
+    // method only wires the ENTRIES-based scorers in.
+    val parsed = Tokenizer.tokenizeQuery(query, lemmas)
+    val phraseSeq = parsed.unigrams.map(_.term)
     val terms = phraseSeq.distinct
     if (terms.isEmpty) return emptyScores()
     // ONE unigram dictionary probe serves scoring, the phrase chain and
@@ -368,15 +371,11 @@ class QueryEngine(spark: SparkSession, root: String,
     val entries = lookupTerms(terms)
     if (phraseSeq.size == 1) {
       lastHandlePath = "pruned"
-      return (if (entries.isEmpty) emptyScores()
-              else topKFromEntries(entries, k))
-        .withColumn("tier", lit(2))
-        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-        .select($"doc_id", $"score", $"tier")
+      return TieredQuery.singleTerm(
+        n => if (entries.isEmpty) emptyScores() else topKFromEntries(entries, n), k)
     }
     val phraseDocs = phraseMatchFromEntries(phraseSeq, entries)
-    val bigramTerms = Tokenizer.tokenizeQuery(query, lemmas)
-      .bigrams.map(_.term).distinct
+    val bigramTerms = parsed.bigrams.map(_.term).distinct
     // ONE dictionary probe serves the existence check, the bigram BM25
     // scoring, and the conjunctive intersection
     val bigramEntries =
@@ -385,62 +384,18 @@ class QueryEngine(spark: SparkSession, root: String,
       bigramTerms.nonEmpty && bigramEntries.size == bigramTerms.size
     val conjDocs =
       if (bigramActive) Some(conjunctiveFromEntries(bigramEntries)) else None
-
-    // PRUNED form: collect the (limit-capped) claimed sets, score each
-    // tier only for ITS members via the block-max candidate machinery,
-    // and serve the unigram tier from the pruned top-(k + |claimed|) —
-    // at most |claimed| of those rows are claimed, so >= k unclaimed
-    // survive the anti-join: the exact top-k of the unclaimed set,
-    // WITHOUT ever fully decoding a stopword's postings. limit(cap+1)
-    // bounds the collect BEFORE it happens; an over-cap set falls back.
-    // Clamped: limit(cap + 1) with cap = Int.MaxValue (a natural way to
-    // "disable" the cap) would overflow to a negative limit and throw.
-    val cap = math.min(handleQueryClaimCap, Int.MaxValue - 1)
-    val phraseIds = phraseDocs.select($"doc_id")
-      .limit(cap + 1).as[Long].collect()
-    val conjIds = conjDocs.map(_.select($"doc_id")
-      .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
-    if (entries.nonEmpty && phraseIds.length <= cap && conjIds.length <= cap) {
-      lastHandlePath = "pruned"
-      java.util.Arrays.sort(phraseIds)
-      val tier0 = scoresForCandidates(entries, phraseIds)
-        .withColumn("tier", lit(0))
-      val phraseSet = phraseIds.toSet
-      val tier1 =
-        if (bigramActive) {
-          val t1Ids = conjIds.filterNot(phraseSet)
-          java.util.Arrays.sort(t1Ids)
-          scoresForCandidates(bigramEntries, t1Ids).withColumn("tier", lit(1))
-        } else emptyScores().withColumn("tier", lit(1))
-      val claimedIds = (phraseIds ++ conjIds).distinct
-      val tier2 = topKFromEntries(entries, k + claimedIds.length)
-        .join(broadcast(claimedIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(2))
-      tier0.unionByName(tier1).unionByName(tier2)
-        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-        .select($"doc_id", $"score", $"tier")
-    } else {
-      // EXACT form (over-cap claimed sets, or no matching unigrams):
-      // full scoring with DataFrame-side claims, no driver collection
-      lastHandlePath = "exact"
-      val scored = if (entries.isEmpty) emptyScores() else exactScores(entries)
-      val inPhrase = scored.join(phraseDocs, Seq("doc_id"), "left_semi")
-        .withColumn("tier", lit(0))
-      val bigramTier =
-        if (bigramActive) {
-          exactScores(bigramEntries) // thread 2's bigram_scores
-            .join(conjDocs.get, Seq("doc_id"), "left_semi")
-            .join(phraseDocs, Seq("doc_id"), "left_anti")
-            .withColumn("tier", lit(1))
-        } else emptyScores().withColumn("tier", lit(1))
-      val claimed = inPhrase.select($"doc_id")
-        .unionByName(bigramTier.select($"doc_id"))
-      val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(2))
-      inPhrase.unionByName(bigramTier).unionByName(rest)
-        .orderBy($"tier".asc, $"score".desc, $"doc_id".asc).limit(k)
-        .select($"doc_id", $"score", $"tier")
-    }
+    TieredQuery.run(spark, TieredQuery.Scorers(
+      unigramsPresent = entries.nonEmpty,
+      bigramActive = bigramActive,
+      phraseDocs = phraseDocs,
+      conjDocs = conjDocs,
+      topK = n => topKFromEntries(entries, n),
+      candScores = ids => scoresForCandidates(entries, ids),
+      bigramCandScores = ids => scoresForCandidates(bigramEntries, ids),
+      exactScores = () => exactScores(entries),
+      bigramExactScores = () => exactScores(bigramEntries), // thread 2's bigram_scores
+      empty = () => emptyScores()),
+      k, handleQueryClaimCap, p => lastHandlePath = p)
   }
 
   private def emptyScores(): DataFrame =
@@ -1054,7 +1009,13 @@ class QueryEngine(spark: SparkSession, root: String,
     if (graft.index.Fs.exists(s"$dir/_SUCCESS") &&
         graft.index.Fs.exists(marker) &&
         graft.index.Fs.readString(marker) ==
-          graft.index.IndexBuilder.tableToken(paths.dictionary))
+          graft.index.IndexBuilder.tableToken(paths.dictionary) &&
+        // the dict token hashes the DICTIONARY's listing, not this
+        // dir's — a dict_by_len that lost part files under surviving
+        // markers would pass both guards and silently DROP fuzzy
+        // matches; its own manifest (n_files/bytes vs one listing)
+        // closes that, same as the build-side resume gate
+        graft.index.IndexBuilder.manifestIntact(dir))
       Some(spark.read.parquet(dir))
     else None
   }
@@ -1196,4 +1157,106 @@ object QueryEngine {
     lo < cand.length && cand(lo) <= maxDoc
   }
 
+}
+
+/** The reference's tiered handle_query algebra (src/search_engine/
+  * mod.rs:118-206) — the ONE home for the tier composition shared by
+  * the single-index [[QueryEngine.handleQuery]] and the
+  * multi-generation `MultiGenEngine.handleQuery`: tier 0 = exact-phrase
+  * docs (unigram-scored), tier 1 = all-query-bigrams docs
+  * (bigram-scored, phrase docs excluded), tier 2 = disjunctive unigram
+  * matches; a doc keeps its HIGHEST tier, ordered (tier asc, score
+  * desc, doc_id asc), top-k. The engines differ ONLY in how they score
+  * (generation-local entries vs global statistics), injected via
+  * [[TieredQuery.Scorers]] — so a tier-algebra fix lands in both
+  * engines by construction (the claim-cap clamp below once had to be
+  * written twice).
+  *
+  * PRUNED form: the claimed (phrase/bigram) doc sets are collected
+  * under `claimCap` — limit(cap+1)-bounded BEFORE the collect — each
+  * claimed tier is scored only for ITS members, and the unigram tier
+  * serves from the top-(k + |claimed|) with a broadcast anti-join,
+  * exact by a counting argument: at most |claimed| of those rows are
+  * claimed, so >= k unclaimed survive. Over-cap sets (or no matching
+  * unigrams) take the EXACT form: full scoring with DataFrame-side
+  * claims, no driver collection.
+  */
+private[graft] object TieredQuery {
+
+  /** The engine-specific scoring surface the shared algebra drives.
+    * `topK(n)`/`candScores`/`exactScores` score UNIGRAMS;
+    * `bigramCandScores`/`bigramExactScores` score the query bigrams
+    * (only invoked when `bigramActive`).
+    */
+  final case class Scorers(
+      unigramsPresent: Boolean,
+      bigramActive: Boolean,
+      phraseDocs: DataFrame,
+      conjDocs: Option[DataFrame],
+      topK: Int => DataFrame,
+      candScores: Array[Long] => DataFrame,
+      bigramCandScores: Array[Long] => DataFrame,
+      exactScores: () => DataFrame,
+      bigramExactScores: () => DataFrame,
+      empty: () => DataFrame)
+
+  /** Final tier ordering + projection (also the single-term wrapper's
+    * finisher): highest tier wins via the (tier, score desc, doc_id)
+    * sort — a doc appears in at most one tier by construction.
+    */
+  private def finish(tiers: DataFrame, k: Int): DataFrame =
+    tiers.orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
+      .limit(k).select("doc_id", "score", "tier")
+
+  /** Single-term queries have no phrase/bigram tiers: the unigram top-k
+    * IS the answer, labeled tier 2.
+    */
+  def singleTerm(topK: Int => DataFrame, k: Int): DataFrame =
+    finish(topK(k).withColumn("tier", lit(2)), k)
+
+  def run(spark: SparkSession, s: Scorers, k: Int, claimCap: Int,
+      setPath: String => Unit): DataFrame = {
+    import spark.implicits._
+    // Clamped: limit(cap + 1) with cap = Int.MaxValue (a natural way to
+    // "disable" the cap) would overflow to a negative limit and throw.
+    val cap = math.min(claimCap, Int.MaxValue - 1)
+    val phraseIds = s.phraseDocs.select(col("doc_id"))
+      .limit(cap + 1).as[Long].collect()
+    val conjIds = s.conjDocs.map(_.select(col("doc_id"))
+      .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
+    if (s.unigramsPresent && phraseIds.length <= cap && conjIds.length <= cap) {
+      setPath("pruned")
+      java.util.Arrays.sort(phraseIds)
+      val tier0 = s.candScores(phraseIds).withColumn("tier", lit(0))
+      val phraseSet = phraseIds.toSet
+      val tier1 =
+        if (s.bigramActive) {
+          val t1Ids = conjIds.filterNot(phraseSet)
+          java.util.Arrays.sort(t1Ids)
+          s.bigramCandScores(t1Ids).withColumn("tier", lit(1))
+        } else s.empty().withColumn("tier", lit(1))
+      val claimedIds = (phraseIds ++ conjIds).distinct
+      val tier2 = s.topK(k + claimedIds.length)
+        .join(broadcast(claimedIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      finish(tier0.unionByName(tier1).unionByName(tier2), k)
+    } else {
+      setPath("exact")
+      val scored = if (s.unigramsPresent) s.exactScores() else s.empty()
+      val inPhrase = scored.join(s.phraseDocs, Seq("doc_id"), "left_semi")
+        .withColumn("tier", lit(0))
+      val bigramTier =
+        if (s.bigramActive) {
+          s.bigramExactScores()
+            .join(s.conjDocs.get, Seq("doc_id"), "left_semi")
+            .join(s.phraseDocs, Seq("doc_id"), "left_anti")
+            .withColumn("tier", lit(1))
+        } else s.empty().withColumn("tier", lit(1))
+      val claimed = inPhrase.select(col("doc_id"))
+        .unionByName(bigramTier.select(col("doc_id")))
+      val rest = scored.join(claimed, Seq("doc_id"), "left_anti")
+        .withColumn("tier", lit(2))
+      finish(inPhrase.unionByName(bigramTier).unionByName(rest), k)
+    }
+  }
 }

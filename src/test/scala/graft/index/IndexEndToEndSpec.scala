@@ -283,6 +283,38 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(got == want, "scan-fallback results differ from ground truth")
   }
 
+  test("a TRUNCATED dict_by_len (part files lost under surviving markers) is not trusted") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    // clone the root, then delete ONE dict_by_len parquet part while
+    // _SUCCESS, the dict token AND the manifest survive: the dict token
+    // hashes the DICTIONARY's listing, so only the manifest integrity
+    // check (n_files/bytes vs disk) can catch this — without it every
+    // d>3 fuzzy lookup would silently DROP the matches in that part
+    val root2 = tmpDir("graft-truncdbl")
+    val src = new java.io.File(indexDir)
+    def copyTree(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    src.listFiles().foreach(f => copyTree(f, new java.io.File(root2, f.getName)))
+    val victim = Fs.listFilesRecursive(s"$root2/dict_by_len", ".parquet").head._1
+    Fs.deleteRecursive(victim)
+    val truncEngine = new QueryEngine(spark, root2, lemmas)
+    val beforeScans = QueryEngine.fuzzyScanFallbacks.get()
+    val got = truncEngine.fuzzyTerms("kelba", 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(QueryEngine.fuzzyScanFallbacks.get() == beforeScans + 1,
+      "truncated dict_by_len must fall back to the counted full scan, not serve partial results")
+    val want = engine.dictionary
+      .filter(levenshtein(col("term"), lit("kelba")) <= 4)
+      .select(col("term"), col("term_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "fallback results differ from ground truth")
+  }
+
   test("handle_query: phrase-tier precedence matches oracle") {
     // a query whose first two tokens form a real phrase somewhere
     val t = turnsLocal.find(_.text.split(" ").length > 3).get
