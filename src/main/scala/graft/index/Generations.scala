@@ -98,6 +98,19 @@ class MultiGenEngine(spark: SparkSession, root: String,
     totalLen.toDouble / nDocs
   }
 
+  /** Warm every generation's dictionary — the multi-generation analog
+    * of QueryEngine.warmDictionary (always safe: lexicon-sized). Without
+    * it a warm serving deployment pays one parquet dictionary probe PER
+    * GENERATION per query term set, which dominates the multi-gen vs
+    * single-index latency gap (measured 4.2M-turn serving, BENCH.md
+    * round 5). Postings stay on the pruned-scan path, as on the
+    * single engine.
+    */
+  def warmDictionaries(): this.type = {
+    engines.foreach(_.warmDictionary())
+    this
+  }
+
   def queryTerms(query: String): Seq[String] =
     graft.core.Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
 

@@ -129,7 +129,7 @@ class IncrementalSpec extends SparkSpecBase {
     val batch2 = allTurns.filterNot(_.conv_id < "conv-00000020")
     Generations.append(spark, spark.createDataset(batch1), dir, lemmas, bgConf)
     Generations.append(spark, spark.createDataset(batch2), dir, lemmas, bgConf)
-    val multi = new MultiGenEngine(spark, dir, lemmas)
+    val multi = new MultiGenEngine(spark, dir, lemmas).warmDictionaries()
     val out = tmpDir("graft-incr-bg-compact")
     Compactor.compact(spark, dir, out, lemmas, bgConf)
     val single = new graft.query.QueryEngine(spark, out, lemmas)
