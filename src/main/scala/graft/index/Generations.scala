@@ -376,10 +376,11 @@ class MultiGenEngine(spark: SparkSession, root: String,
     bm25TopKForTerms(queryTerms(query), k)
 
   /** Claimed-doc cap for handleQuery's pruned tier construction
-    * (mirrors QueryEngine.handleQueryClaimCap; -1 forces the exact form,
-    * values near Int.MaxValue are clamped before the +1).
+    * (mirrors QueryEngine.handleQueryClaimCap — same default, same
+    * measurement; -1 forces the exact form, values near Int.MaxValue
+    * are clamped before the +1).
     */
-  var handleQueryClaimCap: Int = 100000
+  var handleQueryClaimCap: Int = 300000
 
   /** Diagnostic: "pruned" | "exact" form taken by the last handleQuery. */
   var lastHandlePath: String = ""

@@ -349,9 +349,13 @@ class QueryEngine(spark: SparkSession, root: String,
     * bound they are collected and the unigram tier runs through the
     * block-max top-k machinery; above it the full exact-scoring form
     * runs (a query whose phrase matches millions of docs is scoring
-    * stopword-scale sets anyway). Test knob, like wandMinPostings.
+    * stopword-scale sets anyway). Driver memory bound: two collects of
+    * <= cap+1 longs (~2.4 MB each at the default). 300k measured ~20%
+    * faster than the exact form for a 125k-claimed stopword-led phrase
+    * at 4.2M docs (pruned+adaptive tier 2, bit-identical results —
+    * BENCH.md round 5). Test knob, like wandMinPostings.
     */
-  var handleQueryClaimCap: Int = 100000
+  var handleQueryClaimCap: Int = 300000
 
   /** Diagnostic: "pruned" | "exact" form taken by the last handleQuery. */
   var lastHandlePath: String = ""
@@ -1183,6 +1187,22 @@ object QueryEngine {
   */
 private[graft] object TieredQuery {
 
+  /** First-guess width floor for the adaptive unclaimed-top-k below
+    * (the `min(|claimed|, max(floor, 4k))` slack added to k). Test
+    * knob: 0 forces tiny guesses so the escalation path is coverable
+    * on small corpora.
+    */
+  private[graft] var guessFloor: Int = 50
+
+  /** Count of adaptive rounds that found < k unclaimed docs and had to
+    * re-run at the worst-case top-(k + |claimed|) width. An operational
+    * metric: a climbing value means queries whose claimed (phrase/
+    * bigram) docs dominate the unigram ranking more deeply than the
+    * first guess — expected occasionally, pathological if constant.
+    */
+  private[graft] val adaptiveEscalations =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** The engine-specific scoring surface the shared algebra drives.
     * `topK(n)`/`candScores`/`exactScores` score UNIGRAMS;
     * `bigramCandScores`/`bigramExactScores` score the query bigrams
@@ -1236,9 +1256,46 @@ private[graft] object TieredQuery {
           s.bigramCandScores(t1Ids).withColumn("tier", lit(1))
         } else s.empty().withColumn("tier", lit(1))
       val claimedIds = (phraseIds ++ conjIds).distinct
-      val tier2 = s.topK(k + claimedIds.length)
-        .join(broadcast(claimedIds.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
-        .withColumn("tier", lit(2))
+      // Unigram tier: exact top-k of the UNCLAIMED docs. The worst-case
+      // guarantee is top-(k + |claimed|) (at most |claimed| of those
+      // rows are claimed, so >= k unclaimed survive) — but for a
+      // stopword-led phrase |claimed| can be 100k+, and a top-(k+100k)
+      // request collapses block-max pruning (theta becomes the
+      // ~100k-th score: near-exhaustive decode). ADAPTIVE escalation
+      // keeps the exact answer with the pruning intact: ask for
+      // top-(k + min(|claimed|, 5k)) first — claimed docs crowd the
+      // top slots only so far — and only when fewer than k unclaimed
+      // survive the anti-join re-run at the worst-case width. Each
+      // round collects its (<= width) survivors once, so the common
+      // case is ONE sharply-pruned pass; the pathological case costs
+      // one extra pass, bounded by the old construction's cost.
+      val claimedDf = claimedIds.toSeq.toDF("doc_id")
+      val guess = k + math.min(claimedIds.length, math.max(guessFloor, 4 * k))
+      val tier2 =
+        if (guess >= k + claimedIds.length) {
+          // small claimed set: the guess already IS the worst-case
+          // width — keep tier 2 LAZY so it fuses into the single final
+          // job (an eager collect here serializes one extra multi-
+          // second job at the 10^6-doc scale for no width savings)
+          s.topK(k + claimedIds.length)
+            .join(broadcast(claimedDf), Seq("doc_id"), "left_anti")
+            .withColumn("tier", lit(2))
+        } else {
+          // large claimed set: adaptive rounds (each collects its
+          // <= width survivors once, so the common case is ONE
+          // sharply-pruned pass instead of a theta-collapsing
+          // top-(k + |claimed|) request)
+          def unclaimedRows(m: Int): Array[(Long, Double)] =
+            s.topK(m)
+              .join(broadcast(claimedDf), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+          var rows = unclaimedRows(guess)
+          if (rows.length < k) {
+            adaptiveEscalations.incrementAndGet()
+            rows = unclaimedRows(k + claimedIds.length)
+          }
+          rows.toSeq.toDF("doc_id", "score").withColumn("tier", lit(2))
+        }
       finish(tier0.unionByName(tier1).unionByName(tier2), k)
     } else {
       setPath("exact")

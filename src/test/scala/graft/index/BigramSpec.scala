@@ -142,4 +142,36 @@ class BigramSpec extends SparkSpecBase {
     val entry = engine.lookupTerms(Seq(bg))
     assert(entry.nonEmpty && entry.head.df == docsWith)
   }
+
+  test("adaptive unclaimed-top-k escalates when every top unigram doc is claimed (exact)") {
+    import graft.corpus.Turn
+    import graft.query.TieredQuery
+    // 8 docs where "zebra quartz" ALWAYS appears as the adjacent phrase:
+    // every disjunctive unigram match is a phrase (claimed) doc, so the
+    // first adaptive guess (forced tiny via guessFloor = 0) finds ZERO
+    // unclaimed rows and must escalate to the worst-case
+    // top-(k + |claimed|) width — and the final answer must still match
+    // the scalar oracle bit-for-bit (tier 2 is exactly empty).
+    val ts0 = new java.sql.Timestamp(60000000L)
+    val custom = (0 until 8).map { i =>
+      Turn(f"c$i%03d", 0, "user", s"zebra quartz fill$i word$i", "", ts0)
+    } :+ Turn("c999", 0, "user", "unrelated filler text", "", ts0)
+    val dir = tmpDir("graft-escalate")
+    import spark.implicits._
+    new IndexBuilder(spark, Map.empty, IndexConf(numParts = 2, indexBigrams = true))
+      .build(spark.createDataset(custom), dir)
+    val e = new QueryEngine(spark, dir, Map.empty)
+    val floorBefore = TieredQuery.guessFloor
+    TieredQuery.guessFloor = 0
+    try {
+      val before = TieredQuery.adaptiveEscalations.get()
+      val got = e.handleQuery("zebra quartz", 1).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(TieredQuery.adaptiveEscalations.get() == before + 1,
+        "all-claimed top slots must trigger the worst-case escalation")
+      val want = new graft.oracle.Oracle(custom, Map.empty, indexBigrams = true)
+        .handleQuery("zebra quartz", 1)
+      assert(got == want, s"escalated path drifts from oracle: got=$got want=$want")
+    } finally TieredQuery.guessFloor = floorBefore
+  }
 }
