@@ -79,9 +79,13 @@ object Bench {
     * in the driver artifact is attributable to CODE vs HOST NOISE inside
     * the artifact itself (the round-4 driver run measured c32 29% below
     * round 3 while the SAME run's c8 was FASTER — unpaired samples from
-    * different host windows cannot distinguish the two).
+    * different host windows cannot distinguish the two). Overridable
+    * via SPARK_GRAFT_BENCH_AB_BASE so a later round can pin its own
+    * predecessor without a code change; the worktree is rev-parse
+    * verified against whatever commit is in effect.
     */
-  private val AbBaselineCommit = "61ffc87"
+  private val AbBaselineCommit =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_AB_BASE", "61ffc87")
 
   /** Run a subprocess; returns (exitCode, stdout). Stderr is inherited
     * (visible in the bench log, never on OUR stdout — Bench's contract
