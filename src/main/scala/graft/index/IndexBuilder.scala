@@ -433,13 +433,23 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     def writeDictByLen(dictDf: DataFrame): Unit =
       if (!manifestComplete(paths.dictByLen, fp)) {
         val t0 = System.nanoTime()
+        // Partition count scales with the LEXICON, not the corpus: a
+        // small lexicon in conf.numParts range partitions pays a
+        // sampling pass + shuffle + numParts file writes for near-empty
+        // files (a measurable share of a small corpus's fixed build
+        // cost — the c8/sf0.01 A/B pairs), while one ~64k-term file per
+        // partition keeps row groups tight at the 10^9-term scale.
+        val nTerms = manifestRows(paths.dictionary)
+          .getOrElse(dictDf.count())
+        val dblParts = math.max(1L,
+          math.min(conf.numParts.toLong, nTerms / 65536L + 1L)).toInt
         vtime("dict_by_len_write") {
           // length() counts CODE POINTS (matching Fuzzy's qCp bound);
           // java String.length would under-bucket supplementary-plane
           // terms and the probe's band would miss true matches
           dictDf.select(length($"term").cast("int").as("cp_len"),
               $"term", $"term_id", $"df")
-            .repartitionByRange(conf.numParts, $"cp_len", $"term")
+            .repartitionByRange(dblParts, $"cp_len", $"term")
             .sortWithinPartitions($"cp_len", $"term")
             .write.mode("overwrite").parquet(paths.dictByLen)
         }
