@@ -663,6 +663,19 @@ object GraftQueries {
         .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
         .limit(10)
         .select("doc_id", "score", "tier")
+    }),
+
+    // A9: vector-space scoring with the reference's abandoned doc norm
+    // (norm_d = sqrt(sum (tf*df)^2) — tf*DF, the reference's literal
+    // semantics). First use lazily backfills /vsm_norms under the index
+    // root; q07's rounded-order top-k envelope.
+    "q47_vsm_topk" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      val scored = eng.vsmScores(Seq("window", "hash"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      withOrigDocId(eng, scored)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id", "score")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -882,6 +895,28 @@ object GraftQueries {
     // identical by design: the two-generation engine must reproduce the
     // single-index handle_query bit-for-bit under global statistics
     "q46_handle_query_twogen" -> handleQuerySql,
+
+    // norms over ALL terms of each doc; score only over the query terms.
+    // (tf*df) products stay exact in 64-bit integers at oracle scale, so
+    // the norm is order-independent on both sides; the 2-term numerator
+    // is commutative (two-addend IEEE sums are order-free).
+    "q47_vsm_topk" ->
+      s"""WITH toks AS ($toks),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |tf_all AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |           GROUP BY doc_id, term),
+         |df_all AS (SELECT term, count(*) AS df FROM tf_all GROUP BY term),
+         |nrm AS (SELECT doc_id,
+         |          sqrt(sum((tf_all.tf * df_all.df) * (tf_all.tf * df_all.df))::DOUBLE)
+         |            AS vsm_norm
+         |        FROM tf_all JOIN df_all USING (term) GROUP BY doc_id),
+         |num AS (SELECT tf_all.doc_id,
+         |          sum(log10(n.n / df_all.df) * tf_all.tf) AS num
+         |        FROM tf_all JOIN df_all USING (term), n
+         |        WHERE term IN ('window','hash') GROUP BY tf_all.doc_id)
+         |SELECT num.doc_id, round(num.num / nrm.vsm_norm, 4) AS score
+         |FROM num JOIN nrm USING (doc_id)
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

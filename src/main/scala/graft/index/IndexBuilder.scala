@@ -65,6 +65,7 @@ final case class IndexPaths(root: String) {
   def dictByLen = s"$root/dict_by_len"
   def postings = s"$root/postings"
   def fuzzy(d: Int) = s"$root/fuzzy_d$d"
+  def vsmNorms = s"$root/vsm_norms"
   def meta = s"$root/index_meta.json"
 }
 
@@ -278,6 +279,55 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // (wrong df, dangling term_ids)
     Fs.writeString(
       s"${IndexPaths(root).fuzzy(d)}/${IndexBuilder.DictTokenFile}",
+      IndexBuilder.tableToken(IndexPaths(root).dictionary))
+  }
+
+  /** A9 — vector-space document norms, the reference's abandoned cosine
+    * normalization (src/helpers/mod.rs:191-218 and src/indexer/
+    * spimi.rs:110-118, both commented out):
+    * `norm_d = sqrt(Σ_t (tf_{t,d} · df_t)²)` — note the reference pushes
+    * `tf * df` (mod.rs:197), NOT tf·idf, despite naming the vector
+    * `tf_idfs`; this table reproduces that semantic faithfully and
+    * QueryEngine.vsmScores documents the completion of the design.
+    *
+    * Shape at scale: postings ⋈ dictionary(term_id, df) — the dictionary
+    * side is lexicon-sized ((long, long) rows: broadcastable to ~10^8
+    * terms, a plain shuffled join beyond — the POSTINGS side is already
+    * keyed by term_id either way) — then one decode pass and one
+    * map-side-combined sum by doc_id: the same single full-postings
+    * pass the reference's merge-time loop paid. Like the fuzzy variant
+    * tables this is backfilled lazily on first use, NOT during build():
+    * the reference abandoned the feature, so fresh builds don't pay for
+    * it. Determinism: each addend (tf·df)² is an exact integer in a
+    * Double, so the sum is order-independent (bit-identical across
+    * partitionings) while Σ(tf·df)² < 2^53 — beyond that, low bits may
+    * vary per REBUILD, but serving reads the persisted table, so scores
+    * stay stable across queries regardless.
+    */
+  def writeVsmNorms(postingsDf: DataFrame, dictDf: DataFrame, root: String): Unit = {
+    val dfs = dictDf.select($"term_id", $"df")
+    postingsDf
+      .select($"term_id", $"n_postings", $"doc_gaps", $"tfs")
+      .join(dfs, Seq("term_id"))
+      .select($"df", $"n_postings", $"doc_gaps", $"tfs")
+      .as[(Long, Int, Array[Byte], Seq[Int])]
+      .flatMap { case (df, n, gaps, tfs) =>
+        val ids = graft.core.ChunkCodec.decodeDocGaps(gaps, n)
+        Iterator.tabulate(n) { i =>
+          val w = tfs(i).toDouble * df
+          (ids(i), w * w)
+        }
+      }
+      .toDF("doc_id", "w2")
+      .groupBy($"doc_id")
+      .agg(sqrt(sum($"w2")).as("vsm_norm"))
+      .repartitionByRange(conf.numParts, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .write.mode("overwrite").parquet(IndexPaths(root).vsmNorms)
+    // same staleness guard as the fuzzy tables: tied to the exact
+    // dictionary build (dictionary and postings rewrite together)
+    Fs.writeString(
+      s"${IndexPaths(root).vsmNorms}/${IndexBuilder.DictTokenFile}",
       IndexBuilder.tableToken(IndexPaths(root).dictionary))
   }
 

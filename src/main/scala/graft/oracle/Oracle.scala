@@ -184,6 +184,29 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     }.toMap
   }
 
+  /** A9 — the reference's abandoned vector-space doc norm
+    * (src/helpers/mod.rs:191-218, commented): sqrt(Σ_t (tf·df)²) —
+    * tf·DF, the reference's literal semantics. Each addend is an exact
+    * integer in a Double, so summation order is immaterial here.
+    */
+  lazy val vsmNorms: Map[Long, Double] = {
+    val sums = scala.collection.mutable.HashMap.empty[Long, Double]
+    postings.foreach { case (t, ps) =>
+      val d = ps.size.toDouble
+      ps.foreach { case (docId, tf, _) =>
+        val w = tf.toDouble * d
+        sums(docId) = sums.getOrElse(docId, 0.0) + w * w
+      }
+    }
+    sums.map { case (d, s) => d -> math.sqrt(s) }.toMap
+  }
+
+  /** A9 scorer: tf-idf numerator (same fold as [[tfIdfScores]]) over
+    * [[vsmNorms]].
+    */
+  def vsmScores(terms: Seq[String]): Map[Long, Double] =
+    tfIdfScores(terms).map { case (d, num) => d -> num / vsmNorms(d) }
+
   /** Conjunctive AND intersection, rarest-first. */
   def conjunctive(terms: Seq[String]): Set[Long] = {
     val uniq = terms.distinct

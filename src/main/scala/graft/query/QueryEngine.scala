@@ -1052,6 +1052,97 @@ class QueryEngine(spark: SparkSession, root: String,
         lit(0.0),
         (acc, x) => acc + x.getField("w")).as("score"))
   }
+
+  // ------------------------------------------- A9: vector-space scoring
+
+  /** The vsm_norms table (see IndexBuilder.writeVsmNorms): loaded from
+    * the index root when a VALID persisted copy exists (dict-token
+    * marker matches the current dictionary — the fuzzy tables' staleness
+    * guard), else backfilled once (serialized per root); on a read-only
+    * root whose backfill fails, the norms are computed per-engine
+    * in memory (slower — a full postings pass per engine instance —
+    * but never wrong).
+    */
+  private lazy val vsmNormsTable: DataFrame = {
+    val dir = paths.vsmNorms
+    def valid: Boolean =
+      graft.index.Fs.exists(s"$dir/_SUCCESS") && {
+        val marker = s"$dir/${IndexBuilder.DictTokenFile}"
+        graft.index.Fs.exists(marker) &&
+          graft.index.Fs.readString(marker) ==
+            IndexBuilder.tableToken(paths.dictionary) &&
+          IndexBuilder.manifestIntact(dir)
+      }
+    if (!valid && !QueryEngine.vsmBackfillFailed.contains(root)) {
+      QueryEngine.fuzzyBuildLocks
+        .getOrElseUpdate(s"$root#vsm", new Object).synchronized {
+          if (!valid && !QueryEngine.vsmBackfillFailed.contains(root)) {
+            try {
+              new IndexBuilder(spark, Map.empty,
+                graft.index.IndexConf(
+                  numParts = math.max(1, spark.sparkContext.defaultParallelism)))
+                .writeVsmNorms(postings, dictionary, root)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                QueryEngine.vsmBackfillFailed.add(root)
+                System.err.println(
+                  s"[graft] vsm-norms backfill failed for $root " +
+                    s"(computing in memory): ${e.getMessage}")
+            }
+          }
+        }
+    }
+    if (valid) spark.read.parquet(dir)
+    else {
+      // read-only root: same computation, unpersisted
+      val dfs = dictionary.select($"term_id", $"df")
+      postings
+        .select($"term_id", $"n_postings", $"doc_gaps", $"tfs")
+        .join(dfs, Seq("term_id"))
+        .select($"df", $"n_postings", $"doc_gaps", $"tfs")
+        .as[(Long, Int, Array[Byte], Seq[Int])]
+        .flatMap { case (df, n, gaps, tfs) =>
+          val ids = ChunkCodec.decodeDocGaps(gaps, n)
+          Iterator.tabulate(n) { i =>
+            val w = tfs(i).toDouble * df
+            (ids(i), w * w)
+          }
+        }
+        .toDF("doc_id", "w2")
+        .groupBy($"doc_id").agg(sqrt(sum($"w2")).as("vsm_norm"))
+    }
+  }
+
+  /** A9 — vector-space (cosine-normalized) scoring, completing the
+    * reference's abandoned doc-norm design (the norm table is the
+    * commented-out src/helpers/mod.rs:191-218; a query-time consumer
+    * was never written, so the completion is the standard VSM shape):
+    * `score(d) = (Σ_{t∈q} log10(N/df_t) · tf_{t,d}) / norm_d` — the
+    * reference-parity tf-idf numerator (src/scoring/mod.rs:34-48, the
+    * same weight tfIdfScores serves) divided by the reference's norm.
+    * The numerator folds in fixed term_id order (A8 determinism); the
+    * norm join touches only candidate docs' rows of the doc_id-sorted
+    * norms table. Returns ALL candidate docs (callers top-k like q07) —
+    * every candidate has a norm row (it contains >= 1 query term, so
+    * its norm sum is positive), making the inner join total.
+    */
+  def vsmScores(terms: Seq[String]): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.isEmpty) return emptyScores()
+    val n = meta.n_docs
+    val dfById = entries.map(e => e.term_id -> e.df).toMap
+    val bcDf = spark.sparkContext.broadcast(dfById)
+    decodedPostings(entries.map(_.term_id))
+      .map(p => (p.doc_id, p.term_id, Bm25.tfIdf(n, bcDf.value(p.term_id), p.tf)))
+      .toDF("doc_id", "term_id", "w")
+      .groupBy($"doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct($"term_id", $"w"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("num"))
+      .join(vsmNormsTable, Seq("doc_id"))
+      .select($"doc_id", ($"num" / $"vsm_norm").as("score"))
+  }
 }
 
 object QueryEngine {
@@ -1083,6 +1174,12 @@ object QueryEngine {
     * mounts): retried at most once per JVM.
     */
   private val fuzzyBackfillFailed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Roots whose lazy vsm-norms backfill failed: retried at most once
+    * per JVM (same contract as [[fuzzyBackfillFailed]]).
+    */
+  private val vsmBackfillFailed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** MaxScore essential/non-essential split (driver-side): the longest
