@@ -304,7 +304,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * vary per REBUILD, but serving reads the persisted table, so scores
     * stay stable across queries regardless.
     */
-  def writeVsmNorms(postingsDf: DataFrame, dictDf: DataFrame, root: String): Unit = {
+  def vsmNormsDf(postingsDf: DataFrame, dictDf: DataFrame): DataFrame = {
     val dfs = dictDf.select($"term_id", $"df")
     postingsDf
       .select($"term_id", $"n_postings", $"doc_gaps", $"tfs")
@@ -321,7 +321,20 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       .toDF("doc_id", "w2")
       .groupBy($"doc_id")
       .agg(sqrt(sum($"w2")).as("vsm_norm"))
-      .repartitionByRange(conf.numParts, $"doc_id")
+  }
+
+  /** Persist [[vsmNormsDf]] under the root, doc_id-sorted for row-group
+    * pruning by candidate joins. Partition count scales with the CORPUS
+    * (one ~2M-doc (long, double) file per partition), not conf.numParts
+    * — the dict_by_len lesson: range partitioning a small table into
+    * many near-empty files pays a sampling pass + writes for nothing.
+    */
+  def writeVsmNorms(postingsDf: DataFrame, dictDf: DataFrame, root: String): Unit = {
+    val nDocs = IndexBuilder.readMeta(root).n_docs
+    val parts = math.max(1L,
+      math.min(conf.numParts.toLong, nDocs / 2000000L + 1L)).toInt
+    vsmNormsDf(postingsDf, dictDf)
+      .repartitionByRange(parts, $"doc_id")
       .sortWithinPartitions($"doc_id")
       .write.mode("overwrite").parquet(IndexPaths(root).vsmNorms)
     // same staleness guard as the fuzzy tables: tied to the exact

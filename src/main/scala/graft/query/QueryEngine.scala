@@ -1093,24 +1093,13 @@ class QueryEngine(spark: SparkSession, root: String,
         }
     }
     if (valid) spark.read.parquet(dir)
-    else {
-      // read-only root: same computation, unpersisted
-      val dfs = dictionary.select($"term_id", $"df")
-      postings
-        .select($"term_id", $"n_postings", $"doc_gaps", $"tfs")
-        .join(dfs, Seq("term_id"))
-        .select($"df", $"n_postings", $"doc_gaps", $"tfs")
-        .as[(Long, Int, Array[Byte], Seq[Int])]
-        .flatMap { case (df, n, gaps, tfs) =>
-          val ids = ChunkCodec.decodeDocGaps(gaps, n)
-          Iterator.tabulate(n) { i =>
-            val w = tfs(i).toDouble * df
-            (ids(i), w * w)
-          }
-        }
-        .toDF("doc_id", "w2")
-        .groupBy($"doc_id").agg(sqrt(sum($"w2")).as("vsm_norm"))
-    }
+    else
+      // read-only root: the WRITER's computation (one shared home, no
+      // drift), served unpersisted
+      new IndexBuilder(spark, Map.empty,
+        graft.index.IndexConf(
+          numParts = math.max(1, spark.sparkContext.defaultParallelism)))
+        .vsmNormsDf(postings, dictionary)
   }
 
   /** A9 — vector-space (cosine-normalized) scoring, completing the
@@ -1125,6 +1114,12 @@ class QueryEngine(spark: SparkSession, root: String,
     * norms table. Returns ALL candidate docs (callers top-k like q07) —
     * every candidate has a norm row (it contains >= 1 query term, so
     * its norm sum is positive), making the inner join total.
+    *
+    * SINGLE-INDEX scope: a multi-generation root should compact before
+    * serving VSM — the norm depends on each term's CORPUS df, so
+    * per-generation norm tables (per-gen df) cannot be combined into
+    * the global-statistics answer the way BM25 impacts can (the
+    * reference's abandoned design was likewise single-index).
     */
   def vsmScores(terms: Seq[String]): DataFrame = {
     val entries = lookupTerms(terms)
