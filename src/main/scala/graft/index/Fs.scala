@@ -175,7 +175,14 @@ private[graft] object Fs {
           // different marker (new fingerprint) still pays the window,
           // and there a crash mid-gap leaves the marker absent, the
           // safe direction (absent = redo the idempotent step).
-          if (readString(p) == content) {
+          // the read races a concurrent delete/replace of dst (exists
+          // was checked above) — a read failure just means "can't prove
+          // same content": fall through to the pre-delete+rename path
+          // (delete of an already-missing dst is a harmless no-op)
+          val sameContent =
+            try readString(p) == content
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (sameContent) {
             f.delete(tmp, false)
             return
           }

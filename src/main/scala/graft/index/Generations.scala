@@ -405,11 +405,12 @@ class MultiGenEngine(spark: SparkSession, root: String,
     * machinery, and the unigram tier serves from the cross-generation
     * block-max top-(k + |claimed|) with a broadcast anti-join — exact
     * by the same counting argument (at most |claimed| of those rows are
-    * claimed, so >= k unclaimed survive). Dictionary probes: one per
-    * generation for the unigram set and one per generation for the
-    * bigram set via [[GlobalStats]]; the phrase/conjunctive doc-id
-    * chains run their own per-generation probes (not shared across the
-    * generation boundary — term_ids are generation-local). The tier
+    * claimed, so >= k unclaimed survive). Dictionary probes: exactly
+    * one per generation for the unigram set and one per generation for
+    * the bigram set via [[GlobalStats]] — the phrase/conjunctive doc-id
+    * chains consume the SAME per-generation entries (FromEntries
+    * variants), matching the single-index engine's one-probe-per-set
+    * design. The tier
     * composition itself lives in [[graft.query.TieredQuery]] — shared
     * with QueryEngine.handleQuery; this method only wires the
     * GLOBAL-STATISTICS scorers in.
@@ -428,16 +429,26 @@ class MultiGenEngine(spark: SparkSession, root: String,
       return TieredQuery.singleTerm(
         n => if (st.ordered.isEmpty) emptyScores() else topKFromStats(st, n), k)
     }
-    val phraseDocs = phraseMatch(phraseSeq)
+    // phrase chain reuses the SAME per-generation dictionary entries
+    // GlobalStats already probed for scoring (FromEntries skips its own
+    // lookupTerms) — a generation missing any phrase term contributes
+    // empty, which is exactly phraseMatchFromEntries' missing-term path
+    val phraseDocs = engines.zip(st.perGen).map { case (e, dict) =>
+      e.phraseMatchFromEntries(phraseSeq, terms.flatMap(dict.get))
+    }.reduce(_ unionByName _)
     val bigramTerms = parsed.bigrams.map(_.term).distinct
     val bst =
       if (bigramTerms.isEmpty) None else Some(new GlobalStats(bigramTerms))
     // the bigram tier engages only when EVERY query bigram exists as an
     // indexed term somewhere (global presence == compacted-dictionary
-    // presence); a per-generation miss is handled by conjunctive()
-    // itself (that generation contributes no docs)
+    // presence); a generation missing any bigram contributes no docs
     val bigramActive = bst.exists(_.allPresent(bigramTerms))
-    val conjDocs = if (bigramActive) Some(conjunctive(bigramTerms)) else None
+    val conjDocs = if (bigramActive) Some(
+      engines.zip(bst.get.perGen).map { case (e, dict) =>
+        val es = bigramTerms.flatMap(dict.get)
+        if (es.size < bigramTerms.size) spark.emptyDataset[Long].toDF("doc_id")
+        else e.conjunctiveFromEntries(es)
+      }.reduce(_ unionByName _)) else None
     TieredQuery.run(spark, TieredQuery.Scorers(
       unigramsPresent = st.ordered.nonEmpty,
       bigramActive = bigramActive,

@@ -263,6 +263,8 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // in the table (the boundary miss ADVICE flagged); only terms beyond
     // that are exact-match-only.
     val maxLen = graft.core.Fuzzy.MaxTermLen + d
+    val t0 = System.nanoTime()
+    val dir = IndexPaths(root).fuzzy(d)
     dictDf.select($"term", $"term_id", $"df")
       .as[(String, Long, Long)]
       .flatMap { case (t, id, df) =>
@@ -271,15 +273,23 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       .toDF("variant", "term", "term_id", "df")
       .repartitionByRange(conf.numParts, $"variant")
       .sortWithinPartitions($"variant")
-      .write.mode("overwrite").parquet(IndexPaths(root).fuzzy(d))
+      .write.mode("overwrite").parquet(dir)
+    val dictToken = IndexBuilder.tableToken(IndexPaths(root).dictionary)
+    // n_files/bytes manifest: without it the serve-time manifestIntact
+    // gate is VACUOUS for this dir (no manifest => trivially intact), so
+    // a variant table that lost part files under surviving _SUCCESS +
+    // dict-token markers would silently DROP fuzzy matches. Row count is
+    // a parquet metadata-only count (row-group stats, no data read).
+    writeManifest(dir, dictToken, spark.read.parquet(dir).count(),
+      (System.nanoTime() - t0) / 1000000L)
     // tie the variant table to the EXACT dictionary build it derives
     // from: a rebuild over a changed corpus rewrites the dictionary but
     // only fuzzy_d{fuzzyMaxDistance} — without the token, a stale
     // lazily-backfilled fuzzy_dD from the old corpus would keep serving
-    // (wrong df, dangling term_ids)
-    Fs.writeString(
-      s"${IndexPaths(root).fuzzy(d)}/${IndexBuilder.DictTokenFile}",
-      IndexBuilder.tableToken(IndexPaths(root).dictionary))
+    // (wrong df, dangling term_ids). Written LAST: the token is the
+    // serve-side commit marker, so a crash mid-write leaves a dir that
+    // reads as stale (rebuilt or scan-served), never as trusted.
+    Fs.writeString(s"$dir/${IndexBuilder.DictTokenFile}", dictToken)
   }
 
   /** A9 — vector-space document norms, the reference's abandoned cosine
@@ -333,15 +343,22 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val nDocs = IndexBuilder.readMeta(root).n_docs
     val parts = math.max(1L,
       math.min(conf.numParts.toLong, nDocs / 2000000L + 1L)).toInt
+    val t0 = System.nanoTime()
+    val dir = IndexPaths(root).vsmNorms
     vsmNormsDf(postingsDf, dictDf)
       .repartitionByRange(parts, $"doc_id")
       .sortWithinPartitions($"doc_id")
-      .write.mode("overwrite").parquet(IndexPaths(root).vsmNorms)
+      .write.mode("overwrite").parquet(dir)
+    val dictToken = IndexBuilder.tableToken(IndexPaths(root).dictionary)
+    // n_files/bytes manifest — QueryEngine.vsmNormsTable's
+    // manifestIntact call was VACUOUS without one (truncated norms =
+    // missing docs in every vsmScores result); metadata-only count
+    writeManifest(dir, dictToken, spark.read.parquet(dir).count(),
+      (System.nanoTime() - t0) / 1000000L)
     // same staleness guard as the fuzzy tables: tied to the exact
-    // dictionary build (dictionary and postings rewrite together)
-    Fs.writeString(
-      s"${IndexPaths(root).vsmNorms}/${IndexBuilder.DictTokenFile}",
-      IndexBuilder.tableToken(IndexPaths(root).dictionary))
+    // dictionary build (dictionary and postings rewrite together);
+    // token written LAST as the serve-side commit marker
+    Fs.writeString(s"$dir/${IndexBuilder.DictTokenFile}", dictToken)
   }
 
   /** Per-term (df, cf, max_norm) from chunk rows — a cheap aggregation

@@ -678,7 +678,7 @@ class QueryEngine(spark: SparkSession, root: String,
     * bigram tier re-uses one probe for the existence check, the scoring
     * AND this intersection).
     */
-  private def conjunctiveFromEntries(entries: Seq[DictRow]): DataFrame = {
+  private[graft] def conjunctiveFromEntries(entries: Seq[DictRow]): DataFrame = {
     val byDf = entries.sortBy(e => (e.df, e.term_id))
     val docSets = byDf.map { e =>
       decodedPostings(Seq(e.term_id)).select($"doc_id")
@@ -691,8 +691,11 @@ class QueryEngine(spark: SparkSession, root: String,
     // (one per join), where AQE broadcasts at runtime iff the measured
     // size is small — the same rationale phraseMatch documents for its
     // positional chain. PlanSpec pins one BroadcastExchange total.
+    // no hint on a single-term "conjunction": there is no join to
+    // consume it (Spark logs a dangling-hint warning per query)
     val first =
-      if (byDf.head.df <= 1000000L) broadcast(docSets.head) else docSets.head
+      if (docSets.size > 1 && byDf.head.df <= 1000000L) broadcast(docSets.head)
+      else docSets.head
     docSets.tail.foldLeft(first) { (acc, next) =>
       acc.join(next, Seq("doc_id"), "inner")
     }.distinct()
@@ -759,7 +762,7 @@ class QueryEngine(spark: SparkSession, root: String,
     * one unigram probe between scoring and this chain). `terms` is the
     * full phrase sequence — duplicates allowed and position-significant.
     */
-  private def phraseMatchFromEntries(terms: Seq[String],
+  private[graft] def phraseMatchFromEntries(terms: Seq[String],
       entries: Seq[DictRow]): DataFrame = {
     require(terms.size >= 2, "single-term phrase goes through phraseMatch")
     val byTerm = entries.map(e => e.term -> e).toMap
@@ -893,7 +896,15 @@ class QueryEngine(spark: SparkSession, root: String,
         graft.index.Fs.exists(s"$dir/_SUCCESS") && {
           val marker = s"$dir/${graft.index.IndexBuilder.DictTokenFile}"
           graft.index.Fs.exists(marker) &&
-            graft.index.Fs.readString(marker) == dictToken
+            graft.index.Fs.readString(marker) == dictToken &&
+            // the dict token hashes the DICTIONARY's listing, not this
+            // dir's — a variant table that lost part files under
+            // surviving markers would pass both and silently DROP fuzzy
+            // matches; its own n_files/bytes manifest (written by
+            // writeFuzzyIndex) closes that. Pre-manifest tables read as
+            // intact (no manifest => nothing declared), same contract
+            // as dict_by_len.
+            graft.index.IndexBuilder.manifestIntact(dir)
         }
       }
       // probe EVERY persisted distance (a build may have written
@@ -1356,9 +1367,10 @@ private[graft] object TieredQuery {
       // ~100k-th score: near-exhaustive decode). ADAPTIVE escalation
       // keeps the exact answer with the pruning intact: ask for
       // top-(k + min(|claimed|, 5k)) first — claimed docs crowd the
-      // top slots only so far — and only when fewer than k unclaimed
-      // survive the anti-join re-run at the worst-case width. Each
-      // round collects its (<= width) survivors once, so the common
+      // top slots only so far — and re-run at the worst-case width
+      // only when fewer than k unclaimed survive AND the first round
+      // came back full (a short return = match universe exhausted).
+      // Each round collects its (<= width) rows once, so the common
       // case is ONE sharply-pruned pass; the pathological case costs
       // one extra pass, bounded by the old construction's cost.
       val claimedDf = claimedIds.toSeq.toDF("doc_id")
@@ -1373,18 +1385,28 @@ private[graft] object TieredQuery {
             .join(broadcast(claimedDf), Seq("doc_id"), "left_anti")
             .withColumn("tier", lit(2))
         } else {
-          // large claimed set: adaptive rounds (each collects its
-          // <= width survivors once, so the common case is ONE
-          // sharply-pruned pass instead of a theta-collapsing
-          // top-(k + |claimed|) request)
-          def unclaimedRows(m: Int): Array[(Long, Double)] =
-            s.topK(m)
-              .join(broadcast(claimedDf), Seq("doc_id"), "left_anti")
-              .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
-          var rows = unclaimedRows(guess)
-          if (rows.length < k) {
+          // large claimed set: adaptive rounds — each collects its
+          // <= width top rows ONCE and filters claims DRIVER-side: the
+          // claimed set already lives on the driver, so shipping it
+          // back as a broadcast anti-join would add an exchange plus a
+          // multi-MB broadcast to every executor for nothing. Common
+          // case stays ONE sharply-pruned pass; escalation to the
+          // worst-case top-(k + |claimed|) width runs only when the
+          // first round proves BOTH that < k unclaimed survive AND
+          // that deeper rows exist — a short topK return means the
+          // match universe is exhausted, so the full-width
+          // (theta-collapsing) re-run could not surface anything new.
+          val claimedSet = claimedIds.toSet
+          def round(m: Int): (Int, Array[(Long, Double)]) = {
+            val top = s.topK(m).select(col("doc_id"), col("score"))
+              .as[(Long, Double)].collect()
+            (top.length, top.filterNot(r => claimedSet.contains(r._1)))
+          }
+          val (got, first) = round(guess)
+          var rows = first
+          if (rows.length < k && got == guess) {
             adaptiveEscalations.incrementAndGet()
-            rows = unclaimedRows(k + claimedIds.length)
+            rows = round(k + claimedIds.length)._2
           }
           rows.toSeq.toDF("doc_id", "score").withColumn("tier", lit(2))
         }

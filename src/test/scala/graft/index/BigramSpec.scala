@@ -174,4 +174,36 @@ class BigramSpec extends SparkSpecBase {
       assert(got == want, s"escalated path drifts from oracle: got=$got want=$want")
     } finally TieredQuery.guessFloor = floorBefore
   }
+
+  test("adaptive unclaimed-top-k skips escalation when the match universe is exhausted") {
+    import graft.corpus.Turn
+    import graft.query.TieredQuery
+    // 9 docs, ALL phrase-claimed, and no other doc matches any query
+    // unigram: the first adaptive round's topK(width=10) comes back
+    // SHORT (9 rows) with zero unclaimed — proof the universe is
+    // exhausted, so the worst-case full-width re-run is provably
+    // useless and must be skipped (the counter must NOT move).
+    val ts0 = new java.sql.Timestamp(60000000L)
+    val custom = (0 until 9).map { i =>
+      Turn(f"x$i%03d", 0, "user", s"zebra quartz fill$i word$i", "", ts0)
+    } :+ Turn("x999", 0, "user", "unrelated filler text", "", ts0)
+    val dir = tmpDir("graft-exhaust")
+    import spark.implicits._
+    new IndexBuilder(spark, Map.empty, IndexConf(numParts = 2, indexBigrams = true))
+      .build(spark.createDataset(custom), dir)
+    val e = new QueryEngine(spark, dir, Map.empty)
+    val floorBefore = TieredQuery.guessFloor
+    TieredQuery.guessFloor = 0 // guess = k + min(9, 4k) = 10 < k + 9 = 11
+    try {
+      val before = TieredQuery.adaptiveEscalations.get()
+      val got = e.handleQuery("zebra quartz", 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(TieredQuery.adaptiveEscalations.get() == before,
+        "exhausted match universe must not trigger the full-width escalation")
+      val want = new graft.oracle.Oracle(custom, Map.empty, indexBigrams = true)
+        .handleQuery("zebra quartz", 2)
+      assert(got == want, s"exhausted path drifts from oracle: got=$got want=$want")
+      assert(got.forall(_._3 == 0), "all results must come from the phrase tier")
+    } finally TieredQuery.guessFloor = floorBefore
+  }
 }

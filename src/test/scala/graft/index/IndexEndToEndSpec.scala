@@ -315,6 +315,52 @@ class IndexEndToEndSpec extends SparkSpecBase {
     assert(got == want, "fallback results differ from ground truth")
   }
 
+  test("a TRUNCATED fuzzy variant table is not trusted (manifest gate)") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    // same attack as the dict_by_len test, on fuzzy_d1: one parquet part
+    // deleted while _SUCCESS + the dict token survive. The dict token
+    // hashes the DICTIONARY's listing, so only the variant table's own
+    // n_files/bytes manifest can catch this — without it every d<=1
+    // lookup would silently DROP the matches in the lost part.
+    val root2 = tmpDir("graft-truncfz")
+    val src = new java.io.File(indexDir)
+    def copyTree(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+      } else java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    src.listFiles().foreach(f => copyTree(f, new java.io.File(root2, f.getName)))
+    // earlier tests may have backfilled fuzzy_d2/d3 onto the source
+    // root; drop them from the clone so the truncated d1 is the ONLY
+    // candidate (a valid higher-d table legitimately serves d=1 —
+    // that path is covered by the SymSpell parity test)
+    new java.io.File(root2).listFiles()
+      .filter(f => f.getName.startsWith("fuzzy_d") && f.getName != "fuzzy_d1")
+      .foreach(f => Fs.deleteRecursive(f.getPath))
+    val fuzzyDir = IndexPaths(root2).fuzzy(1)
+    assert(Fs.exists(s"$fuzzyDir/_manifest.json"),
+      "build-time writeFuzzyIndex must leave a manifest")
+    assert(IndexBuilder.manifestIntact(fuzzyDir))
+    val victim = Fs.listFilesRecursive(fuzzyDir, ".parquet").head._1
+    Fs.deleteRecursive(victim)
+    assert(!IndexBuilder.manifestIntact(fuzzyDir),
+      "lost part file must read as not-intact")
+    // a fresh engine must not serve the truncated table: valid() fails
+    // and the writable root is re-backfilled, restoring full results
+    val e2 = new QueryEngine(spark, root2, lemmas)
+    val got = e2.fuzzyTerms("kelba", 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = engine.dictionary
+      .filter(levenshtein(col("term"), lit("kelba")) <= 1)
+      .select(col("term"), col("term_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, "truncated fuzzy table served partial results")
+    assert(IndexBuilder.manifestIntact(fuzzyDir),
+      "re-backfill must restore an intact manifest")
+  }
+
   test("handle_query: phrase-tier precedence matches oracle") {
     // a query whose first two tokens form a real phrase somewhere
     val t = turnsLocal.find(_.text.split(" ").length > 3).get

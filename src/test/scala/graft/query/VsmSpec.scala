@@ -60,6 +60,12 @@ class VsmSpec extends SparkSpecBase {
     assert(Files.exists(marker), "dict-token marker missing")
     assert(Files.readString(marker) ==
       IndexBuilder.tableToken(IndexPaths(indexDir).dictionary))
+    // the n_files/bytes manifest must exist, or the serve-time
+    // manifestIntact gate is vacuous (truncated norms = silently
+    // missing docs in every vsmScores result)
+    assert(Files.exists(Paths.get(dir, "_manifest.json")),
+      "writeVsmNorms must leave a manifest")
+    assert(IndexBuilder.manifestIntact(dir))
     // a FRESH engine over the same root serves the persisted table and
     // stays bit-identical
     val e2 = new QueryEngine(spark, indexDir, lemmas)
@@ -101,5 +107,36 @@ class VsmSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     assert(got == oracleB.vsmScores(Seq(termB)),
       "stale vsm_norms served after a corpus rebuild")
+  }
+
+  test("a TRUNCATED vsm_norms table (part lost under surviving markers) is not trusted") {
+    engineScores(testTerms.take(1)) // ensure the table exists under indexDir
+    // clone the root, then delete a vsm_norms parquet part while
+    // _SUCCESS and the dict token survive — the token hashes the
+    // DICTIONARY's listing, so only the norms table's own manifest
+    // (n_files/bytes vs one listing) can catch the loss
+    val root2 = tmpDir("graft-vsm-trunc")
+    val src = new java.io.File(indexDir)
+    def copyTree(from: java.io.File, to: java.io.File): Unit = {
+      if (from.isDirectory) {
+        to.mkdirs()
+        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+      } else Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    src.listFiles().foreach(f => copyTree(f, new java.io.File(root2, f.getName)))
+    val dir = IndexPaths(root2).vsmNorms
+    val victim = graft.index.Fs.listFilesRecursive(dir, ".parquet").head._1
+    graft.index.Fs.deleteRecursive(victim)
+    assert(!IndexBuilder.manifestIntact(dir),
+      "lost part file must read as not-intact")
+    // a fresh engine re-backfills (writable root) and stays bit-identical
+    val e2 = new QueryEngine(spark, root2, lemmas)
+    val got = e2.vsmScores(testTerms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got == oracle.vsmScores(testTerms),
+      "truncated vsm_norms served partial results")
+    assert(IndexBuilder.manifestIntact(dir),
+      "re-backfill must restore an intact manifest")
   }
 }
