@@ -545,10 +545,14 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // 2c: fuzzy variant table — skip when already derived from THIS
     // dictionary build (the token writeFuzzyIndex leaves behind)
     def writeFuzzyIfStale(dictDf: DataFrame): Unit = {
-      val tokenFile =
-        s"${paths.fuzzy(conf.fuzzyMaxDistance)}/${IndexBuilder.DictTokenFile}"
+      val dir = paths.fuzzy(conf.fuzzyMaxDistance)
+      val tokenFile = s"$dir/${IndexBuilder.DictTokenFile}"
+      // token match alone is not enough: a truncated dir (part files
+      // lost, markers surviving) must be REPAIRED by a resumed build,
+      // not merely distrusted at serve time
       val fresh = Fs.exists(tokenFile) &&
-        Fs.readString(tokenFile) == IndexBuilder.tableToken(paths.dictionary)
+        Fs.readString(tokenFile) == IndexBuilder.tableToken(paths.dictionary) &&
+        IndexBuilder.manifestIntact(dir)
       if (!fresh)
         vtime("fuzzy_write") { writeFuzzyIndex(dictDf, root, conf.fuzzyMaxDistance) }
     }
