@@ -491,6 +491,20 @@ class MultiGenEngine(spark: SparkSession, root: String,
       .reduce(_ unionByName _)
       .groupBy($"term").agg(sum($"df").as("df"))
   }
+
+  // DELIBERATELY NOT SERVED multi-generation: the two reference-
+  // archaeology scorers. tfIdfScores reproduces the scorer the
+  // reference REPLACED with BM25 (src/scoring/mod.rs:34-48), and
+  // vsmScores the cosine norm it ABANDONED entirely (helpers/
+  // mod.rs:191-218, commented out) — both live on the single-root
+  // QueryEngine for parity testing. A compaction-identical multi-gen
+  // vsm would need norms under GLOBAL df: norm_d = sqrt(Σ(tf·df)²)
+  // bakes df into every addend, so per-generation vsm_norms tables
+  // (generation-local df) cannot be rescaled post-hoc — it would take
+  // a norms table keyed to the generation SET, rebuilt on every
+  // append, for a scorer whose design the reference walked away from.
+  // Hot-append serving uses BM25 (bm25TopK / handleQuery above), which
+  // rescales exactly. Compact first to serve the historical scorers.
 }
 
 /** Merge all generations into one optimized index: the per-generation
