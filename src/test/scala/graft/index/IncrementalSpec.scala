@@ -168,6 +168,49 @@ class IncrementalSpec extends SparkSpecBase {
     multi.handleQueryClaimCap = 100000
   }
 
+  test("3-generation handleQuery: terms absent from most generations (probe-shared chains)") {
+    import spark.implicits._
+    // three generations where the query phrase exists ONLY in the last:
+    // the phrase/conjunctive chains (which reuse GlobalStats' per-
+    // generation entries) must contribute EMPTY for generations missing
+    // any term, and the result must still be bit-identical to the
+    // scalar oracle over the concatenated corpus
+    val bgConf = conf.copy(indexBigrams = true)
+    val dir = tmpDir("graft-incr-3g")
+    val ts0 = new java.sql.Timestamp(60000000L)
+    val batch1 = allTurns.filter(_.conv_id < "conv-00000014")
+    val batch2 = allTurns.filter(t =>
+      t.conv_id >= "conv-00000014" && t.conv_id < "conv-00000028")
+    val markers = (0 until 4).map { i =>
+      graft.corpus.Turn(f"zzz-$i%03d", 0, "user",
+        s"zyxxo qwfpo marker line$i with zyxxo qwfpo again", "", ts0)
+    }
+    // marker convs sort AFTER every conv-*, so per-batch (conv_id,
+    // turn_idx) doc_id assignment matches the global oracle order
+    val batch3 = allTurns.filterNot(_.conv_id < "conv-00000028") ++ markers
+    Seq(batch1, batch2, batch3).foreach(b =>
+      Generations.append(spark, spark.createDataset(b), dir, lemmas, bgConf))
+    assert(Generations.genDirs(dir).size == 3)
+    val multi = new MultiGenEngine(spark, dir, lemmas).warmDictionaries()
+    val oracle3 = new Oracle(
+      (batch1 ++ batch2 ++ batch3).sortBy(t => (t.conv_id, t.turn_idx)),
+      lemmas, indexBigrams = true)
+    // phrase only in gen 3 (phrase + bigram tiers fire there alone);
+    // a corpus-wide query; a mix of gen-3-only and corpus-wide terms
+    Seq("zyxxo qwfpo", "alba corba", "zyxxo the", "the zyxxo marker")
+      .foreach { q =>
+        val got = multi.handleQuery(q, 10).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+        val want = oracle3.handleQuery(q, 10)
+        assert(got == want,
+          s"3-gen handleQuery drift for '$q'\n got=$got\nwant=$want")
+      }
+    // the gen-3-only phrase really did serve from the phrase tier
+    val res = multi.handleQuery("zyxxo qwfpo", 10).collect()
+    assert(res.nonEmpty && res.forall(_.getInt(2) == 0),
+      "gen-3-only phrase must hit tier 0 exclusively")
+  }
+
   test("compaction produces a single index identical to a full rebuild") {
     val out = tmpDir("graft-compact")
     val meta = Compactor.compact(spark, root, out, lemmas, conf)
