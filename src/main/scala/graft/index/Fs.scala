@@ -149,7 +149,6 @@ private[graft] object Fs {
   def writeAtomic(p: String, content: String): Unit = {
     val dst = new HPath(p)
     val tmp = new HPath(p + ".tmp")
-    writeString(p + ".tmp", content)
     val uri = dst.toUri
     val (c, confId) = conf()
     val key = (s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}",
@@ -163,6 +162,7 @@ private[graft] object Fs {
         })
     fc match {
       case Some(c) =>
+        writeString(p + ".tmp", content)
         c.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       case None =>
         val f = fs(p)
@@ -171,24 +171,26 @@ private[graft] object Fs {
           // replayed generation meta, a re-resumed stage manifest) must
           // not open a delete->rename gap in which a concurrent
           // genDirs/readMeta transiently sees a COMPLETE generation as
-          // absent (round-4 verdict #7) — skip it. Only a genuinely
-          // different marker (new fingerprint) still pays the window,
-          // and there a crash mid-gap leaves the marker absent, the
-          // safe direction (absent = redo the idempotent step).
-          // the read races a concurrent delete/replace of dst (exists
-          // was checked above) — a read failure just means "can't prove
-          // same content": fall through to the pre-delete+rename path
-          // (delete of an already-missing dst is a harmless no-op)
+          // absent (round-4 verdict #7) — skip it BEFORE touching tmp,
+          // so the common replay case costs one read and zero writes.
+          // Only a genuinely different marker (new fingerprint) still
+          // pays the window, and there a crash mid-gap leaves the
+          // marker absent, the safe direction (absent = redo the
+          // idempotent step). The read races a concurrent
+          // delete/replace of dst (exists was checked above) — a read
+          // failure just means "can't prove same content": fall
+          // through to the pre-delete+rename path (delete of an
+          // already-missing dst is a harmless no-op).
           val sameContent =
             try readString(p) == content
             catch { case scala.util.control.NonFatal(_) => false }
-          if (sameContent) {
-            f.delete(tmp, false)
-            return
-          }
+          if (sameContent) return
+          // tmp written before the pre-delete so the absent window
+          // stays delete->rename only
+          writeString(p + ".tmp", content)
           fallbackPreDeletes.incrementAndGet()
           f.delete(dst, false)
-        }
+        } else writeString(p + ".tmp", content)
         if (!f.rename(tmp, dst))
           throw new java.io.IOException(s"rename $tmp -> $dst failed")
     }

@@ -157,7 +157,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
   /** (doc_id, fold_key, impact) rows for `ts` from one generation —
     * `source` lets pruned paths swap in a candidate-pruned read.
     */
-  private def foldRows(st: GlobalStats, e: QueryEngine,
+  private def foldRows(st: GlobalStats,
       dict: Map[String, DictRow], ts: Seq[String],
       source: Seq[Long] => Dataset[graft.query.ScoredPosting]): Option[DataFrame] = {
     val present = st.ordered.filter(t => ts.contains(t) && dict.contains(t))
@@ -198,7 +198,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     */
   private def exactScoresAll(st: GlobalStats): DataFrame = {
     val rows = engines.zip(st.perGen)
-      .flatMap { case (e, d) => foldRows(st, e, d, st.ordered, e.scoredPostings) }
+      .flatMap { case (e, d) => foldRows(st, d, st.ordered, e.scoredPostings) }
     if (rows.isEmpty) emptyScores() else aggScores(rows.reduce(_ unionByName _))
   }
 
@@ -218,7 +218,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
         val totalChunks = present.map(t =>
           (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
             graft.core.ChunkCodec.ChunkSize).sum.toDouble
-        foldRows(st, e, dict, present,
+        foldRows(st, dict, present,
           ids => e.candidatePrunedPostings(ids, cand, totalChunks))
       }
     }
@@ -257,7 +257,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     def exactPath(): DataFrame = {
       lastPath = "exact"
       aggTopK(engines.zip(perGen)
-        .flatMap { case (e, d) => foldRows(st, e, d, ordered, e.scoredPostings) }
+        .flatMap { case (e, d) => foldRows(st, d, ordered, e.scoredPostings) }
         .reduce(_ unionByName _))
     }
 
@@ -275,7 +275,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // rows serve both the theta pass and the essential union below —
     // the cross-gen analog of wandImpl's bestPostings cache
     val bestRows = engines.zip(perGen)
-      .flatMap { case (e, d) => foldRows(st, e, d, Seq(best), e.scoredPostings) }
+      .flatMap { case (e, d) => foldRows(st, d, Seq(best), e.scoredPostings) }
       .reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -302,7 +302,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
 
       val essOther = ess.filterNot(_ == best)
       val essRows = (Seq(bestRows) ++ engines.zip(perGen)
-        .flatMap { case (e, d) => foldRows(st, e, d, essOther, e.scoredPostings) })
+        .flatMap { case (e, d) => foldRows(st, d, essOther, e.scoredPostings) })
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -338,7 +338,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
               val totalChunks = present.map(t =>
                 (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
                   graft.core.ChunkCodec.ChunkSize).sum.toDouble
-              foldRows(st, e, dict, present,
+              foldRows(st, dict, present,
                 ids => e.candidatePrunedPostings(ids, cand, totalChunks))
             }
           }
@@ -422,7 +422,9 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val parsed = graft.core.Tokenizer.tokenizeQuery(query, lemmas)
     val phraseSeq = parsed.unigrams.map(_.term)
     val terms = phraseSeq.distinct
-    if (terms.isEmpty) return emptyScores()
+    // 3-column (doc_id, score, tier) contract even for a tokenless query
+    if (terms.isEmpty)
+      return emptyScores().withColumn("tier", org.apache.spark.sql.functions.lit(2))
     val st = new GlobalStats(terms)
     if (phraseSeq.size == 1) {
       lastHandlePath = "pruned"

@@ -510,8 +510,19 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // Lexicon-sized projection of 4 columns: negligible build cost.
     // Runs for resumed roots too (its own manifest under fp), so
     // pre-existing index caches get backfilled by the next build().
+    // Skip needs BOTH the fp manifest AND a current dict token: a
+    // dictionary repaired/rewritten under the SAME fp (new part UUIDs,
+    // new tableToken) would otherwise leave dict_by_len fp-complete but
+    // stale-tokened — the serve-side token check then fails forever and
+    // every large-d fuzzy query pays the O(lexicon) scan with no build
+    // ever repairing it (writeFuzzyIfStale re-verifies for this reason).
+    def dictByLenCurrent: Boolean = {
+      val marker = s"${paths.dictByLen}/${IndexBuilder.DictTokenFile}"
+      Fs.exists(marker) &&
+        Fs.readString(marker) == IndexBuilder.tableToken(paths.dictionary)
+    }
     def writeDictByLen(dictDf: DataFrame): Unit =
-      if (!manifestComplete(paths.dictByLen, fp)) {
+      if (!manifestComplete(paths.dictByLen, fp) || !dictByLenCurrent) {
         val t0 = System.nanoTime()
         // Partition count scales with the LEXICON, not the corpus: a
         // small lexicon in conf.numParts range partitions pays a
@@ -622,17 +633,25 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 4))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(
-          (0 until n).map(i => scala.concurrent.Future {
-            // getActiveSession is thread-local: hand the builder's
-            // session to the pool thread so the jobs' Fs/conf calls
-            // resolve against the same Hadoop configuration
-            org.apache.spark.sql.SparkSession.setActiveSession(spark)
-            job(i)
-          })),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      try {
+        val futures = (0 until n).map(i => scala.concurrent.Future {
+          // getActiveSession is thread-local: hand the builder's
+          // session to the pool thread so the jobs' Fs/conf calls
+          // resolve against the same Hadoop configuration
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          job(i)
+        })
+        // Await EVERY job before returning OR rethrowing: a fail-fast
+        // Future.sequence would propagate the first failure while
+        // sibling stage jobs were still writing into the same index
+        // root — a caller's immediate retry (the resume pattern) would
+        // then race the orphaned writers' mode("overwrite") commits
+        // into the same dirs. Failures after the first are subsumed.
+        val outcomes = futures.map(f => scala.util.Try(
+          scala.concurrent.Await.result(f,
+            scala.concurrent.duration.Duration.Inf)))
+        outcomes.foreach(_.get)
+      } finally pool.shutdown()
       ()
     }
 

@@ -369,7 +369,10 @@ class QueryEngine(spark: SparkSession, root: String,
     val parsed = Tokenizer.tokenizeQuery(query, lemmas)
     val phraseSeq = parsed.unigrams.map(_.term)
     val terms = phraseSeq.distinct
-    if (terms.isEmpty) return emptyScores()
+    // keep the 3-column (doc_id, score, tier) contract even for a
+    // tokenless query — a 2-column return breaks callers that select
+    // the tier column
+    if (terms.isEmpty) return emptyScores().withColumn("tier", lit(2))
     // ONE unigram dictionary probe serves scoring, the phrase chain and
     // the unigram tier's top-k dispatch
     val entries = lookupTerms(terms)
@@ -1373,14 +1376,17 @@ private[graft] object TieredQuery {
       // Each round collects its (<= width) rows once, so the common
       // case is ONE sharply-pruned pass; the pathological case costs
       // one extra pass, bounded by the old construction's cost.
-      val claimedDf = claimedIds.toSeq.toDF("doc_id")
       val guess = k + math.min(claimedIds.length, math.max(guessFloor, 4 * k))
       val tier2 =
         if (guess >= k + claimedIds.length) {
           // small claimed set: the guess already IS the worst-case
           // width — keep tier 2 LAZY so it fuses into the single final
           // job (an eager collect here serializes one extra multi-
-          // second job at the 10^6-doc scale for no width savings)
+          // second job at the 10^6-doc scale for no width savings).
+          // claimedDf built only HERE: the adaptive branch filters
+          // driver-side, and eagerly encoding up to 2x claimCap longs
+          // into a LocalRelation would be wasted work on that path.
+          val claimedDf = claimedIds.toSeq.toDF("doc_id")
           s.topK(k + claimedIds.length)
             .join(broadcast(claimedDf), Seq("doc_id"), "left_anti")
             .withColumn("tier", lit(2))

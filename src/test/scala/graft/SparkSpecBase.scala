@@ -10,6 +10,28 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Recursive file-tree copy — the root-cloning setup shared by the
+    * truncation-attack tests (clone an index root, delete one part file,
+    * assert the integrity gates catch it).
+    */
+  def copyTree(from: java.io.File, to: java.io.File): Unit =
+    if (from.isDirectory) {
+      to.mkdirs()
+      from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
+    } else {
+      java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** Clone every entry of index root `src` into a fresh tmp dir. */
+  def cloneRoot(src: String, prefix: String): String = {
+    val dst = tmpDir(prefix)
+    new java.io.File(src).listFiles()
+      .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    dst
+  }
 }
 
 object SparkSpecBase {

@@ -73,4 +73,24 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(p.length == 1 && p.head.positions.length == 5000)
     assert(p.head.positions.toSeq == (0 until 5000))
   }
+
+  test("tokenless handleQuery keeps the (doc_id, score, tier) contract") {
+    // "... !!! ???" tokenizes to nothing: the early-out must still
+    // return 3 columns or callers selecting the tier column throw
+    Seq("", "   ", "... !!! ???").foreach { q =>
+      val df = engine.handleQuery(q, 5)
+      assert(df.columns.toSeq == Seq("doc_id", "score", "tier"),
+        s"schema drift for tokenless query '$q': ${df.columns.mkString(",")}")
+      assert(df.count() == 0)
+    }
+    // and the multi-generation facade agrees
+    val root = tmpDir("graft-edge-mg")
+    import spark.implicits._
+    Generations.append(spark, spark.createDataset(turnsLocal), root, lemmas,
+      IndexConf(numParts = 2))
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    val df = multi.handleQuery("!!!", 5)
+    assert(df.columns.toSeq == Seq("doc_id", "score", "tier"))
+    assert(df.count() == 0)
+  }
 }

@@ -261,13 +261,6 @@ class IndexEndToEndSpec extends SparkSpecBase {
     // clone the index root minus dict_by_len: an older-build root shape
     val oldRoot = tmpDir("graft-oldroot")
     val src = new java.io.File(indexDir)
-    def copyTree(from: java.io.File, to: java.io.File): Unit = {
-      if (from.isDirectory) {
-        to.mkdirs()
-        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
-      } else java.nio.file.Files.copy(from.toPath, to.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
     src.listFiles().filter(_.getName != "dict_by_len")
       .foreach(f => copyTree(f, new java.io.File(oldRoot, f.getName)))
     val oldEngine = new QueryEngine(spark, oldRoot, lemmas)
@@ -290,16 +283,7 @@ class IndexEndToEndSpec extends SparkSpecBase {
     // hashes the DICTIONARY's listing, so only the manifest integrity
     // check (n_files/bytes vs disk) can catch this — without it every
     // d>3 fuzzy lookup would silently DROP the matches in that part
-    val root2 = tmpDir("graft-truncdbl")
-    val src = new java.io.File(indexDir)
-    def copyTree(from: java.io.File, to: java.io.File): Unit = {
-      if (from.isDirectory) {
-        to.mkdirs()
-        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
-      } else java.nio.file.Files.copy(from.toPath, to.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    src.listFiles().foreach(f => copyTree(f, new java.io.File(root2, f.getName)))
+    val root2 = cloneRoot(indexDir, "graft-truncdbl")
     val victim = Fs.listFilesRecursive(s"$root2/dict_by_len", ".parquet").head._1
     Fs.deleteRecursive(victim)
     val truncEngine = new QueryEngine(spark, root2, lemmas)
@@ -322,16 +306,7 @@ class IndexEndToEndSpec extends SparkSpecBase {
     // hashes the DICTIONARY's listing, so only the variant table's own
     // n_files/bytes manifest can catch this — without it every d<=1
     // lookup would silently DROP the matches in the lost part.
-    val root2 = tmpDir("graft-truncfz")
-    val src = new java.io.File(indexDir)
-    def copyTree(from: java.io.File, to: java.io.File): Unit = {
-      if (from.isDirectory) {
-        to.mkdirs()
-        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
-      } else java.nio.file.Files.copy(from.toPath, to.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    src.listFiles().foreach(f => copyTree(f, new java.io.File(root2, f.getName)))
+    val root2 = cloneRoot(indexDir, "graft-truncfz")
     // earlier tests may have backfilled fuzzy_d2/d3 onto the source
     // root; drop them from the clone so the truncated d1 is the ONLY
     // candidate (a valid higher-d table legitimately serves d=1 —
@@ -859,5 +834,25 @@ class IndexEndToEndSpec extends SparkSpecBase {
       .build(turns, indexDir)
     val after = manifests.map(Files.getLastModifiedTime(_))
     assert(before == after, "resume should not rewrite completed stages")
+  }
+
+  test("resumed build repairs a STALE-TOKENED dict_by_len") {
+    // simulate a dictionary rewritten under an UNCHANGED fingerprint
+    // (new part UUIDs => new tableToken, e.g. a repaired stage): the
+    // dict_by_len manifest still matches fp, but its token no longer
+    // matches the dictionary — a fp-only skip would leave it
+    // stale-tokened forever (serve side rejects it, no build repairs
+    // it, every large-d fuzzy query pays the O(lexicon) scan)
+    val root2 = cloneRoot(indexDir, "graft-staletok")
+    val tokenFile =
+      s"$root2/dict_by_len/${IndexBuilder.DictTokenFile}"
+    Fs.writeString(tokenFile, "stale-token-from-before-the-dict-rewrite")
+    val turns = Transcripts.generate(spark, nConvs)
+    new IndexBuilder(spark, lemmas,
+      IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4))
+      .build(turns, root2)
+    assert(Fs.readString(tokenFile) ==
+      IndexBuilder.tableToken(IndexPaths(root2).dictionary),
+      "resumed build must rewrite a stale-tokened dict_by_len")
   }
 }

@@ -115,16 +115,7 @@ class VsmSpec extends SparkSpecBase {
     // _SUCCESS and the dict token survive — the token hashes the
     // DICTIONARY's listing, so only the norms table's own manifest
     // (n_files/bytes vs one listing) can catch the loss
-    val root2 = tmpDir("graft-vsm-trunc")
-    val src = new java.io.File(indexDir)
-    def copyTree(from: java.io.File, to: java.io.File): Unit = {
-      if (from.isDirectory) {
-        to.mkdirs()
-        from.listFiles().foreach(f => copyTree(f, new java.io.File(to, f.getName)))
-      } else Files.copy(from.toPath, to.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    src.listFiles().foreach(f => copyTree(f, new java.io.File(root2, f.getName)))
+    val root2 = cloneRoot(indexDir, "graft-vsm-trunc")
     val dir = IndexPaths(root2).vsmNorms
     val victim = graft.index.Fs.listFilesRecursive(dir, ".parquet").head._1
     graft.index.Fs.deleteRecursive(victim)
