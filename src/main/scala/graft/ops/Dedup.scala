@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.corpus.Transcripts.mix
-
 /** Deduplication operators for training-data pipelines, over
   * `documents(doc_id, text)`. Scale notes per operator:
   *
@@ -30,7 +28,13 @@ object Dedup {
     * hash-join that AQE can skew-split — no single-task group anywhere.
     */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    // null text hashes as empty text (md5(NULL) is NULL, and a
+    // null-keyed equi-join would drop the row from BOTH the dup and
+    // non-dup partitions — the doc would silently vanish from a
+    // keep/drop pipeline); conflating null with "" is the intended
+    // semantic: both are "no content", so they dedup together
+    val hashed = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("content_hash"))
     val groups = hashed.groupBy(col("content_hash"))
       .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("rep_id"))
     hashed.join(groups, Seq("content_hash"))
@@ -148,13 +152,22 @@ object Dedup {
     * (md5 hex under the Md5 family — engine-portable).
     */
   def minHashBanded(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame =
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be positive: $bands x $rowsPerBand")
     signatures.select(col("doc_id"), col("signature"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => family.bucketCol(array_join(
           transform(slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string")), ","))))
       .as(Seq("band", "bucket")))
+      // a band whose slice runs past the signature would hash a
+      // TRUNCATED (or empty) slice — with bands*rowsPerBand > nHashes,
+      // every doc's overflow bands share one degenerate bucket and the
+      // candidate self-join goes O(n^2); emit only complete bands
+      // (recall from the valid bands is unaffected)
+      .filter(size(col("signature")) >= (col("band") + 1) * lit(rowsPerBand))
+  }
 
   /** MinHash LSH candidate pairs: split the signature into `bands` bands
     * of `rowsPerBand` values; docs sharing any band bucket become a
@@ -168,19 +181,30 @@ object Dedup {
   def minHashCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
       minEstJaccard: Double = 0.0, maxBucket: Int = 100000,
       family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
-    val banded = capBuckets(minHashBanded(signatures, bands, rowsPerBand, family),
+    // ids ONLY through the (band, bucket) self-join: riding both full
+    // signature arrays through the band shuffle costs 2*nHashes longs
+    // per banded row and re-evaluates est_jaccard once per SHARED band
+    // before the distinct; deduping the bare pairs first and joining
+    // the signatures back scores each pair exactly once (the
+    // knnCandidatePairs/knnRank two-step, Similarity.scala)
+    val banded = capBuckets(
+      minHashBanded(signatures, bands, rowsPerBand, family)
+        .select(col("band"), col("bucket"), col("doc_id")),
       Seq("band", "bucket"), maxBucket)
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")),
+        Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(signatures.select(col("doc_id").as("doc_a"),
+        col("signature").as("sig_a")), Seq("doc_a"))
+      .join(signatures.select(col("doc_id").as("doc_b"),
+        col("signature").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           (m: org.apache.spark.sql.Column) => m)).cast("double") /
           size(col("sig_a")), 4).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 

@@ -108,6 +108,11 @@ object Similarity {
   def annCandidates(embeddings: DataFrame, query: Array[Float],
       nPlanes: Int = 12, probeHamming: Int = 2): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63]: $nPlanes")
+    // only distances 0-2 are enumerated below; silently honoring a
+    // larger request at distance 2 would deliver lower recall than the
+    // caller asked for (C(nPlanes, 3)+ buckets are the IVF path's job)
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming must be in [0, 2] (use IVF for wider probes): $probeHamming")
     val dim = query.length
     val qSig = (0 until nPlanes).map { p =>
       val dot = (0 until dim).map(d => query(d) * planeWeight(p, d)).sum
@@ -202,8 +207,12 @@ object Similarity {
           c += 1
         }
         counts(best) += 1
+        // min-length bound (the file's ragged-dims convention, as in
+        // cosineScalar/withHyperplaneSig): a row longer than the first
+        // sampled row must not overrun the accumulator
         var d = 0
-        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+        val lim = math.min(v.length, sums(best).length)
+        while (d < lim) { sums(best)(d) += v(d); d += 1 }
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)

@@ -65,23 +65,28 @@ object TextOps {
     * All ratios rounded to 4 decimals for cross-engine comparability.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    // null text scores as empty text: a null would propagate through
+    // EVERY metric (even the div-by-zero when-guard's condition is
+    // null) and a null quality passes neither side of a threshold
+    // gate — the doc would vanish from both partitions of a quality
+    // split, the exact hazard the guard below exists for
+    val txt = coalesce(col("text"), lit(""))
+    val toks = split(txt, " ")
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
-    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", ""))
+    val nPunct = length(txt) - length(regexp_replace(txt, "[^\\w\\s]", ""))
     docs.select(
       col("doc_id"),
-      length(col("text")).as("n_chars_actual"),
+      length(txt).as("n_chars_actual"),
       nTok.as("n_tokens"),
       round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
       // guarded: an empty text would make this NULL (x/0), and a NULL
-      // quality passes NEITHER side of a threshold gate — the doc would
-      // vanish from both partitions of a quality split
-      when(length(col("text")) > 0,
-        round(nPunct.cast("double") / length(col("text")), 4))
+      // quality passes NEITHER side of a threshold gate
+      when(length(txt) > 0,
+        round(nPunct.cast("double") / length(txt), 4))
         .otherwise(lit(0.0)).as("punct_ratio"),
-      round((length(col("text")) - (nTok - lit(1))).cast("double") / nTok, 4)
+      round((length(txt) - (nTok - lit(1))).cast("double") / nTok, 4)
         .as("mean_token_len"))
       .withColumn("quality",
         round(least(lit(1.0), col("n_tokens").cast("double") / lit(20.0)) *

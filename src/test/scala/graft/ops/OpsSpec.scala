@@ -81,6 +81,35 @@ class DedupSpec extends SparkSpecBase {
     assert(verified((1L, 2L)) == 1.0)
   }
 
+  test("exactDedup keeps null-text docs (null hashes as empty text)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withNull = Seq((1L, Option("same text")), (2L, Option("same text")),
+      (3L, None: Option[String]), (4L, Option(""))).toDF("doc_id", "text")
+    val res = Dedup.exactDedup(withNull).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    // null row must NOT vanish (a null-keyed equi-join would drop it
+    // from BOTH the dup and non-dup partitions)
+    assert(res.keySet == Set(1L, 2L, 3L, 4L), s"rows lost: ${res.keySet}")
+    // null and "" conflate deliberately: both are "no content"
+    assert(res(3L)._1 == 2 && res(4L)._1 == 2)
+    assert(!res(3L)._2 && res(4L)._2, "rep = lowest doc_id of the group")
+  }
+
+  test("minHashBanded drops bands that slice past the signature (no degenerate shared bucket)") {
+    // 32 hashes but 8x8 = 64 requested: bands 4-7 would hash an EMPTY
+    // slice, putting every doc in one shared bucket and blowing the
+    // self-join to O(n^2); they must be dropped instead
+    val sigs = Dedup.minHashSignatures(docs, k = 3, nHashes = 32)
+    val banded = Dedup.minHashBanded(sigs, bands = 8, rowsPerBand = 8).collect()
+    assert(banded.map(_.getInt(2)).max == 3, "only complete bands 0-3 survive")
+    val cands = Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 6L)),
+      "unrelated docs must not pair via an overflow band's shared bucket")
+    assert(cands.contains((1L, 2L)), "exact dups still collide in valid bands")
+  }
+
   test("LSH bucket cap bounds degenerate buckets, keeps small-bucket dups") {
     // 60 identical boilerplate docs (one degenerate bucket) + one true dup
     // pair + filler: the cap must drop the boilerplate B^2 blowup while
@@ -222,6 +251,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("trainIvf tolerates ragged embedding dims (min-length accumulate)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // first rows 16-dim, one rogue 20-dim row: the centroid accumulator
+    // is sized from the first sample and must not overrun
+    val ragged = embeddings.select(col("vec_id"), col("embedding"))
+      .union(Seq((9999L, (0 until 20).map(_.toFloat)))
+        .toDF("vec_id", "embedding"))
+    val m = Similarity.trainIvf(ragged, k = 4)
+    assert(m.centroids.nonEmpty)
+  }
+
+  test("annCandidates rejects probeHamming outside the enumerated range") {
+    val q = vec(0)
+    intercept[IllegalArgumentException] {
+      Similarity.annCandidates(embeddings, q, nPlanes = 8, probeHamming = 3)
+    }
+  }
+
   test("knnJoin returns <=k neighbors per vector, cosine-ranked") {
     val res = Similarity.knnJoin(embeddings, k = 3, nPlanes = 8, bands = 2, dim = dim)
     val byVec = res.collect().groupBy(_.getLong(0))
@@ -307,6 +355,19 @@ class TextOpsSpec extends SparkSpecBase {
     assert(res(2L) == "de")
     assert(res(3L) == "es")
     assert(res(4L) == "und")
+  }
+
+  test("qualityScore gives null-text docs a NON-NULL quality (threshold-gate safe)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withNull = Seq((1L, Option("real text here with words")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val rows = TextOps.qualityScore(withNull).collect()
+      .map(r => r.getLong(0) -> r.getAs[Any]("quality")).toMap
+    // a null quality passes neither side of a threshold gate — the doc
+    // would silently vanish from both partitions of a quality split
+    assert(rows(2L) != null, "null text must score (as empty), not null out")
+    assert(rows(2L).asInstanceOf[Double] <= rows(1L).asInstanceOf[Double])
   }
 
   test("quality + fingerprints deterministic") {
