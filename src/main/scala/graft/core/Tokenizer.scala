@@ -28,16 +28,22 @@ object Tokenizer {
     * every term ordering in this engine must go through this comparator.
     */
   def compareUtf8(a: String, b: String): Int = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // allocation-free: UTF-8 byte order equals CODE POINT order for
+    // valid strings, so an iterative codePointAt walk gives the same
+    // total order without encoding two byte arrays per comparison —
+    // this comparator sits under lexicon-sized driver sorts
+    // (Generations' global term order, the oracle's term ranks), where
+    // the per-compare allocations were pure GC churn
     var i = 0
-    val n = math.min(ab.length, bb.length)
-    while (i < n) {
-      val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
-      if (c != 0) return c
-      i += 1
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
     }
-    java.lang.Integer.compare(ab.length, bb.length)
+    java.lang.Integer.compare(a.length - i, b.length - j)
   }
 
   val utf8Ordering: Ordering[String] = (a, b) => compareUtf8(a, b)
@@ -105,7 +111,16 @@ object Tokenizer {
     try parseLemmas(src.getLines()) finally src.close()
   }
 
-  private def isWs(c: Char): Boolean = Character.isWhitespace(c)
+  /** Rust `char::is_whitespace` = the Unicode White_Space property.
+    * Java's Character.isWhitespace diverges both ways: it EXCLUDES the
+    * non-breaking separators U+00A0/U+2007/U+202F and NEL U+0085 (so
+    * "New York" — an &nbsp; in wiki text — would tokenize as ONE
+    * term and shift every later position), and it INCLUDES the
+    * U+001C-001F information separators that White_Space does not.
+    */
+  private def isWs(c: Char): Boolean =
+    (Character.isWhitespace(c) && (c < '\u001C' || c > '\u001F')) ||
+      c == '\u00A0' || c == '\u0085' || c == '\u2007' || c == '\u202F'
 
   /** Split on whitespace runs, yielding (rawPosition, word). Matches Rust
     * `split_whitespace`: runs collapse, leading/trailing ignored, and the
@@ -127,7 +142,7 @@ object Tokenizer {
 
   /** Document tokenization (tokenizer.rs:178-225). */
   def tokenize(text: String, lemmas: Map[String, String]): Seq[Token] = {
-    if (text.trim.isEmpty) return Nil
+    if (text.isEmpty) return Nil   // ws-only yields no words below; no trim copy
     val out = Seq.newBuilder[Token]
     var position = 0
     splitWhitespace(text).foreach { word =>
@@ -150,7 +165,7 @@ object Tokenizer {
     * 211-217) whose query side is live in tokenizeQuery.
     */
   def bigrams(text: String, lemmas: Map[String, String]): Seq[Token] = {
-    if (text.trim.isEmpty) return Nil
+    if (text.isEmpty) return Nil   // ws-only yields no words below; no trim copy
     val out = Seq.newBuilder[Token]
     var position = 0
     var prev: Option[String] = None
@@ -166,13 +181,38 @@ object Tokenizer {
     out.result()
   }
 
+
+  /** Single-pass document tokenization: `tokenize(text) ++ bigrams(text)`
+    * element-for-element, in ONE split/clean/lemma traversal — the
+    * bigram-indexed build's hot path previously tokenized every document
+    * twice (tokenizeQuery already demonstrates the fused form).
+    */
+  def tokenizeWithBigrams(text: String, lemmas: Map[String, String]): Seq[Token] = {
+    if (text.isEmpty) return Nil
+    val unis = Seq.newBuilder[Token]
+    val bis = Seq.newBuilder[Token]
+    var position = 0
+    var prev: Option[String] = None
+    splitWhitespace(text).foreach { word =>
+      val cleaned = cleanWord(word)
+      if (cleaned.nonEmpty) {
+        val term = lemmas.getOrElse(cleaned, cleaned)
+        unis += Token(position, term)
+        prev.foreach(p => bis += Token(position - 1, s"$p $term"))
+        prev = Some(term)
+      }
+      position += 1
+    }
+    unis.result() ++ bis.result()
+  }
+
   final case class QueryTokens(unigrams: Seq[Token], bigrams: Seq[Token])
 
   /** Query tokenization: unigrams + skip-over-empty bigrams
     * (tokenizer.rs:123-176).
     */
   def tokenizeQuery(text: String, lemmas: Map[String, String]): QueryTokens = {
-    if (text.trim.isEmpty) return QueryTokens(Nil, Nil)
+    if (text.isEmpty) return QueryTokens(Nil, Nil)
     val unis = Seq.newBuilder[Token]
     val bis = Seq.newBuilder[Token]
     var position = 0

@@ -48,6 +48,12 @@ object VByte {
       if (b < 128) number = number * 128 + b
       else { number = number * 128 + (b - 128); done = true }
     }
+    // a blob ending without a stop byte is CORRUPTION, not a value —
+    // silently returning the partial accumulator would convert a
+    // truncated write into a plausible wrong integer (Reader.next()
+    // already throws on the same condition)
+    if (!done) throw new IllegalArgumentException(
+      s"truncated VByte value at offset $offset (blob length ${bytes.length})")
     (number, i - offset)
   }
 
@@ -104,11 +110,19 @@ object Gaps {
   }
 
   def decode(bytes: Array[Byte], n: Int): Array[Long] = {
+    // clear per-row errors for the SQL-facing vb_decode_gaps expression:
+    // a negative n would throw NegativeArraySizeException and an
+    // over-long n a raw AIOOBE from inside whole-stage codegen
+    if (n < 0) throw new IllegalArgumentException(
+      s"vb_decode_gaps: negative count $n")
     val out = new Array[Long](n)
     val r = new VByte.Reader(bytes)
     var prev = 0L
     var i = 0
     while (i < n) {
+      if (!r.hasNext) throw new IllegalArgumentException(
+        s"vb_decode_gaps: blob exhausted after $i of $n values " +
+          s"(${bytes.length} bytes) — truncated row or wrong count")
       prev = if (i == 0) r.next() else prev + r.next()
       out(i) = prev
       i += 1

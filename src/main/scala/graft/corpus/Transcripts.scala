@@ -106,10 +106,20 @@ object Transcripts {
   private val lemmaVariantSuffix = Vector("s", "ing", "ed")
   private val lemmaBases: Set[String] = contentWords.take(300).toSet
 
+  /** `x.abs mod k` with the Long.MinValue hole closed (abs(MinValue) ==
+    * MinValue, whose modulus is negative and would break the documented
+    * ranges). MinValue maps to 0 — output is IDENTICAL to the old
+    * expression for every other input, so the deterministic corpus
+    * contract (FIXTURES.md) is unchanged in practice (P(draw ==
+    * MinValue) = 2^-64 per draw).
+    */
+  private def absMod(x: Long, k: Long): Long =
+    (if (x == Long.MinValue) 0L else x.abs) % k
+
   val epochMs: Long = 1700000000000L // fixed; no wall-clock anywhere
 
   def turnsOf(convIdx: Long, seed: Long): Int =
-    2 + (mix(mix(seed) ^ convIdx).abs % 39).toInt // 2..40
+    2 + absMod(mix(mix(seed) ^ convIdx), 39).toInt // 2..40
 
   /** All turns of one conversation — pure function of (convIdx, seed). */
   def turnsFor(convIdx: Long, seed: Long): Seq[Turn] = {
@@ -121,7 +131,7 @@ object Transcripts {
       val role =
         if (unit(nxt()) < 0.10) "tool"
         else if (t % 2 == 0) "user" else "assistant"
-      val nWords = 5 + (nxt().abs % 116).toInt // 5..120
+      val nWords = 5 + absMod(nxt(), 116).toInt // 5..120
       val sb = new StringBuilder
       var i = 0
       while (i < nWords) {
@@ -130,7 +140,7 @@ object Transcripts {
         val r = unit(nxt())
         // inflected variants (exercise the lemmatizer)
         if (r < 0.06 && lemmaBases.contains(w))
-          w = w + lemmaVariantSuffix((nxt().abs % 3).toInt)
+          w = w + lemmaVariantSuffix(absMod(nxt(), 3).toInt)
         // MixedCase + punctuation wrapping (exercise cleanWord)
         val r2 = unit(nxt())
         if (r2 < 0.05) w = w.capitalize
@@ -142,7 +152,7 @@ object Transcripts {
         sb.append(w)
         i += 1
       }
-      val tool = if (role == "tool") tools((nxt().abs % tools.size).toInt) else ""
+      val tool = if (role == "tool") tools(absMod(nxt(), tools.size).toInt) else ""
       Turn(convId, t, role, sb.toString,
         tool, new Timestamp(epochMs + convIdx * 60000L + t * 1000L))
     }

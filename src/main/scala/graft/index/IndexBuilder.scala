@@ -149,8 +149,7 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       .as[(Long, Int, String)]
       .flatMap { case (docId, dl, text) =>
         val toks =
-          if (bigramsOn) Tokenizer.tokenize(text, lem.value) ++
-            Tokenizer.bigrams(text, lem.value)
+          if (bigramsOn) Tokenizer.tokenizeWithBigrams(text, lem.value)
           else Tokenizer.tokenize(text, lem.value)
         val byTerm = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
         toks.foreach(t => byTerm.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position)

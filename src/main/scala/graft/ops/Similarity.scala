@@ -194,7 +194,14 @@ object Similarity {
     require(sample.nonEmpty, "empty embedding table")
     // deterministic init: SplitMix64-picked sample rows
     var centroids = Array.tabulate(math.min(k, sample.length))(i =>
-      sample((mix(0xCE11L + i).abs % sample.length).toInt).clone())
+      // .abs has a Long.MinValue hole (abs(MinValue) is negative and
+      // would index out of bounds); mapping that one value to 0 keeps
+      // every other draw's index — and thus the deterministic
+      // centroids — bit-identical
+      sample({
+        val h = mix(0xCE11L + i)
+        ((if (h == Long.MinValue) 0L else h.abs) % sample.length).toInt
+      }).clone())
     (0 until iters).foreach { _ =>
       val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
       val counts = new Array[Long](centroids.length)

@@ -26,6 +26,30 @@ class TokenizerSpec extends AnyFunSuite {
     assert(toks == Seq(Token(0, "a"), Token(1, "b")))
   }
 
+  test("whitespace = Unicode White_Space (Rust char::is_whitespace parity)") {
+    // NBSP / NNBSP / NEL / FIGURE SPACE all split (Java's
+    // Character.isWhitespace says no — an &nbsp;-derived U+00A0 in wiki
+    // text would glue "new york" into one term and shift every later
+    // position off the reference's)
+    val toks = tokenize(
+      "new\u00A0york\u202Fcity\u0085here\u2007now", Map.empty)
+    assert(toks.map(_.term) == Seq("new", "york", "city", "here", "now"))
+    assert(toks.map(_.position) == Seq(0, 1, 2, 3, 4))
+    // the U+001C-001F information separators are NOT White_Space
+    // (Java says they are): they stay interior, like any non-alnum
+    val t2 = tokenize("a\u001Cb", Map.empty)
+    assert(t2.map(_.term) == Seq("a\u001Cb"))
+  }
+
+  test("tokenizeWithBigrams == tokenize ++ bigrams (single-pass fusion)") {
+    val text = "The quick \"brown,\" fox ... jumps over the lazy dog"
+    val lem = Map("jumps" -> "jump")
+    assert(Tokenizer.tokenizeWithBigrams(text, lem) ==
+      Tokenizer.tokenize(text, lem) ++ Tokenizer.bigrams(text, lem))
+    assert(Tokenizer.tokenizeWithBigrams("", lem).isEmpty)
+    assert(Tokenizer.tokenizeWithBigrams("   ", lem).isEmpty)
+  }
+
   test("lemmatize: exact lookup, pass-through on miss") {
     val lemmas = Map("was" -> "be", "running" -> "run")
     val toks = tokenize("He was running fast", lemmas)

@@ -45,6 +45,16 @@ class VByteSpec extends AnyFunSuite {
     }
   }
 
+  test("corruption is an ERROR, never a silent partial value") {
+    // blob ends without a stop byte: returning the partial accumulator
+    // would turn a truncated write into a plausible wrong integer
+    intercept[IllegalArgumentException](VByte.decode(Array[Byte](0x01, 0x00), 0))
+    // count exceeding the encoded values (truncated row / wrong count)
+    intercept[IllegalArgumentException](Gaps.decode(Gaps.encode(Array(5L, 9L)), 3))
+    // negative count (the SQL-facing vb_decode_gaps path)
+    intercept[IllegalArgumentException](Gaps.decode(Array.empty[Byte], -1))
+  }
+
   test("gaps round-trip: empty, single, max ids, long lists") {
     assert(Gaps.decode(Gaps.encode(Array.empty[Long]), 0).isEmpty)
     assert(Gaps.decode(Gaps.encode(Array(0L)), 1).sameElements(Array(0L)))
