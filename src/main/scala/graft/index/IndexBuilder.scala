@@ -265,6 +265,11 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     val t0 = System.nanoTime()
     val dir = IndexPaths(root).fuzzy(d)
     dictDf.select($"term", $"term_id", $"df")
+      // unigrams only: on a bigram-indexed root the dictionary also
+      // holds space-joined pseudo-terms, which fuzzyTerms never serves
+      // (filtered query-side too) — expanding their deletion
+      // neighborhoods would only bloat the table
+      .filter(!$"term".contains(" "))
       .as[(String, Long, Long)]
       .flatMap { case (t, id, df) =>
         graft.core.Fuzzy.deleteVariants(t, d, maxLen).iterator

@@ -243,22 +243,33 @@ class Oracle(turns: Seq[Turn], lemmas: Map[String, String],
     } yield (p1._1, pos1, pos2))
   }
 
-  /** Fuzzy: dictionary terms within Levenshtein distance d. */
+  /** Fuzzy: dictionary terms within Levenshtein distance d. Unigrams
+    * only — bigram pseudo-terms are composition artifacts, not
+    * dictionary words (the engine filters them identically).
+    */
   def fuzzyTerms(q: String, d: Int): Set[String] =
     postings.keySet.filter(t => levenshtein(t, q) <= d)
 
+  /** CODE-POINT Levenshtein — the engine compares code points (Spark's
+    * levenshtein; Fuzzy.deleteVariants walks code points), so a
+    * UTF-16-unit DP here would count a supplementary-plane char (one
+    * surrogate PAIR) as two edits and wrongly indict correct engine
+    * output on emoji-bearing corpora.
+    */
   def levenshtein(a: String, b: String): Int = {
-    val dp = Array.tabulate(b.length + 1)(identity)
-    for (i <- 1 to a.length) {
+    val ac = a.codePoints().toArray
+    val bc = b.codePoints().toArray
+    val dp = Array.tabulate(bc.length + 1)(identity)
+    for (i <- 1 to ac.length) {
       var prev = dp(0)
       dp(0) = i
-      for (j <- 1 to b.length) {
+      for (j <- 1 to bc.length) {
         val tmp = dp(j)
         dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
-          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev + (if (ac(i - 1) == bc(j - 1)) 0 else 1))
         prev = tmp
       }
     }
-    dp(b.length)
+    dp(bc.length)
   }
 }

@@ -109,8 +109,16 @@ class QueryEngine(spark: SparkSession, root: String,
     * data), then decoded postings are filtered to candidates.
     */
   private def positionedForCandidates(termId: Long,
-      cand: Array[Long]): Dataset[PositionedPosting] = {
-    val bcCand = spark.sparkContext.broadcast(cand)
+      cand: Array[Long]): Dataset[PositionedPosting] =
+    positionedForCandidates(termId, spark.sparkContext.broadcast(cand))
+
+  /** Overload taking an ALREADY-broadcast candidate array: a T-term
+    * phrase calls this once per term, and re-broadcasting the identical
+    * (up to ~16 MB) sorted array per call shipped T duplicate copies
+    * per query and left them all for the ContextCleaner.
+    */
+  private def positionedForCandidates(termId: Long,
+      bcCand: org.apache.spark.broadcast.Broadcast[Array[Long]]): Dataset[PositionedPosting] = {
     val survivors = postings
       .filter($"term_id" === termId)
       .select($"chunk_seq", $"min_doc_id", $"max_doc_id")
@@ -806,8 +814,9 @@ class QueryEngine(spark: SparkSession, root: String,
         if (cand.length <= 200000 && anchorEntry.cf <= 2000000L)
           df => broadcast(df)
         else identity _
+      val bcCand = spark.sparkContext.broadcast(cand)
       val rels = idxByDf.map { i =>
-        positionedForCandidates(byTerm(terms(i)).term_id, cand)
+        positionedForCandidates(byTerm(terms(i)).term_id, bcCand)
           .select($"doc_id", $"positions".as(s"pos$i")).toDF()
       }
       val joined = rels.tail.foldLeft(hintFirst(rels.head))(
@@ -845,9 +854,10 @@ class QueryEngine(spark: SparkSession, root: String,
         if (cand.isEmpty)
           return Seq.empty[(Long, Int, Int)].toDF("doc_id", "pos1", "pos2")
         java.util.Arrays.sort(cand)
-        (positionedForCandidates(byTerm(term1).term_id, cand)
+        val bcCand = spark.sparkContext.broadcast(cand)
+        (positionedForCandidates(byTerm(term1).term_id, bcCand)
            .select($"doc_id", $"positions".as("ps1")),
-         positionedForCandidates(byTerm(term2).term_id, cand)
+         positionedForCandidates(byTerm(term2).term_id, bcCand)
            .select($"doc_id", $"positions".as("ps2")))
       } else
         (positionedPostings(Seq(byTerm(term1).term_id))
@@ -891,25 +901,28 @@ class QueryEngine(spark: SparkSession, root: String,
     * nobody asked to persist. If the root is not writable (a read-only
     * served snapshot), fuzzyTerms falls back to the scan as well.
     */
+  /** ONE validity gate for every derived-table dir (fuzzy_dD,
+    * dict_by_len, vsm_norms): _SUCCESS present, the dict-token marker
+    * matches the CURRENT dictionary's tableToken (the token hashes the
+    * DICTIONARY's listing — it catches staleness after a rebuild but
+    * NOT this dir's own truncation), and the dir's n_files/bytes
+    * manifest agrees with one disk listing (catches truncation;
+    * vacuously true for pre-manifest tables, the same contract as the
+    * build-side resume gate). Shared so a hardening change cannot land
+    * in one copy and miss another.
+    */
+  private def derivedTableValid(dir: String, dictToken: String): Boolean =
+    graft.index.Fs.exists(s"$dir/_SUCCESS") && {
+      val marker = s"$dir/${IndexBuilder.DictTokenFile}"
+      graft.index.Fs.exists(marker) &&
+        graft.index.Fs.readString(marker) == dictToken &&
+        IndexBuilder.manifestIntact(dir)
+    }
+
   private def fuzzyIndexFor(d: Int): Option[DataFrame] =
     fuzzyIndexCache.getOrElseUpdate(d, {
       val dictToken = IndexBuilder.tableToken(paths.dictionary)
-      def valid(dd: Int): Boolean = {
-        val dir = paths.fuzzy(dd)
-        graft.index.Fs.exists(s"$dir/_SUCCESS") && {
-          val marker = s"$dir/${graft.index.IndexBuilder.DictTokenFile}"
-          graft.index.Fs.exists(marker) &&
-            graft.index.Fs.readString(marker) == dictToken &&
-            // the dict token hashes the DICTIONARY's listing, not this
-            // dir's — a variant table that lost part files under
-            // surviving markers would pass both and silently DROP fuzzy
-            // matches; its own n_files/bytes manifest (written by
-            // writeFuzzyIndex) closes that. Pre-manifest tables read as
-            // intact (no manifest => nothing declared), same contract
-            // as dict_by_len.
-            graft.index.IndexBuilder.manifestIntact(dir)
-        }
-      }
+      def valid(dd: Int): Boolean = derivedTableValid(paths.fuzzy(dd), dictToken)
       // probe EVERY persisted distance (a build may have written
       // fuzzy_d{fuzzyMaxDistance} above the backfill cap). Tables from
       // pre-token builds (_SUCCESS but no dict-token marker) read as
@@ -987,17 +1000,25 @@ class QueryEngine(spark: SparkSession, root: String,
     val qCp = q.codePointCount(0, q.length)
     val inDomain = qCp <= graft.core.Fuzzy.MaxTermLen
     val idx = if (inDomain) fuzzyIndexFor(d) else None
+    // unigrams ONLY on every path: a bigram-indexed dictionary also
+    // holds space-joined pseudo-terms ("table scan"), and without this
+    // filter fuzzyTerms("tablescan", 1) would surface them — surprising
+    // results and an engine/oracle divergence (the scalar oracle's
+    // fuzzy searches unigram postings keys)
+    val noBigrams = !$"term".contains(" ")
     idx match {
       case Some(fi) =>
         val qVars = graft.core.Fuzzy.deleteVariants(q, d).toSeq
         fi.filter($"variant".isin(qVars: _*))
           .select($"term", $"term_id", $"df").distinct()
+          .filter(noBigrams)
           .filter(levenshtein($"term", lit(q)) <= d)
       case None =>
         dictByLen match {
           case Some(dbl) =>
             QueryEngine.fuzzyRangeProbes.incrementAndGet()
             dbl.filter($"cp_len" >= lit(qCp - d) && $"cp_len" <= lit(qCp + d))
+              .filter(noBigrams)
               .filter(levenshtein($"term", lit(q)) <= d)
               .select($"term", $"term_id", $"df")
           case None =>
@@ -1009,6 +1030,7 @@ class QueryEngine(spark: SparkSession, root: String,
             dictionary
               .filter(length($"term") >= lit(qCp - d) &&
                 length($"term") <= lit(qCp + d))
+              .filter(noBigrams)
               .filter(levenshtein($"term", lit(q)) <= d)
               .select($"term", $"term_id", $"df")
         }
@@ -1023,17 +1045,7 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   private lazy val dictByLen: Option[DataFrame] = {
     val dir = paths.dictByLen
-    val marker = s"$dir/${graft.index.IndexBuilder.DictTokenFile}"
-    if (graft.index.Fs.exists(s"$dir/_SUCCESS") &&
-        graft.index.Fs.exists(marker) &&
-        graft.index.Fs.readString(marker) ==
-          graft.index.IndexBuilder.tableToken(paths.dictionary) &&
-        // the dict token hashes the DICTIONARY's listing, not this
-        // dir's — a dict_by_len that lost part files under surviving
-        // markers would pass both guards and silently DROP fuzzy
-        // matches; its own manifest (n_files/bytes vs one listing)
-        // closes that, same as the build-side resume gate
-        graft.index.IndexBuilder.manifestIntact(dir))
+    if (derivedTableValid(dir, IndexBuilder.tableToken(paths.dictionary)))
       Some(spark.read.parquet(dir))
     else None
   }
@@ -1051,20 +1063,28 @@ class QueryEngine(spark: SparkSession, root: String,
   /** Reference-parity tf-idf scorer (src/scoring/mod.rs:34-48):
     * score(doc) = Σ_t log10(N/df_t) * tf_{t,doc}.
     */
-  def tfIdfScores(terms: Seq[String]): DataFrame = {
+  def tfIdfScores(terms: Seq[String]): DataFrame =
+    tfIdfFold(terms).getOrElse(emptyScores())
+
+  /** Shared per-doc tf-idf fold (doc_id, score) — the numerator of BOTH
+    * reference-parity scorers. ONE home: the sort_array fold order is
+    * determinism-critical, and two copies would silently drift.
+    * None when no query term is in the dictionary.
+    */
+  private def tfIdfFold(terms: Seq[String]): Option[DataFrame] = {
     val entries = lookupTerms(terms)
-    if (entries.isEmpty) return emptyScores()
+    if (entries.isEmpty) return None
     val n = meta.n_docs
     val dfById = entries.map(e => e.term_id -> e.df).toMap
     val bcDf = spark.sparkContext.broadcast(dfById)
-    decodedPostings(entries.map(_.term_id))
+    Some(decodedPostings(entries.map(_.term_id))
       .map(p => (p.doc_id, p.term_id, Bm25.tfIdf(n, bcDf.value(p.term_id), p.tf)))
       .toDF("doc_id", "term_id", "w")
       .groupBy($"doc_id")
       .agg(aggregate(
         sort_array(collect_list(struct($"term_id", $"w"))),
         lit(0.0),
-        (acc, x) => acc + x.getField("w")).as("score"))
+        (acc, x) => acc + x.getField("w")).as("score")))
   }
 
   // ------------------------------------------- A9: vector-space scoring
@@ -1080,13 +1100,7 @@ class QueryEngine(spark: SparkSession, root: String,
   private lazy val vsmNormsTable: DataFrame = {
     val dir = paths.vsmNorms
     def valid: Boolean =
-      graft.index.Fs.exists(s"$dir/_SUCCESS") && {
-        val marker = s"$dir/${IndexBuilder.DictTokenFile}"
-        graft.index.Fs.exists(marker) &&
-          graft.index.Fs.readString(marker) ==
-            IndexBuilder.tableToken(paths.dictionary) &&
-          IndexBuilder.manifestIntact(dir)
-      }
+      derivedTableValid(dir, IndexBuilder.tableToken(paths.dictionary))
     if (!valid && !QueryEngine.vsmBackfillFailed.contains(root)) {
       QueryEngine.fuzzyBuildLocks
         .getOrElseUpdate(s"$root#vsm", new Object).synchronized {
@@ -1109,11 +1123,16 @@ class QueryEngine(spark: SparkSession, root: String,
     if (valid) spark.read.parquet(dir)
     else
       // read-only root: the WRITER's computation (one shared home, no
-      // drift), served unpersisted
+      // drift), PERSISTED — this lazy val is per-engine, and without
+      // the cache every vsmScores action would re-run the full
+      // postings-pass norm job (the "once per engine" the scaladoc
+      // promises). (doc_id, double) rows: ~16 B/doc, spills to disk
+      // beyond memory.
       new IndexBuilder(spark, Map.empty,
         graft.index.IndexConf(
           numParts = math.max(1, spark.sparkContext.defaultParallelism)))
         .vsmNormsDf(postings, dictionary)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** A9 — vector-space (cosine-normalized) scoring, completing the
@@ -1135,23 +1154,14 @@ class QueryEngine(spark: SparkSession, root: String,
     * the global-statistics answer the way BM25 impacts can (the
     * reference's abandoned design was likewise single-index).
     */
-  def vsmScores(terms: Seq[String]): DataFrame = {
-    val entries = lookupTerms(terms)
-    if (entries.isEmpty) return emptyScores()
-    val n = meta.n_docs
-    val dfById = entries.map(e => e.term_id -> e.df).toMap
-    val bcDf = spark.sparkContext.broadcast(dfById)
-    decodedPostings(entries.map(_.term_id))
-      .map(p => (p.doc_id, p.term_id, Bm25.tfIdf(n, bcDf.value(p.term_id), p.tf)))
-      .toDF("doc_id", "term_id", "w")
-      .groupBy($"doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct($"term_id", $"w"))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("w")).as("num"))
-      .join(vsmNormsTable, Seq("doc_id"))
-      .select($"doc_id", ($"num" / $"vsm_norm").as("score"))
-  }
+  def vsmScores(terms: Seq[String]): DataFrame =
+    tfIdfFold(terms) match {
+      case None => emptyScores()
+      case Some(num) =>
+        num.withColumnRenamed("score", "num")
+          .join(vsmNormsTable, Seq("doc_id"))
+          .select($"doc_id", ($"num" / $"vsm_norm").as("score"))
+    }
 }
 
 object QueryEngine {
@@ -1419,6 +1429,15 @@ private[graft] object TieredQuery {
       finish(tier0.unionByName(tier1).unionByName(tier2), k)
     } else {
       setPath("exact")
+      // KNOWN COST: s.phraseDocs was evaluated once by the cap probe
+      // above and its subtree appears twice more in this plan (the
+      // tier-0 left_semi and the bigram tier's left_anti) — Spark's
+      // exchange/AQE stage reuse usually dedups the identical
+      // subtrees, but is not guaranteed. This is the rare over-cap
+      // fallback whose budget is already "full distributed scoring"
+      // (SCALE.md); persisting phraseDocs here would trade a
+      // per-query cache leak on the serving path for that occasional
+      // recompute, a worse deal.
       val scored = if (s.unigramsPresent) s.exactScores() else s.empty()
       val inPhrase = scored.join(s.phraseDocs, Seq("doc_id"), "left_semi")
         .withColumn("tier", lit(0))

@@ -56,9 +56,14 @@ object TurnStreams {
     *  - batch: every group ends, so the per-group fold emits every
     *    session, closed and final.
     */
-  def sessionize(turns: Dataset[Turn], gapMs: Long = 10 * 60 * 1000L,
+  def sessionize(turnsIn: Dataset[Turn], gapMs: Long = 10 * 60 * 1000L,
       watermark: String = "10 minutes"): Dataset[ConvSession] = {
-    import turns.sparkSession.implicits._
+    import turnsIn.sparkSession.implicits._
+    // a turn without a timestamp cannot be placed in any gap-defined
+    // session — and the ingest schema declares ts nullable, so without
+    // this filter one malformed row would NPE the whole job (batch) or
+    // kill the streaming query (the sort key calls ts.getTime)
+    val turns = turnsIn.filter(col("ts").isNotNull)
 
     def one(t: Turn): ConvSession = ConvSession(t.conv_id, 1,
       if (t.role == "user") 1 else 0,
@@ -175,7 +180,11 @@ object TurnStreams {
       .withColumn("content_hash", md5(col("text")))
     // NULL-text rows pass through untouched: md5(null) = null, and both
     // dedup mechanisms treat null keys as EQUAL — two unrelated turns
-    // that merely lack text would silently collapse into one
+    // that merely lack text would silently collapse into one. NOTE this
+    // deliberately DIFFERS from ops.Dedup.exactDedup, which conflates
+    // null with "" (document-pipeline semantics: both are "no
+    // content"). Here a null text marks a MALFORMED record to preserve,
+    // while "" is a real, if empty, message that dedups normally.
     val nullText = withHash.filter(col("content_hash").isNull)
     val hashed = withHash.filter(col("content_hash").isNotNull)
     val deduped =

@@ -29,6 +29,23 @@ class BigramSpec extends SparkSpecBase {
       Tokenizer.Token(2, "data systems")))
   }
 
+  test("fuzzy lookup never surfaces bigram pseudo-terms") {
+    // the bigram-indexed dictionary holds space-joined terms; a fuzzy
+    // probe whose deletion neighborhood brushes one ("a b" at d >=
+    // 1 from "ab") must not return it — bigrams are composition
+    // artifacts, not words, and the scalar oracle (unigram postings
+    // keys) would diverge
+    val bg = turns.flatMap(t => Tokenizer.bigrams(t.text, lemmas))
+      .groupBy(_.term).maxBy(_._2.size)._1
+    val fused = bg.replace(" ", "") // distance |1| from the bigram
+    Seq(1, 2).foreach { d =>
+      val got = engine.fuzzyTerms(fused, d).collect().map(_.getString(0))
+      assert(got.forall(!_.contains(" ")),
+        s"bigram pseudo-term leaked into fuzzy results at d=$d: " +
+          got.filter(_.contains(" ")).mkString(","))
+    }
+  }
+
   test("positional phrase match is a subset of the indexed bigram docs") {
     // Reference semantics differ deliberately: a bigram joins consecutive
     // SURVIVING lemmas (skipping tokens that clean to empty,

@@ -81,4 +81,32 @@ class UnicodeSpec extends SparkSpecBase {
       assert(got == want, s"unicode top-k mismatch for '$q'\n got=$got\nwant=$want")
     }
   }
+
+  test("fuzzy parity on supplementary-plane terms (code-point levenshtein)") {
+    // A term with a SUPPLEMENTARY alphabetic first char: "\uD835\uDC52go"
+    // (U+1D452 MATHEMATICAL ITALIC SMALL E + "go") — alphabetic, so
+    // cleanWord keeps it. vs query "ego": ONE code-point substitution.
+    // A UTF-16-unit oracle DP counts the surrogate PAIR as two edits,
+    // omits the term at d=1, and wrongly indicts correct engine output
+    // (Spark's levenshtein is code-point based).
+    val mathEgo = "\uD835\uDC52go"
+    assert(oracle.levenshtein(mathEgo, "ego") == 1)
+    val local = Seq(
+      Turn("fz-00000001", 0, "user", s"$mathEgo alpha beta", "", new Timestamp(0L)),
+      Turn("fz-00000002", 0, "user", "ego gamma delta", "", new Timestamp(0L)))
+    val dir = tmpDir("graft-unifuzzy")
+    import spark.implicits._
+    new IndexBuilder(spark, lemmas, IndexConf(numParts = 2))
+      .build(spark.createDataset(local), dir)
+    val e = new QueryEngine(spark, dir, lemmas)
+    val fzOracle = new Oracle(local, lemmas)
+    Seq(("ego", 1), (mathEgo, 1)).foreach { case (q, d) =>
+      val got = e.fuzzyTerms(q, d).collect().map(_.getString(0)).toSet
+      val want = fzOracle.fuzzyTerms(q, d)
+      assert(got == want,
+        s"fuzzy parity mismatch for ('$q', $d): got=$got want=$want")
+      assert(got.contains(mathEgo) && got.contains("ego"),
+        s"both forms must match at d=$d: $got")
+    }
+  }
 }

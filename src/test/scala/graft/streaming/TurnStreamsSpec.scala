@@ -38,6 +38,17 @@ class TurnStreamsSpec extends SparkSpecBase {
     assert(sessions("c2").n_turns == 2)
   }
 
+  test("sessionize skips null-ts turns instead of NPEing the job") {
+    import spark.implicits._
+    // the ingest schema declares ts nullable: one malformed row must
+    // not kill the fold (a null has no place in a gap-defined session)
+    val withNull = turns :+ Turn("c1", 3, "user", "late malformed", "", null)
+    val sessions = TurnStreams.sessionize(spark.createDataset(withNull))
+      .collect().map(s => s.conv_id -> s).toMap
+    assert(sessions("c1").n_turns == 3, "null-ts turn must be excluded")
+    assert(sessions("c2").n_turns == 2)
+  }
+
   test("sessionize (streaming): event-time timeout emits finished sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
