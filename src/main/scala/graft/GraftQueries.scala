@@ -676,6 +676,46 @@ object GraftQueries {
       withOrigDocId(eng, scored)
         .orderBy(col("score").desc, col("doc_id").asc).limit(10)
         .select("doc_id", "score")
+    }),
+
+    // dedup: pairwise LSH candidates contracted to CLUSTERS (connected
+    // components, large-star/small-star) with one deterministic
+    // representative each — the keep-one-per-cluster step a pipeline
+    // actually applies. Two-hop planting (copies at +1e6 AND +2e6 for
+    // doc_id < 10) makes genuine size-3 components whose transitive
+    // closure the pairwise rows alone don't express. Edges persist to
+    // {AUX}/q48_edges so the oracle contracts the exact same graph
+    // (recursive-CTE reachability).
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val p1 = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val p2 = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val all = docs.union(p1).union(p2)
+      val sigs = Dedup.minHashSignatures(all, k = 3, nHashes = 32,
+        family = sketch)
+      val edgesPath = s"${auxDir(dir)}/q48_edges"
+      Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4,
+          minEstJaccard = 0.9, family = sketch)
+        .select(col("doc_a"), col("doc_b"))
+        .coalesce(1).write.mode("overwrite").parquet(edgesPath)
+      Dedup.clusterDocs(all, s.read.parquet(edgesPath))
+        .orderBy("doc_id")
+    }),
+
+    // text: PII-style redaction (emails / IPv4 / 7+-digit runs) with
+    // per-pattern counts. The corpus text carries no PII, so both sides
+    // append an identically-constructed synthetic suffix; the regex
+    // semantics themselves are engine-portable (character classes +
+    // bounded repetition + \b only).
+    "q49_redact" -> ((s, dir) => {
+      val withPii = documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com from 10.20."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ref "),
+          (col("doc_id") + 10000000).cast("string")).as("text"))
+      TextOps.redact(withPii).orderBy("doc_id")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -917,6 +957,51 @@ object GraftQueries {
          |SELECT num.doc_id, round(num.num / nrm.vsm_norm, 4) AS score
          |FROM num JOIN nrm USING (doc_id)
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // connected components over the engine's persisted candidate edges:
+    // reachability via a recursive CTE (set-semantics UNION converges),
+    // component = min reachable id — the same fixpoint the
+    // large-star/small-star contraction computes.
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE
+        |nodes AS (
+        |  SELECT doc_id FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id < 10),
+        |e0 AS (SELECT doc_a, doc_b FROM read_parquet('{AUX}/q48_edges/*.parquet')),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM e0
+        |      UNION SELECT doc_b AS u, doc_a AS v FROM e0),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT e.v AS id, reach.comp FROM reach JOIN e ON e.u = reach.id),
+        |cc AS (SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*)::BIGINT AS cluster_size
+        |          FROM cc GROUP BY component)
+        |SELECT cc.doc_id, cc.component, sizes.cluster_size,
+        |  (cc.doc_id = cc.component) AS is_representative
+        |FROM cc JOIN sizes USING (component)
+        |ORDER BY cc.doc_id""".stripMargin,
+
+    // same injected-PII construction, same three patterns in the same
+    // replacement sequence; counts on the pre-redaction text.
+    "q49_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.20.' ||
+        |      (doc_id % 256) || '.7 ref ' || (doc_id + 10000000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\d{7,}', '<NUM>', 'g') AS text_redacted,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(text, '\d{7,}'))::BIGINT AS n_longnums
+        |FROM pii ORDER BY doc_id""".stripMargin,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

@@ -399,4 +399,133 @@ object Dedup {
         round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
           .as("dup_fraction"))
   }
+
+  /** Connected components over an undirected duplicate-pair graph —
+    * the step that turns pairwise near-dup CANDIDATES (minhash/simhash/
+    * embedding bands all emit pairs) into dedup CLUSTERS with one
+    * representative each. Alternating large-star / small-star rounds
+    * (the MapReduce CC algorithm of Kiveris et al., SoCC 2014):
+    * O(log^2 n) rounds on any graph, each round exactly one
+    * groupBy(min) + one join — no `collect_set`, so a boilerplate hub
+    * with 10^8 neighbors never materializes its adjacency list in one
+    * task buffer, and every shuffle is keyed on a node id that AQE can
+    * skew-split.
+    *
+    * `edges`: two LongType columns (endpoint ids, any names); direction,
+    * duplicates and self-loops are ignored. `nodes` (one LongType
+    * column, optional): isolated ids to carry through as their own
+    * singleton components.
+    *
+    * Returns `(doc_id, component)` with component = MIN id reachable —
+    * deterministic regardless of partitioning or edge order.
+    *
+    * Iteration count is data-dependent, so each round runs one action
+    * (count + xxhash64 fingerprint) to test convergence; `maxIter` is a
+    * safety valve that throws rather than return a half-contracted
+    * graph.
+    */
+  def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
+      maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val allIds = {
+      val fromEdges = edges.toDF("u", "v")
+        .select(col("u")).union(edges.toDF("u", "v").select(col("v")))
+      nodes.map(n => fromEdges.union(n.toDF("u"))).getOrElse(fromEdges)
+        .distinct()
+    }
+
+    // canonical directed form: larger -> smaller, no self-loops
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u}).
+    // m <= u < v, so no self-loops can appear.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star(u): over the canonical (u > v) form, attach u and all
+    // its smaller neighbors to m = min of those neighbors.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e)
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-free set fingerprint: count + xor-fold of row hashes (the
+    // edge sets are distinct, so xor never pair-cancels a duplicate;
+    // xor also can't overflow under ANSI mode, unlike sum)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val row = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    // Each round MUST truncate lineage: largeStar/smallStar reference
+    // their input several times (self-union + join-back), so the logical
+    // plan grows ~6x per iteration — persist alone caches data but keeps
+    // the plan, and ten rounds of a path graph OOM the driver just
+    // STRINGIFYING it. localCheckpoint(eager) rebases the plan on the
+    // materialized RDD (on a real cluster with a checkpoint dir,
+    // `checkpoint` adds executor-loss fault tolerance at the cost of a
+    // write; iteration state here is cheap to recompute from `edges`).
+    var cur = canon(edges.toDF("u", "v")).localCheckpoint(true)
+    var fp = fingerprint(cur)
+    var converged = fp._1 == 0L
+    var it = 0
+    while (!converged) {
+      it += 1
+      if (it > maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextFp = fingerprint(next)
+      converged = nextFp == fp
+      fp = nextFp
+      cur = next
+    }
+
+    // Converged edge set = disjoint stars rooted at each component min:
+    // every non-root has exactly one out-edge (u -> root). Roots and
+    // isolated nodes get component = self via the left join.
+    allIds.select(col("u").as("doc_id"))
+      .join(cur.select(col("u").as("doc_id"), col("v").as("component")),
+        Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(min(col("component")), first(col("doc_id")))
+        .as("component"))
+  }
+
+  /** Cluster assignment for every doc: component id, cluster size, and
+    * a deterministic representative flag (min doc_id — the doc a
+    * keep-one-per-cluster dedup retains). `pairs` carries near-dup
+    * edges as its first two Long columns (e.g. [[minHashCandidates]]
+    * output); docs in no pair become singleton clusters.
+    *
+    * Cluster size is a skew-safe groupBy+join (the [[exactDedup]]
+    * shape), never a component-partitioned window.
+    */
+  def clusterDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(
+      pairs.select(pairs.columns(0), pairs.columns(1)),
+      Some(docs.select(col("doc_id"))))
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, Seq("component"))
+      .withColumn("is_representative", col("doc_id") === col("component"))
+      .select("doc_id", "component", "cluster_size", "is_representative")
+  }
 }

@@ -172,4 +172,40 @@ object TextOps {
         (acc, t) => pmod(acc * B + pmod(family.h60Col(t), lit(M)), lit(M)))
         .as("fingerprint"))
   }
+
+  /** PII-style pattern redaction — the scrub step of a training-data
+    * pipeline. Three patterns, replaced in a fixed sequence (emails
+    * first — an email's local part may itself contain a long digit run,
+    * which must not be re-matched after the address is gone):
+    * emails -> `<EMAIL>`, dotted-quad IPv4 -> `<IP>`, standalone runs of
+    * 7+ digits -> `<NUM>`.
+    *
+    * Per-pattern counts are measured on the ORIGINAL text (so an email
+    * whose local part has 7+ digits counts under both n_emails and
+    * n_longnums — documented overlap, not a bug). Everything is
+    * codegen'd `regexp_replace`/`regexp_extract_all` column expressions
+    * — embarrassingly parallel, no shuffle, no UDF. The patterns use
+    * only character classes, bounded repetition and `\b`, which behave
+    * identically under Java regex (Spark) and RE2 (common oracle
+    * engines).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{7,}"
+
+  def redact(docs: DataFrame): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        LongNumRe, "<NUM>").as("text_redacted"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(LongNumRe), lit(0)))
+        .cast("long").as("n_longnums"))
+  }
 }

@@ -189,6 +189,74 @@ class DedupSpec extends SparkSpecBase {
     assert(res(6L) == ((8L, 0L, 0.0)))
     assert(res.size == 6)
   }
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def ccMap(res: DataFrame): Map[Long, Long] =
+    res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: path graph contracts to min id") {
+    // worst case for naive propagation: a 9-hop path
+    val path = edgesDf((1L to 9L).map(i => (i, i + 1)))
+    val cc = ccMap(Dedup.connectedComponents(path))
+    assert(cc.size == 10)
+    assert(cc.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents: multiple components, isolated nodes, dup/self edges") {
+    val edges = edgesDf(Seq(
+      (5L, 3L), (3L, 7L),          // comp 3 (direction mixed)
+      (10L, 11L), (11L, 10L),      // comp 10, duplicate both ways
+      (20L, 20L)))                 // self loop only -> singleton
+    val nodes = { val s = spark; import s.implicits._
+      Seq(99L, 5L).toDF("id") }    // 99 isolated; 5 already present
+    val cc = ccMap(Dedup.connectedComponents(edges, Some(nodes)))
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 99L -> 99L))
+  }
+
+  test("connectedComponents: empty edge set yields singleton components") {
+    val empty = edgesDf(Seq.empty)
+    val nodes = { val s = spark; import s.implicits._
+      Seq(1L, 2L, 3L).toDF("id") }
+    val cc = ccMap(Dedup.connectedComponents(empty, Some(nodes)))
+    assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("connectedComponents matches scalar union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // scalar union-find oracle with min-id components
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val nodes = { val s = spark; import s.implicits._
+      (0L until n.toLong).toDF("id") }
+    val cc = ccMap(Dedup.connectedComponents(edgesDf(edges), Some(nodes)))
+    assert(cc == expected)
+  }
+
+  test("clusterDocs: transitive closure of pair edges, min-id representative") {
+    // pairs (1,2) and (2,3) never emit (1,3); the cluster must still be {1,2,3}
+    val pairs = edgesDf(Seq((1L, 2L), (2L, 3L)))
+    val res = Dedup.clusterDocs(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(res(1L) == ((1L, 3L, true)))
+    assert(res(2L) == ((1L, 3L, false)))
+    assert(res(3L) == ((1L, 3L, false)))
+    assert(res(4L) == ((4L, 1L, true)))
+    assert(res.size == 6)
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
@@ -383,6 +451,28 @@ class TextOpsSpec extends SparkSpecBase {
     val permuted = Seq((1L, "quick the fox and the lazy dog")).toDF("doc_id", "text")
     val rfP = TextOps.rollingFingerprint(permuted).collect().head.getLong(1)
     assert(rf(1L) != rfP)
+  }
+
+  test("redact: emails, IPv4, long digit runs replaced in sequence; counts on raw text") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c%d@sub.example.org then 10.0.0.255 and 12345678 done"),
+      (2L, "digits-in-local 9876543@x.co stay one EMAIL not a NUM"),
+      (3L, "short 123456 number and 999.999.999.999 odd quad"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val res = TextOps.redact(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(res(1L) == (("mail <EMAIL> then <IP> and <NUM> done", 1L, 1L, 1L)))
+    // the 7-digit local part is consumed by the email replacement first,
+    // but the raw-text count still sees it
+    assert(res(2L) == (("digits-in-local <EMAIL> stay one EMAIL not a NUM", 1L, 0L, 1L)))
+    // 6 digits is below the run threshold; 999.999.999.999 still matches
+    // the dotted-quad shape (syntactic redaction, no range validation)
+    assert(res(3L) == (("short 123456 number and <IP> odd quad", 0L, 1L, 0L)))
+    assert(res(4L) == (("", 0L, 0L, 0L)))
   }
 }
 
