@@ -696,10 +696,12 @@ object GraftQueries {
       val sigs = Dedup.minHashSignatures(all, k = 3, nHashes = 32,
         family = sketch)
       val edgesPath = s"${auxDir(dir)}/q48_edges"
+      // NO coalesce(1): coalesce propagates up the plan and would run
+      // the whole LSH banding join in one task; the oracle reads a glob.
       Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4,
           minEstJaccard = 0.9, family = sketch)
         .select(col("doc_a"), col("doc_b"))
-        .coalesce(1).write.mode("overwrite").parquet(edgesPath)
+        .write.mode("overwrite").parquet(edgesPath)
       Dedup.clusterDocs(all, s.read.parquet(edgesPath))
         .orderBy("doc_id")
     }),

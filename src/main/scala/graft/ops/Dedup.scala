@@ -424,6 +424,11 @@ object Dedup {
     * safety valve that throws rather than return a half-contracted
     * graph.
     */
+  /** Rounds the last [[connectedComponents]] call took to converge
+    * (includes the final no-change confirming round) — diagnostic
+    * only, for tests and latency attribution. */
+  @volatile var lastCcRounds: Int = 0
+
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
@@ -453,10 +458,13 @@ object Dedup {
         .distinct()
     }
 
-    // small-star(u): over the canonical (u > v) form, attach u and all
-    // its smaller neighbors to m = min of those neighbors.
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = canon(e)
+    // small-star(u): attach u and all its smaller neighbors to m = min
+    // of those neighbors. PRECONDITION: input already canonical
+    // (u > v, distinct) — true of canon() and of largeStar's output
+    // (it emits (v_orig, m) with m <= u_orig < v_orig, distinct'd), so
+    // re-canonicalizing here would only add a redundant distinct
+    // shuffle to every round.
+    def smallStar(dir: DataFrame): DataFrame = {
       val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
       dir.join(mins, Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -478,11 +486,13 @@ object Dedup {
     // their input several times (self-union + join-back), so the logical
     // plan grows ~6x per iteration — persist alone caches data but keeps
     // the plan, and ten rounds of a path graph OOM the driver just
-    // STRINGIFYING it. localCheckpoint(eager) rebases the plan on the
-    // materialized RDD (on a real cluster with a checkpoint dir,
+    // STRINGIFYING it. localCheckpoint rebases the plan on the
+    // materialized RDD; LAZY (eager = false) so the fingerprint action
+    // both materializes the checkpoint and tests convergence in a
+    // single job per round. (On a real cluster with a checkpoint dir,
     // `checkpoint` adds executor-loss fault tolerance at the cost of a
-    // write; iteration state here is cheap to recompute from `edges`).
-    var cur = canon(edges.toDF("u", "v")).localCheckpoint(true)
+    // write; iteration state here is cheap to recompute from `edges`.)
+    var cur = canon(edges.toDF("u", "v")).localCheckpoint(false)
     var fp = fingerprint(cur)
     var converged = fp._1 == 0L
     var it = 0
@@ -491,12 +501,13 @@ object Dedup {
       if (it > maxIter)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds")
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextFp = fingerprint(next)
       converged = nextFp == fp
       fp = nextFp
       cur = next
     }
+    lastCcRounds = it
 
     // Converged edge set = disjoint stars rooted at each component min:
     // every non-root has exactly one out-edge (u -> root). Roots and
