@@ -410,10 +410,11 @@ object Bench {
     val catalog =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_CATALOG")) Seq.empty
       else sys.env.get("SPARK_GRAFT_BENCH_ONLY_QUERY") match { // dev knob
-        case Some(prefixes) => // comma-separated prefixes
+        case Some(prefixes) => // comma-separated prefixes; blank = all
           val ps = prefixes.split(',').map(_.trim).filter(_.nonEmpty)
           GraftQueries.benchQueries.toSeq
-            .filter(q => ps.exists(q._1.startsWith)).sortBy(_._1)
+            .filter(q => ps.isEmpty || ps.exists(q._1.startsWith))
+            .sortBy(_._1)
         case None => GraftQueries.benchQueries.toSeq.sortBy(_._1)
       }
     // Materialize one-time lazily-backfilled index infrastructure (the

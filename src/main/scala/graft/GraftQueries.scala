@@ -681,26 +681,40 @@ object GraftQueries {
     // dedup: pairwise LSH candidates contracted to CLUSTERS (connected
     // components, large-star/small-star) with one deterministic
     // representative each — the keep-one-per-cluster step a pipeline
-    // actually applies. Two-hop planting (copies at +1e6 AND +2e6 for
-    // doc_id < 10) makes genuine size-3 components whose transitive
-    // closure the pairwise rows alone don't express. Edges persist to
-    // {AUX}/q48_edges so the oracle contracts the exact same graph
-    // (recursive-CTE reachability).
+    // actually applies. Transitive closure is genuinely exercised: the
+    // planted nodes at +1e6/+2e6 carry DISTINCT marker texts (so LSH
+    // cannot emit any edge among them — in particular not the d<->d+2e6
+    // shortcut) and the chain edges d—d+1e6—d+2e6 are injected by
+    // construction, so the size-3 components exist ONLY via two-hop
+    // reachability and a CC that merged direct neighbors without
+    // iterating would fail this row. Edges persist to {AUX}/q48_edges
+    // so the oracle contracts the exact same graph (recursive-CTE
+    // reachability).
     "q48_dedup_clusters" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
-      val p1 = docs.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val p2 = docs.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      def planted(offset: Long, bound: Int, tag: String) =
+        docs.filter(col("doc_id") < bound)
+          .select((col("doc_id") + offset).as("doc_id"),
+            concat(lit(s"planted $tag "), col("doc_id").cast("string"))
+              .as("text"))
+      val p1 = planted(1000000L, 20, "hopone")
+      val p2 = planted(2000000L, 10, "hoptwo")
       val all = docs.union(p1).union(p2)
       val sigs = Dedup.minHashSignatures(all, k = 3, nHashes = 32,
         family = sketch)
+      val chain = docs.filter(col("doc_id") < 20).select(
+          col("doc_id").as("doc_a"),
+          (col("doc_id") + 1000000).as("doc_b"))
+        .union(docs.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 1000000).as("doc_a"),
+          (col("doc_id") + 2000000).as("doc_b")))
       val edgesPath = s"${auxDir(dir)}/q48_edges"
       // NO coalesce(1): coalesce propagates up the plan and would run
       // the whole LSH banding join in one task; the oracle reads a glob.
       Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4,
           minEstJaccard = 0.9, family = sketch)
         .select(col("doc_a"), col("doc_b"))
+        .union(chain)
         .write.mode("overwrite").parquet(edgesPath)
       Dedup.clusterDocs(all, s.read.parquet(edgesPath))
         .orderBy("doc_id")
@@ -712,8 +726,12 @@ object GraftQueries {
     // semantics themselves are engine-portable (character classes +
     // bounded repetition + \b only).
     "q49_redact" -> ((s, dir) => {
+      // coalesce BEFORE the concat on BOTH sides: a null text would
+      // otherwise null the whole concat in Spark (redact then counts 0
+      // on "") while DuckDB propagates NULL through || and the regexps
+      // (counts NULL) — a hash mismatch waiting for a null-text corpus.
       val withPii = documents(s, dir).select(col("doc_id"),
-        concat(col("text"), lit(" contact user"),
+        concat(coalesce(col("text"), lit("")), lit(" contact user"),
           col("doc_id").cast("string"), lit("@example.com from 10.20."),
           (col("doc_id") % 256).cast("string"), lit(".7 ref "),
           (col("doc_id") + 10000000).cast("string")).as("text"))
@@ -990,7 +1008,7 @@ object GraftQueries {
     "q49_redact" ->
       """WITH pii AS (
         |  SELECT doc_id,
-        |    text || ' contact user' || doc_id || '@example.com from 10.20.' ||
+        |    coalesce(text, '') || ' contact user' || doc_id || '@example.com from 10.20.' ||
         |      (doc_id % 256) || '.7 ref ' || (doc_id + 10000000) AS text
         |  FROM documents)
         |SELECT doc_id,

@@ -405,11 +405,12 @@ object Dedup {
     * embedding bands all emit pairs) into dedup CLUSTERS with one
     * representative each. Alternating large-star / small-star rounds
     * (the MapReduce CC algorithm of Kiveris et al., SoCC 2014):
-    * O(log^2 n) rounds on any graph, each round exactly one
-    * groupBy(min) + one join — no `collect_set`, so a boilerplate hub
-    * with 10^8 neighbors never materializes its adjacency list in one
-    * task buffer, and every shuffle is keyed on a node id that AQE can
-    * skew-split.
+    * O(log^2 n) rounds on any graph, each round two groupBy(min)+join
+    * passes (large-star, then small-star) plus their distincts and one
+    * fingerprint aggregation — and crucially no `collect_set`, so a
+    * boilerplate hub with 10^8 neighbors never materializes its
+    * adjacency list in one task buffer, and every shuffle is keyed on
+    * a node id that AQE can skew-split.
     *
     * `edges`: two LongType columns (endpoint ids, any names); direction,
     * duplicates and self-loops are ignored. `nodes` (one LongType
@@ -424,11 +425,6 @@ object Dedup {
     * safety valve that throws rather than return a half-contracted
     * graph.
     */
-  /** Rounds the last [[connectedComponents]] call took to converge
-    * (includes the final no-change confirming round) — diagnostic
-    * only, for tests and latency attribution. */
-  @volatile var lastCcRounds: Int = 0
-
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
       maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
@@ -492,6 +488,17 @@ object Dedup {
     // single job per round. (On a real cluster with a checkpoint dir,
     // `checkpoint` adds executor-loss fault tolerance at the cost of a
     // write; iteration state here is cheap to recompute from `edges`.)
+    // Unpersist round i-1's checkpoint blocks once round i is
+    // materialized: dropping the DataFrame reference alone leaves the
+    // blocks to the ContextCleaner's GC cadence, which a tight driver
+    // loop rarely triggers — 14 rounds on a 10M-edge graph would hold
+    // 15 copies of the edge relation in executor storage. The final
+    // `cur` stays persisted: the returned plan reads it.
+    def unpersistCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+
     var cur = canon(edges.toDF("u", "v")).localCheckpoint(false)
     var fp = fingerprint(cur)
     var converged = fp._1 == 0L
@@ -503,6 +510,7 @@ object Dedup {
           s"connectedComponents did not converge in $maxIter rounds")
       val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextFp = fingerprint(next)
+      unpersistCheckpoint(cur)
       converged = nextFp == fp
       fp = nextFp
       cur = next
@@ -519,6 +527,11 @@ object Dedup {
       .agg(coalesce(min(col("component")), first(col("doc_id")))
         .as("component"))
   }
+
+  /** Rounds the last [[connectedComponents]] call took to converge
+    * (includes the final no-change confirming round) — diagnostic
+    * only, for tests and latency attribution. */
+  @volatile var lastCcRounds: Int = 0
 
   /** Cluster assignment for every doc: component id, cluster size, and
     * a deterministic representative flag (min doc_id — the doc a

@@ -245,6 +245,18 @@ class DedupSpec extends SparkSpecBase {
     assert(cc == expected)
   }
 
+  test("connectedComponents unpersists intermediate round checkpoints") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val path = edgesDf((1L to 9L).map(i => (i, i + 1)))
+    Dedup.connectedComponents(path).count()
+    assert(Dedup.lastCcRounds >= 2) // multi-round run, so rounds 1..n-1 had checkpoints to free
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final converged round's checkpoint may remain (the
+    // returned plan reads it); earlier rounds must be freed eagerly,
+    // not left to ContextCleaner GC cadence
+    assert(after <= before + 1, s"persistent RDDs grew $before -> $after")
+  }
+
   test("clusterDocs: transitive closure of pair edges, min-id representative") {
     // pairs (1,2) and (2,3) never emit (1,3); the cluster must still be {1,2,3}
     val pairs = edgesDf(Seq((1L, 2L), (2L, 3L)))
