@@ -736,6 +736,21 @@ object GraftQueries {
           (col("doc_id") % 256).cast("string"), lit(".7 ref "),
           (col("doc_id") + 10000000).cast("string")).as("text"))
       TextOps.redact(withPii).orderBy("doc_id")
+    }),
+
+    // pipeline: skew-safe top-k selection per bucket — keep the 5
+    // highest-quality docs per shard (two-phase partial top-k; a single
+    // per-group window would funnel a giant bucket through one task).
+    // quality is round(,4)-ed inside qualityScore, so the ordering obeys
+    // the rounded-value-plus-tie-break oracle rule.
+    "q50_topk_per_group" -> ((s, dir) => {
+      val q = TextOps.qualityScore(documents(s, dir))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(4)).as("shard"),
+          col("quality"))
+      Pipeline.topKPerGroup(q, "shard", "quality", "doc_id", 5)
+        .select(col("shard"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("quality"))
+        .orderBy("shard", "rank")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1022,6 +1037,40 @@ object GraftQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
         |  len(regexp_extract_all(text, '\d{7,}'))::BIGINT AS n_longnums
         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    // quality CTEs mirror q14 verbatim; the selection is a per-shard
+    // row_number over (rounded quality DESC, doc_id ASC)
+    "q50_topk_per_group" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars_actual,
+        |    len(string_split(text,' ')) AS n_tokens,
+        |    len(list_filter(string_split(text,' '), t -> t IN
+        |      ('the','a','of','to','and','in','is','it','you','that','was',
+        |       'for','on','are','as','with','his','they','i','at','be',
+        |       'this','have','from','or','one','had','by','not','but')))
+        |      AS n_stop,
+        |    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |derived AS (
+        |  SELECT doc_id, n_chars_actual, n_tokens,
+        |    round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio,
+        |    CASE WHEN n_chars_actual > 0
+        |      THEN round(n_punct::DOUBLE / n_chars_actual, 4)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    round(least(1.0, n_tokens::DOUBLE / 20.0) * (1.0 - punct_ratio) *
+        |      (CASE WHEN stopword_ratio BETWEEN 0.1 AND 0.6 THEN 1.0 ELSE 0.7 END), 4)
+        |      AS quality
+        |  FROM derived),
+        |ranked AS (
+        |  SELECT shard, doc_id, quality,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY quality DESC, doc_id ASC) AS rank
+        |  FROM q)
+        |SELECT shard, rank, doc_id, quality FROM ranked
+        |WHERE rank <= 5 ORDER BY shard, rank""".stripMargin,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

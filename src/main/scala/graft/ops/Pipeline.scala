@@ -96,6 +96,36 @@ object Pipeline {
     * side is the small one. Returns (doc_id, n_hits) for contaminated
     * docs only.
     */
+  /** Skew-safe top-k rows per group — the "keep the k best-quality docs
+    * per bucket" selection step. A single `row_number() over (partition
+    * by group)` window puts EVERY row of a group in one task: a
+    * boilerplate bucket with 10^8 docs is a straggler cliff. Instead,
+    * two phases with the heap property that makes phase 1 lossless: a
+    * group's global top-k rows are top-k within whatever partition they
+    * sit in, so keeping top-k per (group, input-partition) always
+    * retains them. Phase 1 prunes each group to <= k * nPartitions rows
+    * with NO shuffle of the full relation (window keyed by the physical
+    * partition id); phase 2 runs the tiny global per-group window on the
+    * survivors. Output is independent of the physical partitioning
+    * because the (score desc, tie asc) order is total.
+    *
+    * `scoreCol` descending, ties broken by `tieCol` ascending (pass a
+    * unique id); returns the input columns + `rank` (1-based).
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val order = Seq(col(scoreCol).desc, col(tieCol).asc)
+    val local = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("__pid", "__lr")
+  }
+
   def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
       k: Int): DataFrame = {
     val docSh = Dedup.shingles(docs, k)

@@ -523,6 +523,28 @@ class PipelineSpec extends SparkSpecBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("topKPerGroup matches scalar selection and is partition-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed: group 0 holds ~80% of rows; scores collide to force
+    // tie-breaks through the two-phase path
+    val rows = (0L until 400L).map { id =>
+      (id, if (rnd.nextInt(10) < 8) 0L else 1L + rnd.nextInt(3), rnd.nextInt(12).toDouble)
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).take(5).zipWithIndex
+        .map { case (r, i) => (g, r._1) -> (i + 1) }
+    }
+    Seq(1, 7, 32).foreach { parts =>
+      val df = rows.toDF("doc_id", "grp", "score").repartition(parts)
+      val got = Pipeline.topKPerGroup(df, "grp", "score", "doc_id", 5)
+        .collect().map(r => (r.getAs[Long]("grp"), r.getAs[Long]("doc_id")) ->
+          r.getAs[Int]("rank")).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("packSequences: concatenate-and-slice layout with straddling docs") {
     val docs = docsDf(Seq(
       1L -> Seq.fill(100)("a").mkString(" "),  // cum_before 0
