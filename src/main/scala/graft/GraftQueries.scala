@@ -742,7 +742,9 @@ object GraftQueries {
     // highest-quality docs per shard (two-phase partial top-k; a single
     // per-group window would funnel a giant bucket through one task).
     // quality is round(,4)-ed inside qualityScore, so the ordering obeys
-    // the rounded-value-plus-tie-break oracle rule.
+    // the rounded-value-plus-tie-break oracle rule. pmod vs DuckDB's %
+    // agree only for non-negative doc_ids (the corpus contract; the
+    // same pairing q39 established).
     "q50_topk_per_group" -> ((s, dir) => {
       val q = TextOps.qualityScore(documents(s, dir))
         .select(col("doc_id"), pmod(col("doc_id"), lit(4)).as("shard"),

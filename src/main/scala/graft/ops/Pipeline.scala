@@ -96,6 +96,15 @@ object Pipeline {
     * side is the small one. Returns (doc_id, n_hits) for contaminated
     * docs only.
     */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
+      k: Int): DataFrame = {
+    val docSh = Dedup.shingles(docs, k)
+    val benchSh = Dedup.shingles(benchmark, k)
+      .select(col("shingle")).distinct()
+    docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Skew-safe top-k rows per group — the "keep the k best-quality docs
     * per bucket" selection step. A single `row_number() over (partition
     * by group)` window puts EVERY row of a group in one task: a
@@ -107,13 +116,21 @@ object Pipeline {
     * with NO shuffle of the full relation (window keyed by the physical
     * partition id); phase 2 runs the tiny global per-group window on the
     * survivors. Output is independent of the physical partitioning
-    * because the (score desc, tie asc) order is total.
+    * because the (score desc, tie asc) order is total — which REQUIRES
+    * `tieCol` to be unique (a non-unique tie makes phase 1's pruning
+    * layout-dependent, silently reintroducing the nondeterminism this
+    * helper exists to prevent; pass a unique id).
     *
-    * `scoreCol` descending, ties broken by `tieCol` ascending (pass a
-    * unique id); returns the input columns + `rank` (1-based).
+    * `scoreCol` descending, ties broken by `tieCol` ascending; returns
+    * the input columns + `rank` (1-based).
     */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       tieCol: String, k: Int): DataFrame = {
+    val reserved = Seq("rank", "__pid", "__lr")
+    require(!df.columns.exists(reserved.contains),
+      s"topKPerGroup reserves columns ${reserved.mkString(", ")}; " +
+        "rename them on the input (a caller 'rank' would be silently " +
+        "overwritten, __pid/__lr silently dropped)")
     val order = Seq(col(scoreCol).desc, col(tieCol).asc)
     val local = Window.partitionBy(col(groupCol), col("__pid"))
       .orderBy(order: _*)
@@ -124,14 +141,5 @@ object Pipeline {
       .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
       .drop("__pid", "__lr")
-  }
-
-  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
-      k: Int): DataFrame = {
-    val docSh = Dedup.shingles(docs, k)
-    val benchSh = Dedup.shingles(benchmark, k)
-      .select(col("shingle")).distinct()
-    docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 }

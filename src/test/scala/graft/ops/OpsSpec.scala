@@ -545,6 +545,16 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("topKPerGroup rejects inputs with reserved column names") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, 0L, 1.0, 9L)).toDF("doc_id", "grp", "score", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.topKPerGroup(df, "grp", "score", "doc_id", 5)
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("packSequences: concatenate-and-slice layout with straddling docs") {
     val docs = docsDf(Seq(
       1L -> Seq.fill(100)("a").mkString(" "),  // cum_before 0
