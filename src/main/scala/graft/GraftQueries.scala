@@ -753,6 +753,55 @@ object GraftQueries {
         .select(col("shard"), col("rank").cast("long").as("rank"),
           col("doc_id"), col("quality"))
         .orderBy("shard", "rank")
+    }),
+
+    // serving: FILTERED BM25 top-k — the metadata-predicate search
+    // (here: mid-length docs, doc_len BETWEEN 20 AND 45). Statistics
+    // stay global (scores identical to q07's for surviving docs);
+    // rounded-score ordering like q07. Post-filtering q07's top-10
+    // would be WRONG (returns <10 rows when a global winner fails the
+    // predicate) — this scores the filtered candidate set.
+    "q51_filtered_topk" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      val scored = eng.bm25ScoresFiltered(Seq("query", "join"),
+          col("doc_len").between(20, 45))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      withOrigDocId(eng, scored)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id", "score")
+    }),
+
+    // serving: keyword-in-context snippets over the BM25 top-10 —
+    // first_pos from the POSITIONAL INDEX (chunk-pruned candidate
+    // decode), window text from the stored docs table. Top-k taken on
+    // rounded scores (q07 boundary rule) so both engines window the
+    // same docs; the ±3-token slice clamps at doc edges on both sides
+    // (Spark slice and DuckDB list_slice both truncate).
+    "q52_snippets" -> ((s, dir) => {
+      import s.implicits._
+      val eng = engineFor(s, dir)
+      val terms = Seq("vector", "window")
+      val top = eng.bm25Scores(terms)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      val ids = top.select("doc_id").as[Long].collect()
+      val out = top.join(eng.snippetsFor(terms, ids, window = 3), Seq("doc_id"))
+        .select(col("doc_id"), col("score"),
+          col("first_pos").cast("long").as("first_pos"), col("snippet"))
+      withOrigDocId(eng, out)
+        .select("doc_id", "score", "first_pos", "snippet")
+        .orderBy("doc_id")
+    }),
+
+    // serving: prefix suggest (typeahead) — top-4 terms with prefix 's'
+    // by (df desc, term asc), a pushed StringStartsWith range probe of
+    // the term-sorted dictionary. Final orderBy(term) AFTER the limit:
+    // the SELECTION is what the row pins (both sides pick the same 4
+    // terms under the total order), the presentation order is just
+    // hash-stable.
+    "q53_suggest" -> ((s, dir) => {
+      val eng = engineFor(s, dir)
+      eng.suggest("s", 4).orderBy("term")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1073,6 +1122,68 @@ object GraftQueries {
         |  FROM q)
         |SELECT shard, rank, doc_id, quality FROM ranked
         |WHERE rank <= 5 ORDER BY shard, rank""".stripMargin,
+
+    // q07's BM25 with the doc_len predicate applied to the SCORED set
+    // only (stats/df stay global — the filtered-search contract)
+    "q51_filtered_topk" ->
+      s"""WITH toks AS ($toks),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
+         |   count(*)::DOUBLE AS avgdl FROM documents),
+         |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('query','join') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('query','join') GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+         |         (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) )
+         |      AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+         |  WHERE dl.dl BETWEEN 20 AND 45
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 4) AS score FROM scored
+         |ORDER BY round(score, 4) DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // rounded-score top-10 (q07 boundary rule) + first term position +
+    // the ±3-token window; list_slice clamps at doc edges like Spark's
+    // slice
+    "q52_snippets" ->
+      s"""WITH toks AS ($toks),
+         |stats AS (SELECT count(*)::DOUBLE AS n,
+         |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
+         |   count(*)::DOUBLE AS avgdl FROM documents),
+         |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('vector','window') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('vector','window') GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    round(sum( ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5)) *
+         |      (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ), 4)
+         |      AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+         |  GROUP BY tf.doc_id),
+         |top AS (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |fp AS (SELECT doc_id, min(pos) AS first_pos FROM toks
+         |       WHERE term IN ('vector','window') GROUP BY doc_id)
+         |SELECT t.doc_id, t.score, f.first_pos,
+         |  array_to_string(list_slice(string_split(d.text, ' '),
+         |    greatest(f.first_pos - 3, 0) + 1, f.first_pos + 4), ' ') AS snippet
+         |FROM top t JOIN fp f USING (doc_id) JOIN documents d USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // selection pinned by the (df desc, term asc) total order; rows
+    // presented term-sorted
+    "q53_suggest" ->
+      s"""SELECT term, df FROM (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM ($toks)
+         |  WHERE term LIKE 's%' GROUP BY term
+         |  ORDER BY df DESC, term ASC LIMIT 4)
+         |ORDER BY term""".stripMargin,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

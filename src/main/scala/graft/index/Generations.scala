@@ -465,6 +465,72 @@ class MultiGenEngine(spark: SparkSession, root: String,
       k, handleQueryClaimCap, p => lastHandlePath = p)
   }
 
+  /** Filtered search across generations — the multi-generation form of
+    * QueryEngine.bm25ScoresFiltered: exact GLOBAL-statistics scores
+    * restricted to docs matching `pred` (evaluated against every
+    * generation's docs table; doc_id ranges are disjoint so the union
+    * is lossless). Same selectivity routing as the single engine:
+    * ≤ candidateCap matches (one count) go through each generation's
+    * candidate-pruned chunk machinery (foreign-range candidates match
+    * no chunk there); broader filters left-semi the fold rows before
+    * the per-doc aggregation.
+    */
+  def bm25ScoresFiltered(terms: Seq[String],
+      pred: org.apache.spark.sql.Column,
+      candidateCap: Int = 20000): DataFrame = {
+    val st = new GlobalStats(terms.distinct)
+    if (st.ordered.isEmpty) return emptyScores()
+    val allowed = engines.map(_.docs.filter(pred).select($"doc_id"))
+      .reduce(_ unionByName _)
+    val nAllowed = allowed.count()
+    if (nAllowed == 0L) emptyScores()
+    else if (nAllowed <= candidateCap)
+      scoresForCandidates(st, allowed.as[Long].collect().sorted)
+    else {
+      val rows = engines.zip(st.perGen)
+        .flatMap { case (e, d) => foldRows(st, d, st.ordered, e.scoredPostings) }
+      if (rows.isEmpty) emptyScores()
+      else aggScores(rows.reduce(_ unionByName _)
+        .join(allowed, Seq("doc_id"), "left_semi"))
+    }
+  }
+
+  /** BM25 top-k under a metadata predicate across generations. */
+  def bm25TopKFiltered(query: String, k: Int,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    bm25ScoresFiltered(queryTerms(query), pred)
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+
+  /** Prefix suggest across generations: per-generation pushed-StartsWith
+    * dictionary probes, dfs summed per term (= the compacted global df),
+    * then the (df desc, term asc) bounded heap.
+    */
+  def suggest(prefix: String, n: Int): DataFrame =
+    engines.map(_.dictionary.filter($"term".startsWith(prefix))
+        .select($"term", $"df"))
+      .reduce(_ unionByName _)
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .orderBy($"df".desc, $"term".asc)
+      .limit(n)
+
+  /** Snippets across generations: doc_id ranges are disjoint, so each
+    * generation serves the ids it owns and the union is lossless (a
+    * foreign id finds no postings in that generation). `docIds` is
+    * k-bounded, so handing the whole array to every generation costs
+    * only its broadcast.
+    */
+  def snippetsFor(terms: Seq[String], docIds: Array[Long],
+      window: Int = 3): DataFrame =
+    engines.map(_.snippetsFor(terms, docIds, window)).reduce(_ unionByName _)
+
+  /** Result-page serving across generations: global top-k + snippets. */
+  def searchWithSnippets(query: String, k: Int, window: Int = 3): DataFrame = {
+    val terms = queryTerms(query)
+    val top = bm25TopKForTerms(terms, k)
+    val ids = top.select($"doc_id").as[Long].collect()
+    top.join(snippetsFor(terms, ids, window), Seq("doc_id"), "left")
+  }
+
   // Boolean / positional / fuzzy across generations: doc_id ranges are
   // globally disjoint, so per-generation results union losslessly —
   // term_ids are generation-LOCAL and never cross this boundary.

@@ -156,16 +156,23 @@ class QueryEngine(spark: SparkSession, root: String,
     * (SURVEY.md §7.3(2)).
     */
   private def exactScores(entries: Seq[DictRow],
-      chunkFilter: Column = lit(true)): DataFrame = {
+      chunkFilter: Column = lit(true),
+      restrict: Option[DataFrame] = None): DataFrame = {
     val avgdl = meta.avgdl
     val k1 = meta.k1
     val b = meta.b
     val idfById = entries.map(e => e.term_id -> e.idf).toMap
     val bcIdf = spark.sparkContext.broadcast(idfById)
-    decodedPostings(entries.map(_.term_id), chunkFilter)
+    val impacts = decodedPostings(entries.map(_.term_id), chunkFilter)
       .map(p => (p.doc_id, p.term_id,
         Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avgdl, k1, b)))
       .toDF("doc_id", "term_id", "impact")
+    // restrict (filtered search, broad-filter path): left-semi BEFORE
+    // the fold — both the join and the groupBy hash by doc_id, so the
+    // join's exchange is reused by the aggregation (postings shuffle
+    // once); excluded docs never enter the fold's state. No broadcast
+    // hint: AQE broadcasts the allowed side iff its runtime size fits.
+    restrict.fold(impacts)(r => impacts.join(r, Seq("doc_id"), "left_semi"))
       .groupBy($"doc_id")
       .agg(aggregate(
         sort_array(collect_list(struct($"term_id", $"impact"))),
@@ -423,6 +430,130 @@ class QueryEngine(spark: SparkSession, root: String,
     val entries = lookupTerms(terms)
     if (entries.isEmpty) emptyScores() else exactScores(entries)
   }
+
+  // ----------------------------------------------- filtered search (q51)
+
+  /** Exact BM25 scores restricted to documents matching `pred` — a
+    * predicate over the docs-table metadata columns (doc_len, role,
+    * conv_id, turn_idx, ts-derived fields). Statistics stay GLOBAL
+    * (idf, avgdl, k-th bounds come from the whole corpus): the filter
+    * restricts the CANDIDATE SET, not the scoring model, so a doc's
+    * score is bit-identical with and without the filter — the standard
+    * filtered-search contract, and what makes scores comparable across
+    * filters.
+    *
+    * Two plans by filter selectivity, result-identical (test-pinned):
+    *  - selective (≤ `candidateCap` matching docs, established by ONE
+    *    distributed count before any postings IO): collect the doc_ids
+    *    and score through the block-max candidate machinery — chunks
+    *    whose [min_doc_id, max_doc_id] range contains no candidate are
+    *    never decoded (their tf/dl bytes stay unread in Parquet);
+    *  - broad: left-semi join the per-posting impacts against the
+    *    allowed doc_ids BEFORE the per-doc fold (see exactScores —
+    *    the join shares the fold's doc_id exchange). A broad filter
+    *    touches most postings anyway, so candidate chunk-pruning would
+    *    save nothing while shipping a huge broadcast.
+    * At 10^12 turns the count is a metadata-cheap scan of the docs
+    * table (column-pruned to doc_id + the predicate columns), and
+    * `candidateCap` bounds driver memory exactly like the WAND tier-1
+    * candidate guard.
+    */
+  def bm25ScoresFiltered(terms: Seq[String], pred: Column,
+      candidateCap: Int = 20000): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.isEmpty) return emptyScores()
+    val allowed = docs.filter(pred).select($"doc_id")
+    val nAllowed = allowed.count()
+    if (nAllowed == 0L) emptyScores()
+    else if (nAllowed <= candidateCap) {
+      val cand = allowed.as[Long].collect().sorted
+      scoresForCandidates(entries, cand)
+    } else exactScores(entries, restrict = Some(allowed))
+  }
+
+  /** BM25 top-k under a metadata predicate. Post-filtering an
+    * UNfiltered top-k is NOT equivalent (it returns < k rows whenever
+    * any of the global top-k fail the predicate); this scores the
+    * filtered candidate set and heaps over it.
+    */
+  def bm25TopKFiltered(query: String, k: Int, pred: Column): DataFrame =
+    topK(bm25ScoresFiltered(queryTerms(query), pred), k)
+
+  // -------------------------------------------------------- snippets (q52)
+
+  /** Keyword-in-context snippets for a k-bounded result set:
+    * `first_pos` = the earliest position of ANY of `terms` in the doc
+    * (positions come from the POSITIONAL INDEX — the text is never
+    * re-tokenized), `snippet` = the ±window tokens around it from the
+    * stored document text. The positional decode goes through the
+    * candidate-pruned chunk path (only chunks whose doc range contains
+    * a result doc are read — for top-k-sized inputs that is O(k) chunks
+    * per term); the text join is k rows against the doc_id-sorted docs
+    * parquet (row-group pruned), the withDocMeta shape.
+    *
+    * Both `slice` ends clamp at the document boundary, so windows at
+    * the start/end of a doc shrink rather than error.
+    *
+    * Alignment contract: index positions advance once per WHITESPACE-
+    * separated raw token (empty-after-cleaning tokens still advance,
+    * Tokenizer.tokenize), and the window is cut from `split(text, " ")`
+    * — so the snippet aligns exactly on single-space-joined text (the
+    * pre-cleaned corpora; q01 asserts split == tokenizer for
+    * `documents`). Text with tabs/runs of spaces would need a
+    * position-preserving splitter here; snippet WORDS are raw text
+    * (punctuation and case preserved), which is what a result page
+    * wants.
+    */
+  def snippetsFor(terms: Seq[String], docIds: Array[Long],
+      window: Int = 3): DataFrame = {
+    val entries = lookupTerms(terms)
+    if (entries.isEmpty || docIds.isEmpty)
+      return Seq.empty[(Long, Int, String)]
+        .toDF("doc_id", "first_pos", "snippet")
+    val bc = spark.sparkContext.broadcast(docIds.sorted)
+    val firstPos = entries.map(e => positionedForCandidates(e.term_id, bc))
+      .reduce(_ union _)
+      .map(p => (p.doc_id, p.positions.head)) // per-posting positions ascend
+      .toDF("doc_id", "pos")
+      .groupBy($"doc_id")
+      .agg(min($"pos").as("first_pos"))
+    // 0-based first_pos p -> 1-based slice [max(p-w,0)+1, p+w+1]
+    val from = greatest($"first_pos" - window, lit(0))
+    firstPos
+      .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+      .select($"doc_id", $"first_pos",
+        array_join(slice(split($"text", " "), from + lit(1),
+          $"first_pos" + lit(window + 1) - from), " ").as("snippet"))
+  }
+
+  /** Serving wrapper: BM25 top-k with snippets in one call — the
+    * result-page shape (doc_id, score, first_pos, snippet). The top-k
+    * ids are collected (k-bounded) to drive the chunk-pruned snippet
+    * pass; left join so a result doc is never dropped by the snippet
+    * stage.
+    */
+  def searchWithSnippets(query: String, k: Int, window: Int = 3): DataFrame = {
+    val terms = queryTerms(query)
+    val top = bm25TopKForTerms(terms, k)
+    val ids = top.select($"doc_id").as[Long].collect()
+    top.join(snippetsFor(terms, ids, window), Seq("doc_id"), "left")
+  }
+
+  // -------------------------------------------- prefix suggest (q53)
+
+  /** Prefix suggestion (typeahead): the `n` highest-df dictionary terms
+    * with the given prefix, (df desc, term asc)-ordered — term is
+    * unique, so the order is total and the result deterministic. The
+    * scan pushes a StringStartsWith filter into the dictionary Parquet
+    * (whose term-sorted, range-partitioned layout makes the prefix a
+    * contiguous row-group range); no postings IO at all, and the plan
+    * is a TakeOrderedAndProject over the pruned scan.
+    */
+  def suggest(prefix: String, n: Int): DataFrame =
+    dictionary.filter($"term".startsWith(prefix))
+      .select($"term", $"df")
+      .orderBy($"df".desc, $"term".asc)
+      .limit(n)
 
   /** Exact block-max top-k pruning — the batch MaxScore strategy (Turtle
     * & Flood '95; block-max refinement after Ding & Suel '11), on top of
