@@ -391,6 +391,39 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // ---- serving surface: filtered search (both selectivity routes on
+    // the same predicate — the routing knob, not the filter, picks the
+    // plan), result-page snippets, and prefix suggest.
+    {
+      import org.apache.spark.sql.functions.col
+      val servQ = s"the ${Transcripts.contentWords(5)}"
+      val pred = col("doc_len") % 10 === 0 // ~10% of docs
+      results("filtered_topk_candidates_sec") = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        engine.bm25ScoresFiltered(engine.queryTerms(servQ), pred,
+          candidateCap = Int.MaxValue - 1)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      results("filtered_topk_semijoin_sec") = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        engine.bm25ScoresFiltered(engine.queryTerms(servQ), pred,
+          candidateCap = 0)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      results("search_snippets_sec") = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        engine.searchWithSnippets(servQ, 10).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      results("suggest_sec") = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        engine.suggest(Transcripts.contentWords(5).take(2), 8).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
     // ---- rare-term + stopword phrase: the candidate-pruned positional
     // plan (doc-id intersection first; the stopword's positional blobs
     // are read only for chunks containing the few intersection docs).

@@ -523,12 +523,18 @@ class MultiGenEngine(spark: SparkSession, root: String,
       window: Int = 3): DataFrame =
     engines.map(_.snippetsFor(terms, docIds, window)).reduce(_ unionByName _)
 
-  /** Result-page serving across generations: global top-k + snippets. */
+  /** Result-page serving across generations: global top-k + snippets.
+    * One top-k job — the k rows come back as a LocalRelation for the
+    * snippet join (see QueryEngine.searchWithSnippets).
+    */
   def searchWithSnippets(query: String, k: Int, window: Int = 3): DataFrame = {
     val terms = queryTerms(query)
-    val top = bm25TopKForTerms(terms, k)
-    val ids = top.select($"doc_id").as[Long].collect()
-    top.join(snippetsFor(terms, ids, window), Seq("doc_id"), "left")
+    val topRows = bm25TopKForTerms(terms, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ids = topRows.map(_._1).toArray
+    topRows.toDF("doc_id", "score")
+      .join(snippetsFor(terms, ids, window), Seq("doc_id"), "left")
+      .orderBy($"score".desc, $"doc_id".asc)
   }
 
   // Boolean / positional / fuzzy across generations: doc_id ranges are
