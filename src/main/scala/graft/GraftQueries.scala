@@ -150,6 +150,44 @@ object GraftQueries {
     new graft.index.MultiGenEngine(spark, root, Map.empty)
   }
 
+  /** [[multiGenFor]] plus tombstones (q54): the same two-generation
+    * hot-append root at a SEPARATE path (q46's root must stay
+    * delete-free), with every doc whose original doc_id ≡ 3 (mod 7)
+    * tombstoned via `deleteDocsAt` — the idempotent explicit-directory
+    * form, so a Verify re-run over a cached root never stacks duplicate
+    * batches. Lucene liveDocs semantics: results exclude the tombstoned
+    * docs while BM25 statistics stay pre-delete, which is exactly what
+    * the oracle SQL expresses (full-corpus stats, filtered final SELECT).
+    */
+  def multiGenDeletedFor(spark: SparkSession, dir: String)
+      : graft.index.MultiGenEngine = {
+    val key = s"twogendel:$dir"
+    val root = indexCache.getOrElseUpdate(key, {
+      val token = IndexBuilder.tableToken(s"$dir/documents.parquet").take(12)
+      val out = s"/tmp/graft_index_twogendel_${safeName(dir)}_$token"
+      val conf = IndexConf(numParts = spark.sparkContext.defaultParallelism,
+        skewDfThreshold = 100000L, nSalts = 8)
+      val split = documents(spark, dir)
+        .agg(max(col("doc_id"))).head().getLong(0) / 2
+      import spark.implicits._
+      val turns = docsAsTurns(spark, dir)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id < f"conv-${split + 1}%010d"),
+        out, s"$out/gen-00000", Map.empty, conf)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id >= f"conv-${split + 1}%010d"),
+        out, s"$out/gen-00001", Map.empty, conf)
+      val delIds = graft.index.Generations.genDirs(out)
+        .map(g => spark.read.parquet(graft.index.IndexPaths(g).docs)
+          .filter(expr("cast(substring(conv_id, 6) as long) % 7 = 3"))
+          .select("doc_id"))
+        .reduce(_ unionByName _).as[Long]
+      graft.index.Generations.deleteDocsAt(spark, delIds, out, s"$out/del-00000")
+      out
+    })
+    new graft.index.MultiGenEngine(spark, root, Map.empty)
+  }
+
   // --------------------------------------------------------- query catalog
 
   /** The oracle-paired catalog: the sketch queries (q18/q19/q23/q42/q43)
@@ -802,6 +840,24 @@ object GraftQueries {
     "q53_suggest" -> ((s, dir) => {
       val eng = engineFor(s, dir)
       eng.suggest("s", 4).orderBy("term")
+    }),
+
+    // document deletion (tombstones) on the hot-append root: q46's
+    // two-generation handle_query with every orig-doc_id ≡ 3 (mod 7)
+    // tombstoned. Lucene liveDocs semantics — deleted docs are excluded
+    // from every tier and never claim result slots, while BM25
+    // statistics stay pre-delete until compaction; the oracle computes
+    // full-corpus stats and filters only the final scored set, which is
+    // exactly that contract. Same top-100-raw + rounded-reorder envelope
+    // as q46.
+    "q54_handle_query_deletes" -> ((s, dir) => {
+      val m = multiGenDeletedFor(s, dir)
+      val got = m.handleQuery("table scan", 100)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("tier"))
+      withOrigDocIdMulti(m, got)
+        .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "score", "tier")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -849,7 +905,14 @@ object GraftQueries {
     * two engines score-identical, which is exactly what sharing the
     * oracle asserts.
     */
-  private val handleQuerySql: String =
+  private val handleQuerySql: String = handleQuerySqlFor("")
+
+  /** [[handleQuerySql]] with an optional live-docs predicate on the
+    * final SELECT — the q54 deletes oracle: statistics CTEs stay
+    * full-corpus (pre-delete, the Lucene docFreq-includes-deletes
+    * contract) and only the served rows are filtered.
+    */
+  private def handleQuerySqlFor(liveWhere: String): String =
     s"""WITH toks AS ($toks),
        |stats AS (SELECT count(*)::DOUBLE AS n,
        |  (SELECT sum(len(string_split(text,' ')))::DOUBLE FROM documents) /
@@ -873,6 +936,7 @@ object GraftQueries {
        |SELECT s.doc_id, s.score,
        |  CASE WHEN p.doc_id IS NOT NULL THEN 0 ELSE 2 END AS tier
        |FROM scored s LEFT JOIN phrase p ON s.doc_id = p.doc_id
+       |$liveWhere
        |ORDER BY tier ASC, s.score DESC, s.doc_id ASC LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -1184,6 +1248,12 @@ object GraftQueries {
          |  WHERE term LIKE 's%' GROUP BY term
          |  ORDER BY df DESC, term ASC LIMIT 4)
          |ORDER BY term""".stripMargin,
+
+    // q46's handle_query with orig-doc_id ≡ 3 (mod 7) tombstoned:
+    // statistics CTEs stay full-corpus (Lucene pre-compaction
+    // semantics), only the served rows are filtered
+    "q54_handle_query_deletes" ->
+      handleQuerySqlFor("WHERE s.doc_id % 7 <> 3"),
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

@@ -65,6 +65,81 @@ object Generations {
       .build(turns, dir)
     dir
   }
+
+  // -------------------------------------------------------------- deletes
+  //
+  // Document deletion = tombstone batches (Lucene liveDocs semantics):
+  // a `del-NNNNN/` directory beside the generations holds the deleted
+  // doc_ids as parquet plus a `del_meta.json` marker written LAST
+  // (atomic rename), so a crashed delete is invisible. Tombstoned docs
+  // are excluded from every MultiGenEngine result and from its scoring
+  // folds immediately, but global statistics (N, df, avgdl) stay
+  // PRE-DELETE until compaction physically purges the postings — the
+  // exact semantics Lucene serves between a deleteDocuments() and the
+  // segment merge (its docFreq includes deleted docs too). Generation
+  // metas are never touched, so doc_id assignment for future appends
+  // (`totalDocs`) keeps counting deleted ids — ids are never reused.
+
+  /** The complete, committed tombstone batches under `root`, sorted. */
+  def delDirs(root: String): Seq[String] =
+    Fs.listNames(root)
+      .filter(n => n.startsWith("del-") && Fs.exists(s"$root/$n/del_meta.json"))
+      .sorted
+      .map(n => s"$root/$n")
+
+  /** Tombstone a batch of doc_ids; returns the batch directory. Naming
+    * mirrors [[append]]: max existing numeric suffix + 1, so crashed
+    * partials (meta-less dirs) are never reused.
+    */
+  def deleteDocs(spark: SparkSession, docIds: Dataset[Long],
+      root: String): String = {
+    val next = Fs.listNames(root)
+      .filter(_.matches("del-\\d+"))
+      .map(_.stripPrefix("del-").toLong)
+      .foldLeft(-1L)(math.max) + 1
+    deleteDocsAt(spark, docIds, root, f"$root/del-$next%05d")
+  }
+
+  /** Tombstone at an EXPLICIT directory — idempotent (a committed batch
+    * is a replay and is skipped): the exactly-once seam for a
+    * foreachBatch delete stream, mirroring [[appendAt]].
+    */
+  def deleteDocsAt(spark: SparkSession, docIds: Dataset[Long],
+      root: String, dir: String): String = {
+    if (Fs.exists(s"$dir/del_meta.json")) return dir
+    Fs.mkdirs(root)
+    docIds.distinct().toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/ids")
+    val n = spark.read.parquet(s"$dir/ids").count()
+    IndexBuilder.writeAtomic(s"$dir/del_meta.json", s"""{"n_ids":$n}""")
+    dir
+  }
+
+  /** Tombstone every doc matching `pred` over the generations' docs
+    * tables (doc_len, role, conv_id, turn_idx, ts columns) — the
+    * metadata-takedown form (e.g. delete a whole conversation).
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      pred: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    val ids = genDirs(root)
+      .map(g => spark.read.parquet(IndexPaths(g).docs)
+        .filter(pred).select("doc_id"))
+      .reduce(_ unionByName _)
+      .as[Long]
+    deleteDocs(spark, ids, root)
+  }
+
+  /** Union of all committed tombstone batches (distinct doc_ids), or
+    * None when the root has no deletes — so the no-delete serving path
+    * stays join-free.
+    */
+  def deletedDocs(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dirs = delDirs(root)
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => spark.read.parquet(s"$d/ids"))
+      .reduce(_ unionByName _).distinct())
+  }
 }
 
 /** Query engine over all generations of an incremental index. BM25 idf
@@ -83,6 +158,32 @@ class MultiGenEngine(spark: SparkSession, root: String,
   val gens: Seq[String] = Generations.genDirs(root)
   require(gens.nonEmpty, s"no generations under $root")
   val engines: Seq[QueryEngine] = gens.map(new QueryEngine(spark, _, lemmas))
+
+  /** Tombstoned doc_ids (union of the root's committed `del-*` batches),
+    * None when the root has no deletes. Lucene liveDocs semantics:
+    * deleted docs are excluded from every doc-level result and from the
+    * scoring FOLD itself (they never emit fold rows, so theta, the
+    * candidate set and the top-k limit all operate on survivors only —
+    * exact top-k over the live corpus), while global statistics
+    * (N, df, avgdl) and chunk block-max bounds stay PRE-DELETE until
+    * compaction purges the postings. Stale bounds remain valid UPPER
+    * bounds for survivor scores, so pruning stays sound, just slightly
+    * less tight. Term-level surfaces (suggest, fuzzyTerms, dictionary
+    * df) are likewise unaffected until compaction — exactly Lucene's
+    * docFreq-includes-deletes behavior, documented here so nobody
+    * "fixes" it into a per-query df recount (which would need a
+    * per-term deleted-df table rebuilt on every delete).
+    */
+  val deletedIds: Option[DataFrame] = Generations.deletedDocs(spark, root)
+
+  /** Anti-join `df` against the tombstones on doc_id; no-op (no join in
+    * the plan at all) on roots without deletes. The tombstone side is
+    * a plain parquet relation, so AQE broadcasts it while it is small —
+    * the common state between compactions — and falls back to a shuffled
+    * anti-join if a takedown wave outgrows the broadcast threshold.
+    */
+  private def dropDeleted(df: DataFrame): DataFrame =
+    deletedIds.fold(df)(d => df.join(d, Seq("doc_id"), "left_anti"))
 
   val nDocs: Long = engines.map(_.meta.n_docs).sum
   // one set of BM25 constants across generations (chunk max_impacts are
@@ -172,10 +273,14 @@ class MultiGenEngine(spark: SparkSession, root: String,
       // map below would capture `this` (unserializable engine)
       val k1L = k1
       val bL = bParam
-      Some(source(present.map(dict(_).term_id))
+      // deletes are dropped at the FOLD-ROW level: theta, candidate
+      // selection and the final limit then all see survivors only, so
+      // pruned top-k stays exact over the live corpus (scores still use
+      // pre-delete global stats — the documented Lucene semantics)
+      Some(dropDeleted(source(present.map(dict(_).term_id))
         .map(p => (p.doc_id, bcKey.value(p.term_id),
           Bm25.impact(bcIdf.value(p.term_id), p.tf, p.dl, avg, k1L, bL)))
-        .toDF("doc_id", "fold_key", "impact"))
+        .toDF("doc_id", "fold_key", "impact")))
     }
   }
 
@@ -435,9 +540,12 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // GlobalStats already probed for scoring (FromEntries skips its own
     // lookupTerms) — a generation missing any phrase term contributes
     // empty, which is exactly phraseMatchFromEntries' missing-term path
-    val phraseDocs = engines.zip(st.perGen).map { case (e, dict) =>
+    // tier claims are delete-filtered too: a tombstoned phrase doc must
+    // neither appear in tier 0 nor count against the unigram tier's
+    // claimed set
+    val phraseDocs = dropDeleted(engines.zip(st.perGen).map { case (e, dict) =>
       e.phraseMatchFromEntries(phraseSeq, terms.flatMap(dict.get))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
     val bigramTerms = parsed.bigrams.map(_.term).distinct
     val bst =
       if (bigramTerms.isEmpty) None else Some(new GlobalStats(bigramTerms))
@@ -445,12 +553,12 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // indexed term somewhere (global presence == compacted-dictionary
     // presence); a generation missing any bigram contributes no docs
     val bigramActive = bst.exists(_.allPresent(bigramTerms))
-    val conjDocs = if (bigramActive) Some(
+    val conjDocs = if (bigramActive) Some(dropDeleted(
       engines.zip(bst.get.perGen).map { case (e, dict) =>
         val es = bigramTerms.flatMap(dict.get)
         if (es.size < bigramTerms.size) spark.emptyDataset[Long].toDF("doc_id")
         else e.conjunctiveFromEntries(es)
-      }.reduce(_ unionByName _)) else None
+      }.reduce(_ unionByName _))) else None
     TieredQuery.run(spark, TieredQuery.Scorers(
       unigramsPresent = st.ordered.nonEmpty,
       bigramActive = bigramActive,
@@ -480,8 +588,10 @@ class MultiGenEngine(spark: SparkSession, root: String,
       candidateCap: Int = 20000): DataFrame = {
     val st = new GlobalStats(terms.distinct)
     if (st.ordered.isEmpty) return emptyScores()
-    val allowed = engines.map(_.docs.filter(pred).select($"doc_id"))
-      .reduce(_ unionByName _)
+    // tombstones narrow the allowed set up front, so the candidate-cap
+    // routing and the collected candidate array count survivors only
+    val allowed = dropDeleted(engines.map(_.docs.filter(pred).select($"doc_id"))
+      .reduce(_ unionByName _))
     val nAllowed = allowed.count()
     if (nAllowed == 0L) emptyScores()
     else if (nAllowed <= candidateCap)
@@ -545,15 +655,16 @@ class MultiGenEngine(spark: SparkSession, root: String,
     * generation, so the intersection distributes over the union).
     */
   def conjunctive(terms: Seq[String]): DataFrame =
-    engines.map(_.conjunctive(terms)).reduce(_ unionByName _)
+    dropDeleted(engines.map(_.conjunctive(terms)).reduce(_ unionByName _))
 
   /** Phrase match across generations. */
   def phraseMatch(terms: Seq[String]): DataFrame =
-    engines.map(_.phraseMatch(terms)).reduce(_ unionByName _)
+    dropDeleted(engines.map(_.phraseMatch(terms)).reduce(_ unionByName _))
 
   /** Directional proximity across generations. */
   def proximity(term1: String, term2: String, k: Int): DataFrame =
-    engines.map(_.proximity(term1, term2, k)).reduce(_ unionByName _)
+    dropDeleted(
+      engines.map(_.proximity(term1, term2, k)).reduce(_ unionByName _))
 
   /** Fuzzy terms across generations: per-generation deletion-index
     * probes, re-aggregated globally by term (df summed; generation-local
@@ -632,17 +743,44 @@ object Compactor {
                     s"fingerprint a compaction over it", e)
             })
       }
+      // tombstone batches are part of compaction identity: compacting
+      // the same generations after MORE deletes landed must rebuild,
+      // not resume the pre-delete stage manifests. Same fail-fast as
+      // generation metas — a del dir without a readable marker is not
+      // in delDirs at all (marker written last, atomically).
+      Generations.delDirs(root).foreach { d =>
+        upd(d); upd("\n")
+        upd(try Fs.readString(s"$d/del_meta.json")
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"unreadable tombstone marker for $d — delete batch " +
+                    s"incomplete or concurrently modified; refusing to " +
+                    s"fingerprint a compaction over it", e)
+            })
+      }
       upd(s"np${conf.numParts}-salt${conf.nSalts}-k1${conf.k1}-b${conf.b}" +
         s"-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}")
       s"compact-${md.digest().map(b => f"$b%02x").mkString}-n${gens.size}"
     }
 
+    // tombstones purge HERE: docs and segments are filtered before the
+    // merge, so the compacted index recomputes N/avgdl/df/cf and every
+    // chunk block-max over the surviving corpus only — after compaction
+    // the output is indistinguishable (statistics included) from an
+    // index that never contained the deleted docs, except that surviving
+    // doc_ids keep their original values (gaps allowed; totalDocs of the
+    // old root still counts them, so ids are never reused).
+    val deleted = Generations.deletedDocs(spark, root)
+    def purge(df: DataFrame): DataFrame =
+      deleted.fold(df)(d => df.join(d, Seq("doc_id"), "left_anti"))
+
     // docs: union of per-generation docs tables (doc_ids already global),
     // manifested like every other stage so a resumed compaction skips it
     if (!builder.manifestComplete(paths.docs, fp)) {
       val t0 = System.nanoTime()
-      gens.map(g => spark.read.parquet(IndexPaths(g).docs))
-        .reduce(_ unionByName _)
+      purge(gens.map(g => spark.read.parquet(IndexPaths(g).docs))
+        .reduce(_ unionByName _))
         .write.mode("overwrite").parquet(paths.docs)
       builder.writeManifest(paths.docs, fp,
         spark.read.parquet(paths.docs).count(),
@@ -659,9 +797,10 @@ object Compactor {
     // writing is shared with fresh builds (writeStage2): identical
     // dictionary/postings/fuzzy layout guarantees, no drift, plus
     // per-term-range resume should a compaction die mid-write.
-    val segs = gens.map(g => spark.read.option("recursiveFileLookup", "true")
-        .parquet(IndexPaths(g).segments))
-      .reduce(_ unionByName _).as[SegmentRow]
+    val segs = purge(gens.map(g =>
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(IndexPaths(g).segments))
+      .reduce(_ unionByName _)).as[SegmentRow]
       .repartition(conf.numParts, $"term", $"salt")
       .sortWithinPartitions($"term", $"salt", $"doc_id")
     val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()

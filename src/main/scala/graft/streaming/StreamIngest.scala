@@ -81,4 +81,37 @@ object StreamIngest {
       }
       .start()
   }
+
+  val deleteSchema: StructType =
+    StructType(Seq(StructField("doc_id", LongType)))
+
+  /** Streaming takedowns: doc_id files landing under `inputDir` become
+    * tombstone batches, mirroring [[start]]'s exactly-once seam —
+    * `deleteDocsAt` skips replayed (committed) batch dirs, and the
+    * per-checkpoint stream id keeps a restarted-from-scratch stream's
+    * batch 0 from colliding with (and being swallowed by) a previous
+    * stream's committed tombstone batch. Deletes take effect on the
+    * NEXT MultiGenEngine construction (engines resolve tombstones at
+    * startup, like Lucene reopening a reader after deleteDocuments).
+    */
+  def startDeletes(spark: SparkSession, inputDir: String, indexRoot: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val checkpoint = s"$indexRoot/_delete_checkpoint"
+    val sid = streamId(checkpoint)
+    spark.readStream
+      .schema(deleteSchema)
+      .parquet(inputDir)
+      .as[Long]
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Long], batchId: Long) =>
+        if (!batch.isEmpty)
+          Generations.deleteDocsAt(batch.sparkSession, batch, indexRoot,
+            f"$indexRoot/del-b$sid-$batchId%05d")
+        ()
+      }
+      .start()
+  }
 }

@@ -1,0 +1,208 @@
+package graft.index
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.corpus.Transcripts
+import graft.oracle.Oracle
+import graft.query.QueryEngine
+
+/** Document deletion (tombstones) on an incremental root — Lucene
+  * liveDocs semantics: deleted docs vanish from every result path
+  * immediately while global statistics stay PRE-DELETE; compaction
+  * purges the postings and recomputes statistics over survivors. The
+  * bar: pre-compaction results are bit-identical to the scalar oracle's
+  * full-corpus scoring filtered to survivors, and the compacted index
+  * is score-identical to a corpus that never contained the deletions.
+  */
+class GenerationDeleteSpec extends SparkSpecBase {
+
+  private val lemmas = Transcripts.lemmas
+  private val conf = IndexConf(numParts = 4, skewDfThreshold = 300, nSalts = 4)
+  private lazy val allTurns = Transcripts.generateLocal(40L)
+  private lazy val oracle = new Oracle(allTurns, lemmas)
+
+  /** Tombstones chosen to HURT: two docs from the pre-delete top-5 of
+    * the scoring query (ranks must reshuffle), one phrase-tier doc of
+    * the handleQuery query (tier-claim filtering must engage), plus one
+    * whole conversation via deleteWhere (the metadata-takedown form).
+    * Batches overlap on one id to exercise the distinct() union.
+    */
+  private lazy val delFromTop: Seq[Long] =
+    oracle.bm25TopK("the of", 5).map(_._1).take(2)
+  private lazy val delPhrase: Long = {
+    val phr = oracle.phraseMatch(Seq("the", "of"))
+    assert(phr.nonEmpty, "fixture: 'the of' must phrase-match somewhere")
+    phr.min
+  }
+
+  private lazy val root: String = {
+    val dir = tmpDir("graft-del")
+    import spark.implicits._
+    val batch1 = allTurns.filter(_.conv_id < "conv-00000020")
+    val batch2 = allTurns.filterNot(_.conv_id < "conv-00000020")
+    Generations.append(spark, spark.createDataset(batch1), dir, lemmas, conf)
+    Generations.append(spark, spark.createDataset(batch2), dir, lemmas, conf)
+    // batch A: explicit ids (top-ranked docs + one phrase doc)
+    Generations.deleteDocs(spark,
+      spark.createDataset(delFromTop :+ delPhrase), dir)
+    // batch B: a whole conversation by metadata, overlapping batch A iff
+    // the phrase doc lives in it (overlap is fine either way)
+    Generations.deleteWhere(spark, dir, col("conv_id") === "conv-00000007")
+    dir
+  }
+
+  private lazy val deleted: Set[Long] = {
+    val ids = Generations.deletedDocs(spark, root).get
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.size >= 3, s"fixture: expected >=3 tombstones, got $ids")
+    ids
+  }
+
+  private def oracleTopKLive(terms: Seq[String], k: Int): Seq[(Long, Double)] =
+    oracle.bm25TopKForTerms(terms, Int.MaxValue)
+      .filterNot { case (d, _) => deleted(d) }.take(k)
+
+  test("tombstoned docs vanish from BM25 top-k on BOTH paths, scores keep pre-delete stats") {
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    assert(multi.deletedIds.nonEmpty)
+    val queries = Seq("the of", "alba corba", "kelba the sorro")
+    // exact path
+    queries.foreach { q =>
+      val terms = multi.queryTerms(q)
+      val got = multi.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = oracleTopKLive(terms, 10)
+      assert(got == want, s"exact-path mismatch for '$q'\n got=$got\nwant=$want")
+      assert(got.forall(r => !deleted(r._1)))
+    }
+    // forced pruned path — theta/candidates must be survivor-only too
+    multi.wandMinPostings = 0L
+    queries.foreach { q =>
+      multi.lastPath = ""
+      val got = multi.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == oracleTopKLive(multi.queryTerms(q), 10),
+        s"pruned-path mismatch for '$q' (path=${multi.lastPath})")
+    }
+    // a deleted doc sat in the PRE-delete top-5, so ranks really moved
+    val pre = oracle.bm25TopK("the of", 5).map(_._1)
+    assert(pre.exists(deleted), "fixture: no top-5 doc was tombstoned")
+  }
+
+  test("boolean/positional results and handleQuery tiers exclude tombstones") {
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    val ts = Seq("the", "of")
+    assert(multi.conjunctive(ts).collect().map(_.getLong(0)).toSet ==
+      oracle.conjunctive(ts) -- deleted)
+    assert(multi.phraseMatch(ts).collect().map(_.getLong(0)).toSet ==
+      oracle.phraseMatch(ts) -- deleted)
+    assert(multi.proximity("the", "of", 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ==
+      oracle.proximity("the", "of", 3).filterNot(p => deleted(p._1)).toSet)
+    // handleQuery: the deleted phrase doc must neither serve in tier 0
+    // nor claim a slot against the unigram tier
+    val got = multi.handleQuery("the of", 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val want = oracle.handleQuery("the of", Int.MaxValue)
+      .filterNot { case (d, _, _) => deleted(d) }.take(10)
+    assert(got == want, s"handleQuery mismatch\n got=$got\nwant=$want")
+    assert(!got.exists(r => r._1 == delPhrase))
+  }
+
+  test("delete batches are idempotent, overlap-safe, and invisible until committed") {
+    val before = Generations.delDirs(root).size
+    import spark.implicits._
+    val dir = s"$root/del-${"%05d".format(77)}"
+    Generations.deleteDocsAt(spark, spark.createDataset(Seq(deleted.head)), root, dir)
+    val after = Generations.delDirs(root).size
+    assert(after == before + 1)
+    // replay of a committed batch is a no-op (exactly-once seam)
+    Generations.deleteDocsAt(spark,
+      spark.createDataset(Seq(999999L)), root, dir)
+    assert(Generations.deletedDocs(spark, root).get
+      .filter(col("doc_id") === 999999L).count() == 0L)
+    // overlapping ids across batches dedupe
+    val n = Generations.deletedDocs(spark, root).get.count()
+    assert(n == deleted.size, s"distinct union broken: $n vs ${deleted.size}")
+    // a marker-less partial dir is invisible
+    Fs.mkdirs(s"$root/del-88888/ids")
+    assert(!Generations.delDirs(root).exists(_.endsWith("del-88888")))
+  }
+
+  test("roots without deletes stay join-free (no LeftAnti in the plan)") {
+    val dir = tmpDir("graft-nodel")
+    import spark.implicits._
+    Generations.append(spark,
+      spark.createDataset(allTurns.take(30)), dir, lemmas, conf)
+    val m = new MultiGenEngine(spark, dir, lemmas)
+    assert(m.deletedIds.isEmpty)
+    val plan = m.bm25TopK("the of", 5).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LeftAnti"), s"unexpected anti-join:\n$plan")
+  }
+
+  test("compaction purges tombstones and recomputes statistics over survivors") {
+    val out = tmpDir("graft-del-compact") + "/idx"
+    val meta = Compactor.compact(spark, root, out, lemmas, conf)
+    assert(meta.n_docs == oracle.nDocs - deleted.size)
+    // the compacted index == an index over a corpus that never held the
+    // deleted docs: fresh scalar oracle over survivors, compared on
+    // (conv_id, turn_idx) business keys (compaction keeps original
+    // doc_ids — gaps — while a fresh corpus would renumber)
+    val survTurns = oracle.docsSorted.zipWithIndex.collect {
+      case (t, i) if !deleted(i + 1L) => t
+    }
+    val oracle2 = new Oracle(survTurns, lemmas)
+    assert(meta.avgdl == oracle2.avgdl)
+    val eng = new QueryEngine(spark, out, lemmas)
+    Seq("the of", "alba corba").foreach { q =>
+      val got = eng.bm25TopK(q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .map { case (d, s) =>
+          val t = oracle.docsSorted((d - 1).toInt); ((t.conv_id, t.turn_idx), s)
+        }.toSeq
+      val want = oracle2.bm25TopK(q, 10).map { case (d, s) =>
+        val t = oracle2.docsSorted((d - 1).toInt); ((t.conv_id, t.turn_idx), s)
+      }
+      assert(got == want, s"compacted mismatch for '$q'\n got=$got\nwant=$want")
+    }
+    // a LATER delete batch changes the compaction fingerprint: re-compact
+    // into the same outDir must rebuild (not resume) and drop the new id
+    val extra = eng.bm25TopK("the of", 1).collect()(0).getLong(0)
+    import spark.implicits._
+    Generations.deleteDocs(spark, spark.createDataset(Seq(extra)), root)
+    val meta2 = Compactor.compact(spark, root, out, lemmas, conf)
+    assert(meta2.n_docs == meta.n_docs - 1)
+    val eng2 = new QueryEngine(spark, out, lemmas)
+    assert(!eng2.bm25TopK("the of", 10).collect().map(_.getLong(0)).contains(extra))
+  }
+
+  test("streaming takedowns: doc_id files become tombstone batches, replay-safe") {
+    import spark.implicits._
+    val inDir = tmpDir("graft-delstream-in")
+    val idxRoot = tmpDir("graft-delstream-idx")
+    Generations.append(spark,
+      spark.createDataset(allTurns), idxRoot, lemmas, conf)
+    val victims = oracle.bm25TopK("the of", 3).map(_._1)
+    spark.createDataset(victims.take(2)).toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    spark.createDataset(Seq(victims(2))).toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val q = graft.streaming.StreamIngest.startDeletes(spark, inDir, idxRoot)
+    q.awaitTermination(120000)
+    val del = Generations.deletedDocs(spark, idxRoot).get
+      .collect().map(_.getLong(0)).toSet
+    assert(del == victims.toSet, s"streamed tombstones: $del vs $victims")
+    // a restart from the SAME checkpoint re-delivers nothing new; the
+    // batch count stays put (exactly-once seam)
+    val batches = Generations.delDirs(idxRoot).size
+    val q2 = graft.streaming.StreamIngest.startDeletes(spark, inDir, idxRoot)
+    q2.awaitTermination(120000)
+    assert(Generations.delDirs(idxRoot).size == batches)
+    // the reopened engine serves survivors only
+    val multi = new MultiGenEngine(spark, idxRoot, lemmas)
+    val got = multi.bm25TopK("the of", 5).collect().map(_.getLong(0)).toSeq
+    assert(got == oracle.bm25TopKForTerms(Seq("the", "of"), Int.MaxValue)
+      .filterNot(r => victims.contains(r._1)).take(5).map(_._1))
+  }
+}
