@@ -140,6 +140,36 @@ object Generations {
     else Some(dirs.map(d => spark.read.parquet(s"$d/ids"))
       .reduce(_ unionByName _).distinct())
   }
+
+  /** Replace-or-insert (Lucene updateDocument): tombstone any LIVE docs
+    * carrying the incoming (conv_id, turn_idx) keys, then append the
+    * batch as a new generation — a corrected transcript supersedes the
+    * indexed version without touching its postings. The existing ids
+    * are resolved from the CURRENT generations before the append, so
+    * the new generation's own docs can never be tombstoned by their own
+    * keys. Readers see the swap on their next MultiGenEngine
+    * construction (both steps are committed by atomic markers; a crash
+    * between them leaves the delete committed and the append absent —
+    * re-running the same upsert re-tombstones an already-dead key set,
+    * a no-op, then lands the append). Returns the new generation dir.
+    */
+  def upsert(spark: SparkSession, turns: Dataset[Turn], root: String,
+      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
+    import spark.implicits._
+    val gens = genDirs(root)
+    if (gens.nonEmpty) {
+      val keys = turns.select($"conv_id", $"turn_idx").distinct()
+      val existing = gens
+        .map(g => spark.read.parquet(IndexPaths(g).docs)
+          .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
+          .select("doc_id"))
+        .reduce(_ unionByName _).as[Long]
+      // tombstone only when something matches: an insert-only batch must
+      // not grow the del-* chain (and the serving anti-join) for nothing
+      if (!existing.isEmpty) deleteDocs(spark, existing, root)
+    }
+    append(spark, turns, root, lemmas, conf)
+  }
 }
 
 /** Query engine over all generations of an incremental index. BM25 idf

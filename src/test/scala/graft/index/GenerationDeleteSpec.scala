@@ -177,6 +177,58 @@ class GenerationDeleteSpec extends SparkSpecBase {
     assert(!eng2.bm25TopK("the of", 10).collect().map(_.getLong(0)).contains(extra))
   }
 
+  test("upsert supersedes by (conv_id, turn_idx); compaction equals the corrected corpus") {
+    import spark.implicits._
+    val dir = tmpDir("graft-upsert")
+    Generations.append(spark, spark.createDataset(allTurns), dir, lemmas, conf)
+    val victim = allTurns.find(_.text.split(" ").length > 3).get
+    val updated = victim.copy(text = "zquux " + victim.text)
+    val insert = graft.corpus.Turn("conv-99999999", 0, "user",
+      "zquux fresh insert", "", new java.sql.Timestamp(0L))
+    Generations.upsert(spark,
+      spark.createDataset(Seq(updated, insert)), dir, lemmas, conf)
+    val multi = new MultiGenEngine(spark, dir, lemmas)
+    // the marker term serves exactly the two upserted docs
+    assert(multi.conjunctive(Seq("zquux")).count() == 2)
+    // the superseded version is dead: no query path returns its doc_id
+    val oldId = oracle.docIdOf((victim.conv_id, victim.turn_idx))
+    val oldTerm = graft.core.Tokenizer.tokenize(victim.text, lemmas).head.term
+    assert(!multi.conjunctive(Seq(oldTerm)).collect()
+      .map(_.getLong(0)).contains(oldId))
+    // insert-only upserts must not grow the tombstone chain
+    val delBatches = Generations.delDirs(dir).size
+    Generations.upsert(spark, spark.createDataset(Seq(
+      graft.corpus.Turn("conv-99999998", 0, "user", "zquux second insert",
+        "", new java.sql.Timestamp(0L)))), dir, lemmas, conf)
+    assert(Generations.delDirs(dir).size == delBatches)
+    // compacted == an index over the corrected corpus (scalar oracle on
+    // business keys; compaction keeps original ids, the oracle renumbers)
+    val out = tmpDir("graft-upsert-compact") + "/idx"
+    val meta = Compactor.compact(spark, dir, out, lemmas, conf)
+    assert(meta.n_docs == oracle.nDocs + 2)
+    val corrected = allTurns.filterNot(t =>
+      t.conv_id == victim.conv_id && t.turn_idx == victim.turn_idx) ++
+      Seq(updated, insert,
+        graft.corpus.Turn("conv-99999998", 0, "user", "zquux second insert",
+          "", new java.sql.Timestamp(0L)))
+    val oracle3 = new Oracle(corrected, lemmas)
+    val eng = new QueryEngine(spark, out, lemmas)
+    val engKeys = eng.docs.select("doc_id", "conv_id", "turn_idx").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // FULL score sets on business keys (top-k tie-breaks by doc_id, and
+    // the appended-then-compacted doc keeps a HIGH id while the fresh
+    // oracle renumbers it low — set equality is id-order-free). Scores
+    // must still be bit-identical: same stats, same fold order.
+    Seq(Seq("zquux"), Seq("the", "of")).foreach { terms =>
+      val got = eng.bm25Scores(terms).collect()
+        .map(r => (engKeys(r.getLong(0)), r.getDouble(1))).toSet
+      val want = oracle3.bm25TopKForTerms(terms, Int.MaxValue).map { case (d, s) =>
+        val t = oracle3.docsSorted((d - 1).toInt); ((t.conv_id, t.turn_idx), s)
+      }.toSet
+      assert(got == want, s"upsert-compacted mismatch for $terms")
+    }
+  }
+
   test("streaming takedowns: doc_id files become tombstone batches, replay-safe") {
     import spark.implicits._
     val inDir = tmpDir("graft-delstream-in")
