@@ -107,6 +107,10 @@ object Generations {
   def deleteDocsAt(spark: SparkSession, docIds: Dataset[Long],
       root: String, dir: String): String = {
     if (Fs.exists(s"$dir/del_meta.json")) return dir
+    // an empty batch never commits: it would put a permanent no-op
+    // anti-join into every query plan of the root (replays of an empty
+    // batch recompute empty and skip again — idempotent without a marker)
+    if (docIds.isEmpty) return dir
     Fs.mkdirs(root)
     docIds.distinct().toDF("doc_id")
       .write.mode("overwrite").parquet(s"$dir/ids")

@@ -128,6 +128,11 @@ class GenerationDeleteSpec extends SparkSpecBase {
     // a marker-less partial dir is invisible
     Fs.mkdirs(s"$root/del-88888/ids")
     assert(!Generations.delDirs(root).exists(_.endsWith("del-88888")))
+    // an empty batch never commits (it would put a permanent no-op
+    // anti-join into every plan of the root)
+    val nBatches = Generations.delDirs(root).size
+    Generations.deleteDocs(spark, spark.emptyDataset[Long], root)
+    assert(Generations.delDirs(root).size == nBatches)
   }
 
   test("roots without deletes stay join-free (no LeftAnti in the plan)") {
