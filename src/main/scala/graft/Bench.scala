@@ -474,6 +474,7 @@ object Bench {
       }.toMap
     }
     var maxSpread = 1.0
+    var maxSpreadQuery = "" // named in a stderr note: the JSON is numeric
     var failedQueries = 0
     catalog.foreach { case (name, _) =>
       val ts = passes.flatMap(_(name))
@@ -484,13 +485,20 @@ object Bench {
       if (ts.length < passes.length) failedQueries += 1
       if (ts.nonEmpty) {
         results(name) = ts.min
-        if (ts.length == passes.length && ts.min > 0.05)
-          maxSpread = math.max(maxSpread, ts.max / ts.min)
+        if (ts.length == passes.length && ts.min > 0.05) {
+          val r = ts.max / ts.min
+          if (r > maxSpread) { maxSpread = r; maxSpreadQuery = name }
+        }
       }
     }
     if (catalog.nonEmpty) {
       results("catalog_spread_max_ratio") = maxSpread
       results("catalog_failures") = failedQueries.toDouble
+      if (maxSpreadQuery.nonEmpty)
+        System.err.println(
+          f"[bench] catalog_spread_max_ratio $maxSpread%.2f from " +
+            s"$maxSpreadQuery (passes: " +
+            passes.flatMap(_(maxSpreadQuery)).map(t => f"$t%.3f").mkString(", ") + " s)")
     }
 
     // ---- interleaved A/B vs the pinned round-3 commit (head/base paired
