@@ -126,7 +126,9 @@ object Generations {
   def deleteWhere(spark: SparkSession, root: String,
       pred: org.apache.spark.sql.Column): String = {
     import spark.implicits._
-    val ids = genDirs(root)
+    val gens = genDirs(root)
+    require(gens.nonEmpty, s"no generations under $root")
+    val ids = gens
       .map(g => spark.read.parquet(IndexPaths(g).docs)
         .filter(pred).select("doc_id"))
       .reduce(_ unionByName _)
