@@ -90,6 +90,36 @@ class GenerationDeleteSpec extends SparkSpecBase {
     assert(pre.exists(deleted), "fixture: no top-5 doc was tombstoned")
   }
 
+  test("liveDocs filter (default) and anti-join fallback agree; plans carry the right shape") {
+    // default: tombstones under liveDocsCap collect to a broadcast
+    // sorted array probed inside the fold stage — NO anti-join in the
+    // plan (the per-query broadcast-relation rebuild measured 2.2x
+    // median latency at 4.2M turns / 420k tombstones)
+    val live = new MultiGenEngine(spark, root, lemmas)
+    val livePlan = live.conjunctive(Seq("the"))
+      .queryExecution.optimizedPlan.toString
+    assert(!livePlan.contains("LeftAnti"),
+      s"default path should filter, not join:\n$livePlan")
+    // takedown-wave fallback: a cap of 0 forces the distributed anti-join
+    val wave = new MultiGenEngine(spark, root, lemmas)
+    wave.liveDocsCap = 0L
+    val wavePlan = wave.conjunctive(Seq("the"))
+      .queryExecution.optimizedPlan.toString
+    assert(wavePlan.contains("LeftAnti"),
+      s"fallback path should anti-join:\n$wavePlan")
+    // both forms serve identical results on every path family
+    val q = "the of"
+    assert(live.bm25TopK(q, 10).collect().toSeq ==
+      wave.bm25TopK(q, 10).collect().toSeq)
+    wave.wandMinPostings = 0L // pruned top-k through the anti-join too
+    assert(live.bm25TopK(q, 10).collect().toSeq ==
+      wave.bm25TopK(q, 10).collect().toSeq)
+    assert(live.handleQuery(q, 10).collect().toSeq ==
+      wave.handleQuery(q, 10).collect().toSeq)
+    assert(live.conjunctive(Seq("the", "of")).collect().map(_.getLong(0)).toSet ==
+      wave.conjunctive(Seq("the", "of")).collect().map(_.getLong(0)).toSet)
+  }
+
   test("boolean/positional results and handleQuery tiers exclude tombstones") {
     val multi = new MultiGenEngine(spark, root, lemmas)
     val ts = Seq("the", "of")
