@@ -165,16 +165,50 @@ object Generations {
     val gens = genDirs(root)
     if (gens.nonEmpty) {
       val keys = turns.select($"conv_id", $"turn_idx").distinct()
-      val existing = gens
-        .map(g => spark.read.parquet(IndexPaths(g).docs)
-          .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
-          .select("doc_id"))
-        .reduce(_ unionByName _).as[Long]
+      val existing = docIdsForKeys(spark, gens, keys).as[Long]
       // tombstone only when something matches: an insert-only batch must
       // not grow the del-* chain (and the serving anti-join) for nothing
       if (!existing.isEmpty) deleteDocs(spark, existing, root)
     }
     append(spark, turns, root, lemmas, conf)
+  }
+
+  /** Above this many distinct conv_ids in an upsert batch, the key probe
+    * stays a plain semi-join instead of pushing an In(conv_id, ...)
+    * literal list into every docs scan (the same literal-pushdown
+    * comfort zone as QueryEngine's snippet text lookup).
+    */
+  var upsertProbeMaxLiterals: Int = 1000
+
+  /** Doc_ids matching the (conv_id, turn_idx) `keys` across the
+    * generations' docs tables. The key batch is driver-sized by
+    * construction (it ships WITH the upsert), so its distinct conv_ids
+    * are collected and PUSHED as an `In(conv_id, ...)` filter into each
+    * generation's docs parquet: a conversation's turns cluster inside
+    * the generation that ingested them, so parquet row-group min/max
+    * prune the probe to O(batch) row groups — without the pushdown an
+    * upsert of a handful of corrected turns column-scans conv_id/
+    * turn_idx over EVERY generation, an O(corpus) read on the takedown
+    * path at 10^12 turns. The exact (conv_id, turn_idx) match still
+    * goes through the semi-join; the literal filter only prunes IO.
+    * Batches with > [[upsertProbeMaxLiterals]] distinct conversations
+    * fall back to the un-pruned semi-join (predicate trees that large
+    * stop paying, the chunkInMaxLiterals rationale).
+    */
+  private[index] def docIdsForKeys(spark: SparkSession, gens: Seq[String],
+      keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    val convIds = keys.select($"conv_id").distinct()
+      .limit(upsertProbeMaxLiterals + 1).as[String].collect()
+    val prune: DataFrame => DataFrame =
+      if (convIds.length <= upsertProbeMaxLiterals)
+        df => df.filter($"conv_id".isin(convIds.toSeq: _*))
+      else identity _
+    gens
+      .map(g => prune(spark.read.parquet(IndexPaths(g).docs))
+        .join(keys, Seq("conv_id", "turn_idx"), "left_semi")
+        .select("doc_id"))
+      .reduce(_ unionByName _)
   }
 }
 

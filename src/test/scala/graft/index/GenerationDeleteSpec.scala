@@ -264,6 +264,26 @@ class GenerationDeleteSpec extends SparkSpecBase {
     }
   }
 
+  test("upsert key probe pushes conv_id literals into the docs scan") {
+    import spark.implicits._
+    val keys = Seq(("conv-00000003", 0), ("conv-00000005", 1))
+      .toDF("conv_id", "turn_idx")
+    val gens = Generations.genDirs(root)
+    val pruned = Generations.docIdsForKeys(spark, gens, keys)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("In(conv_id") || plan.contains("EqualTo(conv_id"),
+      s"expected a pushed conv_id filter on the docs scan:\n$plan")
+    // correctness unchanged vs the un-pruned semi-join
+    val old = Generations.upsertProbeMaxLiterals
+    try {
+      Generations.upsertProbeMaxLiterals = 0 // force the fallback
+      val fallback = Generations.docIdsForKeys(spark, gens, keys)
+      assert(!fallback.queryExecution.executedPlan.toString.contains("In(conv_id"))
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+        fallback.collect().map(_.getLong(0)).sorted.toSeq)
+    } finally Generations.upsertProbeMaxLiterals = old
+  }
+
   test("streaming takedowns: doc_id files become tombstone batches, replay-safe") {
     import spark.implicits._
     val inDir = tmpDir("graft-delstream-in")
