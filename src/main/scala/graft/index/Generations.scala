@@ -143,6 +143,10 @@ object Generations {
   def deletedDocs(spark: SparkSession, root: String): Option[DataFrame] = {
     val dirs = delDirs(root)
     if (dirs.isEmpty) None
+    // a single batch is already distinct (deleteDocsAt writes
+    // docIds.distinct()) — skip the read-side shuffle that every
+    // engine construction would otherwise pay between compactions
+    else if (dirs.size == 1) Some(spark.read.parquet(s"${dirs.head}/ids"))
     else Some(dirs.map(d => spark.read.parquet(s"$d/ids"))
       .reduce(_ unionByName _).distinct())
   }
@@ -265,9 +269,13 @@ class MultiGenEngine(spark: SparkSession, root: String,
     */
   private lazy val deletedLocal: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] =
     deletedIds.flatMap { d =>
-      if (d.count() > liveDocsCap) None
+      // ONE job: collect cap+1 rows and decide from the length — a
+      // separate count() pass would double the construction cost that a
+      // per-query engine (the bench catalog shape) pays on every build
+      val cap = math.min(liveDocsCap, Int.MaxValue - 2L).toInt
+      val ids = d.limit(cap + 1).as[Long].collect()
+      if (ids.length > cap) None
       else {
-        val ids = d.as[Long].collect()
         java.util.Arrays.sort(ids)
         Some(spark.sparkContext.broadcast(ids))
       }
