@@ -202,10 +202,13 @@ object Generations {
   private[index] def docIdsForKeys(spark: SparkSession, gens: Seq[String],
       keys: DataFrame): DataFrame = {
     import spark.implicits._
+    // clamped like handleQueryClaimCap: cap + 1 at Int.MaxValue would
+    // overflow to a negative limit and throw at analysis time
+    val cap = math.min(upsertProbeMaxLiterals, Int.MaxValue - 1)
     val convIds = keys.select($"conv_id").distinct()
-      .limit(upsertProbeMaxLiterals + 1).as[String].collect()
+      .limit(cap + 1).as[String].collect()
     val prune: DataFrame => DataFrame =
-      if (convIds.length <= upsertProbeMaxLiterals)
+      if (convIds.length <= cap)
         df => df.filter($"conv_id".isin(convIds.toSeq: _*))
       else identity _
     gens
