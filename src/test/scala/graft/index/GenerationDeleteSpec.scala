@@ -264,6 +264,39 @@ class GenerationDeleteSpec extends SparkSpecBase {
     }
   }
 
+  test("filtered search and snippet serving on a tombstoned root see survivors only") {
+    import spark.implicits._
+    val multi = new MultiGenEngine(spark, root, lemmas)
+    val q = "the of"
+    val terms = multi.queryTerms(q)
+    val pred = col("doc_len") >= 6
+    // ground truth: per-generation docs tables give doc_len; the filtered
+    // top-k must equal the FULL live score set restricted to the predicate
+    val allowed = Generations.genDirs(root)
+      .map(g => spark.read.parquet(IndexPaths(g).docs)
+        .filter(pred).select("doc_id"))
+      .reduce(_ unionByName _).as[Long].collect().toSet
+    val want = multi.bm25TopK(q, Int.MaxValue - 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(r => allowed(r._1)).take(10).toSeq
+    assert(want.nonEmpty, "fixture: the filtered set must be non-empty")
+    val got = multi.bm25TopKFiltered(q, 10, pred).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"filtered mismatch\n got=$got\nwant=$want")
+    assert(got.forall(r => !deleted(r._1)))
+    // the candidate and semi-join routes agree on the tombstoned root
+    val broad = multi.bm25ScoresFiltered(terms, pred, candidateCap = 0)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(broad == want, s"semi-join route mismatch\n got=$broad\nwant=$want")
+    // the result page: k rows, no tombstones, snippets from live docs
+    val page = multi.searchWithSnippets(q, 10).collect()
+    assert(page.length == 10)
+    assert(page.forall(r => !deleted(r.getLong(0))))
+    assert(page.forall(r => !r.isNullAt(3) && r.getString(3).nonEmpty),
+      "every live result doc contains the terms, so each gets a snippet")
+  }
+
   test("upsert key probe pushes conv_id literals into the docs scan") {
     import spark.implicits._
     val keys = Seq(("conv-00000003", 0), ("conv-00000005", 1))
