@@ -858,6 +858,22 @@ object GraftQueries {
         .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
         .limit(10)
         .select("doc_id", "score", "tier")
+    }),
+
+    // dedup at scale: verified SimHash star (canopy) edges under wide
+    // Manku block-combination banding (blocks=6 -> C(6,3)=20 bands of
+    // ~32-bit keys) — the linear-output alternative to q19's all-pairs
+    // form (planted dups guarantee edges; the oracle recomputes the
+    // whole pipeline: signatures, block values, combo keys, bucket-min
+    // representatives, Hamming verification).
+    "q55_simhash_star" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.simHashStarEdges(
+          Dedup.simHash(docs.union(planted), family = sketch),
+          maxHam = 3, blocks = 6)
+        .orderBy("doc_id", "rep")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -870,6 +886,19 @@ object GraftQueries {
   private val toks =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
       "unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos FROM documents"
+
+  /** q55's banding geometry, interpolated into its oracle SQL from the
+    * SAME functions the Spark side bands with (blocks=6, maxHam=3): the
+    * 6-block (offset, width) layout and the 20 lexicographic 3-block
+    * combos. Single source of truth — the SQL cannot drift from the
+    * Scala banding.
+    */
+  private val simhashBlockDefValues: String =
+    Dedup.blockLayout(6).zipWithIndex
+      .map { case ((o, w), i) => s"($i,$o,$w)" }.mkString(",")
+  private val simhashComboValues: String =
+    Dedup.bandCombos(6, 3).zipWithIndex
+      .map { case (c, band) => s"($band,${c(0)},${c(1)},${c(2)})" }.mkString(",")
 
   /** BM25 top-10 oracle for a given term set: N, avgdl over ALL docs;
     * per-term df; impact identical to Bm25.impact; rounded-score ordering
@@ -1254,6 +1283,56 @@ object GraftQueries {
     // semantics), only the served rows are filtered
     "q54_handle_query_deletes" ->
       handleQuerySqlFor("WHERE s.doc_id % 7 <> 3"),
+
+    // full star-edge recompute: q19's signature CTEs + 6-block layout +
+    // 20 combo keys (both VALUES lists are interpolated from the SAME
+    // Dedup.blockLayout/bandCombos the Spark side bands with, so the
+    // schemes cannot drift) + bucket-min reps + Hamming verification.
+    "q55_simhash_star" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM all_docs)
+        |       WHERE term <> '' GROUP BY doc_id, term),
+        |th AS (SELECT doc_id, tf,
+        |         ('0x' || substring(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN tf ELSE -tf END) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM th, LATERAL (SELECT unnest(range(0, 64)) AS j)
+        |  GROUP BY doc_id, j),
+        |sigl AS (SELECT doc_id, list(bit ORDER BY j) AS bl FROM bits GROUP BY doc_id),
+        |blockdef(blk, o, w) AS (VALUES $simhashBlockDefValues),
+        |blk AS (
+        |  SELECT b.doc_id, d.blk, sum(b.bit::BIGINT << (b.j - d.o))::BIGINT AS v
+        |  FROM bits b JOIN blockdef d ON b.j >= d.o AND b.j < d.o + d.w
+        |  GROUP BY b.doc_id, d.blk),
+        |combos(band, c0, c1, c2) AS (VALUES $simhashComboValues),
+        |banded AS (
+        |  SELECT b0.doc_id, c.band,
+        |    b0.v + b1.v * 65536 + b2.v * 4294967296 AS key
+        |  FROM combos c
+        |  JOIN blk b0 ON b0.blk = c.c0
+        |  JOIN blk b1 ON b1.blk = c.c1 AND b1.doc_id = b0.doc_id
+        |  JOIN blk b2 ON b2.blk = c.c2 AND b2.doc_id = b0.doc_id),
+        |keptb AS (SELECT band, key FROM banded GROUP BY band, key
+        |          HAVING count(*) <= 100000),
+        |capped AS (SELECT b.* FROM banded b JOIN keptb USING (band, key)),
+        |reps AS (SELECT band, key, min(doc_id) AS rep FROM capped
+        |         GROUP BY band, key),
+        |edges AS (SELECT DISTINCT c.doc_id, r.rep
+        |          FROM capped c JOIN reps r USING (band, key)
+        |          WHERE c.doc_id <> r.rep)
+        |SELECT e.doc_id, e.rep,
+        |  len(list_filter(range(1, 65), j -> sd.bl[j] <> sr.bl[j]))::BIGINT AS hamming
+        |FROM edges e
+        |JOIN sigl sd ON sd.doc_id = e.doc_id
+        |JOIN sigl sr ON sr.doc_id = e.rep
+        |WHERE len(list_filter(range(1, 65), j -> sd.bl[j] <> sr.bl[j])) <= 3
+        |ORDER BY e.doc_id, e.rep""".stripMargin,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

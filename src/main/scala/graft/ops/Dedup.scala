@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -269,22 +269,76 @@ object Dedup {
       }.toDF("doc_id", "simhash")
   }
 
-  /** SimHash banded keys: 4 x 16-bit slices of the signature. By the
-    * pigeonhole principle, any pair at Hamming <= 3 shares at least one
-    * untouched 16-bit band — recall 1.0 at the default maxHam.
+  /** (offset, width) per block for a `blocks`-way partition of the 64
+    * signature bits — widths as equal as possible, the first 64 % blocks
+    * blocks carrying the extra bit. blocks >= 4 keeps every width <= 16
+    * so [[bandCombos]] can pack block values 16 bits apart in one Long.
     */
-  def simHashBanded(sim: DataFrame): DataFrame =
-    sim.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "key")))
+  private[graft] def blockLayout(blocks: Int): Seq[(Int, Int)] = {
+    require(blocks >= 4 && blocks <= 64, s"blocks must be in [4, 64]: $blocks")
+    val w = 64 / blocks
+    val widths = Seq.tabulate(blocks)(i => if (i < 64 % blocks) w + 1 else w)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
 
-  /** SimHash near-dup candidate pairs: pairs sharing a 16-bit band key,
+  /** The (blocks - maxHam)-subsets of block indices, ascending
+    * lexicographic — one band per subset (Manku/Jain/Das Sarma, WWW '07:
+    * a pair at Hamming <= maxHam differs in <= maxHam blocks, so some
+    * subset of this size is untouched on both sides and its band keys
+    * collide — recall 1.0). Subset size is capped at 4 because a band
+    * key packs its blocks 16 bits apart in a single Long.
+    */
+  private[graft] def bandCombos(blocks: Int, maxHam: Int): Seq[Seq[Int]] = {
+    require(maxHam >= 0 && maxHam < blocks,
+      s"maxHam must be in [0, blocks): $maxHam vs $blocks blocks")
+    require(blocks - maxHam <= 4,
+      s"band key packs <= 4 blocks of 16 bits into a Long: blocks - maxHam = ${blocks - maxHam}")
+    (0 until blocks).combinations(blocks - maxHam).map(_.toSeq).toSeq
+  }
+
+  /** SimHash banded keys via block-combination banding: the 64 signature
+    * bits split into `blocks` near-equal blocks; one band per
+    * (blocks - maxHam)-subset of blocks, key = that subset's block
+    * values packed 16 bits apart. Defaults (blocks=4, maxHam=3) are the
+    * classic 4 x 16-bit single-block bands.
+    *
+    * Scale guidance: key entropy is what bounds RANDOM collisions, and
+    * 16-bit keys stop scaling near n ~ 2^16 — at n docs, expected
+    * random same-bucket pairs ~ bands * n^2 / 2^keyBits, so 4.2M docs
+    * under the default put ~16 docs in the AVERAGE bucket (~10^8 pure
+    * noise pairs; measured 1.24e9 verified pairs on the 4.2M-turn
+    * synthetic corpus, BENCH.md). blocks=6 gives C(6,3)=20 bands of
+    * ~32-bit keys: 5x the banded rows, but noise pairs drop by 2^16 —
+    * the right trade for any corpus past ~10^5 docs.
+    */
+  def simHashBanded(sim: DataFrame, blocks: Int = 4, maxHam: Int = 3): DataFrame = {
+    val layout = blockLayout(blocks)
+    def blockVal(i: Int): Column = {
+      val (o, w) = layout(i)
+      call_function("shiftright", col("simhash"), lit(o))
+        .bitwiseAND(lit((1L << w) - 1L))
+    }
+    val keys = bandCombos(blocks, maxHam).map { combo =>
+      combo.zipWithIndex.map { case (blk, slot) =>
+        shiftleft(blockVal(blk), 16 * slot)
+      }.reduce(_ bitwiseOR _)
+    }
+    sim.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("band", "key")))
+  }
+
+  /** SimHash near-dup candidate pairs: pairs sharing a band key,
     * checked for Hamming <= maxHam; buckets above maxBucket dropped
-    * (see [[capBuckets]]).
+    * (see [[capBuckets]]). `blocks` tunes the banding (see
+    * [[simHashBanded]] — use 6 past ~10^5 docs). NOTE the output is
+    * all VERIFIED pairs, inherently quadratic in genuine near-dup
+    * cluster size; for boilerplate-heavy corpora whose clusters reach
+    * 10^4+ members, generate [[simHashStarEdges]] instead and cluster.
     */
   def simHashCandidates(sim: DataFrame, maxHam: Int = 3,
-      maxBucket: Int = 100000): DataFrame = {
-    val banded = capBuckets(simHashBanded(sim), Seq("band", "key"), maxBucket)
+      maxBucket: Int = 100000, blocks: Int = 4): DataFrame = {
+    val banded = capBuckets(simHashBanded(sim, blocks, maxHam),
+      Seq("band", "key"), maxBucket)
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "key")).filter(col("doc_a") < col("doc_b"))
@@ -292,6 +346,66 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHam)
+  }
+
+  /** Star (canopy) edges per banded bucket: every member links to its
+    * bucket's MIN doc_id, verified against that representative only.
+    * Σ|bucket| rows where all-pairs is Σ|bucket|^2/2 — on the 4.2M-turn
+    * synthetic corpus the pair form emits 1.24e9 rows, the star form
+    * ~n (BENCH.md). The price is canopy semantics: a kept edge proves
+    * hamming(member, rep) <= maxHam, so two members of one bucket are
+    * only within 2*maxHam of EACH OTHER, and a member at <= maxHam of
+    * some non-rep is linked only if it also sits within maxHam of a
+    * rep. Both the pair and star graphs chain under
+    * [[connectedComponents]]; star is the standard keep-the-rep dedup
+    * shape at web scale, pair + [[jaccardForPairs]] the exact audit at
+    * sampled scale.
+    */
+  def simHashStarEdges(sim: DataFrame, maxHam: Int = 3,
+      maxBucket: Int = 100000, blocks: Int = 4): DataFrame = {
+    val banded = capBuckets(simHashBanded(sim, blocks, maxHam),
+      Seq("band", "key"), maxBucket)
+      .select(col("band"), col("key"), col("doc_id"))
+    // ids only through the shuffle; signatures joined back per DISTINCT
+    // edge (the minHashCandidates two-step)
+    val reps = banded.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("rep"))
+    banded.join(reps, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), col("rep")).distinct()
+      .join(sim.select(col("doc_id"), col("simhash").as("sh_d")), Seq("doc_id"))
+      .join(sim.select(col("doc_id").as("rep"), col("simhash").as("sh_r")), Seq("rep"))
+      .select(col("doc_id"), col("rep"),
+        bit_count(col("sh_d").bitwiseXOR(col("sh_r"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+  }
+
+  /** MinHash star (canopy) edges: [[simHashStarEdges]]'s linear-output
+    * shape over [[minHashBanded]] buckets, verified by estimated
+    * Jaccard against the bucket representative. Feed to
+    * [[clusterDocs]]/[[connectedComponents]] when genuine dup clusters
+    * are large enough that [[minHashCandidates]]'s pair output goes
+    * quadratic.
+    */
+  def minHashStarEdges(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      minEstJaccard: Double = 0.0, maxBucket: Int = 100000,
+      family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
+    val banded = capBuckets(
+      minHashBanded(signatures, bands, rowsPerBand, family)
+        .select(col("band"), col("bucket"), col("doc_id")),
+      Seq("band", "bucket"), maxBucket)
+    val reps = banded.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("rep"))
+    banded.join(reps, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"), col("rep")).distinct()
+      .join(signatures.select(col("doc_id"), col("signature").as("sig_d")), Seq("doc_id"))
+      .join(signatures.select(col("doc_id").as("rep"), col("signature").as("sig_r")), Seq("rep"))
+      .select(col("doc_id"), col("rep"),
+        round(size(filter(zip_with(col("sig_d"), col("sig_r"), (x, y) => x === y),
+          (m: org.apache.spark.sql.Column) => m)).cast("double") /
+          size(col("sig_d")), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
   }
 
   /** Embedding near-dup: pairs with cosine >= minCos. Candidates via

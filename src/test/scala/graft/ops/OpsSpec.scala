@@ -149,6 +149,85 @@ class DedupSpec extends SparkSpecBase {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("simhash block layout and band combos: disjoint full cover, lexicographic") {
+    val layout = Dedup.blockLayout(6)
+    assert(layout.map(_._2).sum == 64)
+    assert(layout == Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)))
+    assert(Dedup.blockLayout(4) == Seq((0, 16), (16, 16), (32, 16), (48, 16)))
+    val combos = Dedup.bandCombos(6, 3)
+    assert(combos.size == 20 && combos.head == Seq(0, 1, 2) && combos.last == Seq(3, 4, 5))
+    assert(combos.distinct.size == 20)
+    assert(Dedup.bandCombos(4, 3) == Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
+    // a 5-block/ham-0 layout would need a 5-block key: rejected, not truncated
+    intercept[IllegalArgumentException](Dedup.bandCombos(5, 0))
+  }
+
+  test("simhash wide banding (blocks=6): recall 1.0 at ham<=3, same candidates as blocks=4") {
+    val spark0 = spark
+    import spark0.implicits._
+    // seeded signature pairs at every hamming distance 0..3 (flip
+    // positions spread across blocks — the pigeonhole worst case is
+    // flips in 3 DIFFERENT blocks) + two far pairs that must not chain
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 24).map { i =>
+      val base = rnd.nextLong()
+      val flips = i % 4 // hamming distance
+      val mutated = (0 until flips).foldLeft(base) { (s, j) =>
+        s ^ (1L << ((j * 21 + i * 5) % 64)) // distinct positions mod 64
+      }
+      (i.toLong * 2, base, i.toLong * 2 + 1, mutated)
+    }
+    val sim = pairs.flatMap { case (ia, sa, ib, sb) => Seq((ia, sa), (ib, sb)) }
+      .toDF("doc_id", "simhash")
+    val expected = pairs.collect {
+      case (ia, sa, ib, sb) if java.lang.Long.bitCount(sa ^ sb) <= 3 => (ia, ib)
+    }.toSet
+    def candSet(blocks: Int) =
+      Dedup.simHashCandidates(sim, maxHam = 3, blocks = blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = candSet(6)
+    assert(expected.subsetOf(wide), s"wide banding missed ${expected -- wide}")
+    // random 64-bit sigs are ~ham 32 apart, so both schemes' candidate
+    // sets should be exactly the planted close pairs
+    assert(wide == candSet(4), "blocks=6 and blocks=4 must verify to the same set")
+    // 20 banded rows per doc under blocks=6
+    val perDoc = Dedup.simHashBanded(sim, blocks = 6, maxHam = 3)
+      .groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(20L))
+  }
+
+  test("star edges: linear output on a mega-cluster, same clusters as all-pairs") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 80 identical docs (one near-dup cluster) + isolated filler: the
+    // all-pairs form emits 80*79/2 = 3160 verified pairs, the star form
+    // at most (#buckets the cluster spans) * 79 DISTINCT edges = 79 here
+    // (identical sigs share every bucket; distinct collapses bands)
+    val boiler = (0L until 80L).map(i => i -> "same boilerplate text in every copy of this doc")
+    val filler = (500L until 505L).map(i => i -> s"distinct filler number $i words ${i * 13}")
+    val df = docsDf(boiler ++ filler)
+    val sim = Dedup.simHash(df)
+    assert(Dedup.simHashCandidates(sim, maxHam = 3).count() == 3160L)
+    val star = Dedup.simHashStarEdges(sim, maxHam = 3, blocks = 6)
+    val starRows = star.collect()
+    assert(starRows.length == 79, s"star edges should be linear: ${starRows.length}")
+    assert(starRows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      "every member links to the min-id rep at hamming 0")
+    // cluster parity with the quadratic pair form
+    val viaStar = Dedup.clusterDocs(df, star.select("doc_id", "rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPairs = Dedup.clusterDocs(df,
+      Dedup.simHashCandidates(sim, maxHam = 3).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaPairs)
+    // minhash star form: same linear shape, est_jaccard 1.0 to the rep
+    val msigs = Dedup.minHashSignatures(df, k = 3, nHashes = 32)
+    val mstar = Dedup.minHashStarEdges(msigs, bands = 8, rowsPerBand = 4,
+      minEstJaccard = 0.9).collect()
+    assert(mstar.length == 79, s"minhash star edges: ${mstar.length}")
+    assert(mstar.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 1.0))
+  }
+
   test("duplicateSpans finds cross-doc n-gram spans with correct stats") {
     // docs 1 and 2 are identical 9-token texts -> two 8-token windows,
     // each in BOTH docs; doc 3 shares only the first 8-token window (its
