@@ -1288,6 +1288,8 @@ object GraftQueries {
     // 20 combo keys (both VALUES lists are interpolated from the SAME
     // Dedup.blockLayout/bandCombos the Spark side bands with, so the
     // schemes cannot drift) + bucket-min reps + Hamming verification.
+    // No bucket-cap CTE: star edges are uncapped by default (linear in
+    // bucket size — see simHashStarEdges scaladoc).
     "q55_simhash_star" ->
       s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -1318,13 +1320,10 @@ object GraftQueries {
         |  JOIN blk b0 ON b0.blk = c.c0
         |  JOIN blk b1 ON b1.blk = c.c1 AND b1.doc_id = b0.doc_id
         |  JOIN blk b2 ON b2.blk = c.c2 AND b2.doc_id = b0.doc_id),
-        |keptb AS (SELECT band, key FROM banded GROUP BY band, key
-        |          HAVING count(*) <= 100000),
-        |capped AS (SELECT b.* FROM banded b JOIN keptb USING (band, key)),
-        |reps AS (SELECT band, key, min(doc_id) AS rep FROM capped
+        |reps AS (SELECT band, key, min(doc_id) AS rep FROM banded
         |         GROUP BY band, key),
         |edges AS (SELECT DISTINCT c.doc_id, r.rep
-        |          FROM capped c JOIN reps r USING (band, key)
+        |          FROM banded c JOIN reps r USING (band, key)
         |          WHERE c.doc_id <> r.rep)
         |SELECT e.doc_id, e.rep,
         |  len(list_filter(range(1, 65), j -> sd.bl[j] <> sr.bl[j]))::BIGINT AS hamming

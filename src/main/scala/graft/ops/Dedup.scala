@@ -351,20 +351,32 @@ object Dedup {
   /** Star (canopy) edges per banded bucket: every member links to its
     * bucket's MIN doc_id, verified against that representative only.
     * Σ|bucket| rows where all-pairs is Σ|bucket|^2/2 — on the 4.2M-turn
-    * synthetic corpus the pair form emits 1.24e9 rows, the star form
-    * ~n (BENCH.md). The price is canopy semantics: a kept edge proves
-    * hamming(member, rep) <= maxHam, so two members of one bucket are
-    * only within 2*maxHam of EACH OTHER, and a member at <= maxHam of
-    * some non-rep is linked only if it also sits within maxHam of a
-    * rep. Both the pair and star graphs chain under
+    * synthetic corpus the pair form emits 1.24e9 rows (and that is the
+    * CAPPED count; cluster sizes imply 1.17e12 true pairs), the star
+    * form 3.9e6 (BENCH.md). The price is canopy semantics: a kept edge
+    * proves hamming(member, rep) <= maxHam, so two members of one
+    * bucket are only within 2*maxHam of EACH OTHER, and a member at
+    * <= maxHam of some non-rep is linked only if it also sits within
+    * maxHam of a rep. Both the pair and star graphs chain under
     * [[connectedComponents]]; star is the standard keep-the-rep dedup
     * shape at web scale, pair + [[jaccardForPairs]] the exact audit at
     * sampled scale.
+    *
+    * UNCAPPED by default: the bucket cap exists to protect the pair
+    * form's per-bucket self-join (quadratic in |bucket|), but every
+    * star stage is linear — groupBy(min) is map-side combined, the
+    * rep join-back is one row per key (AQE broadcast or skew-split),
+    * verification is one row per distinct edge. Capping HERE only
+    * loses recall: at 4.2M docs the 100k cap drops 2.8M banded rows
+    * under blocks=4 and the star covers 73k docs instead of 1.54M
+    * (BENCH.md). Pass a finite maxBucket only to bound verification
+    * work on genuinely adversarial key collisions.
     */
   def simHashStarEdges(sim: DataFrame, maxHam: Int = 3,
-      maxBucket: Int = 100000, blocks: Int = 4): DataFrame = {
-    val banded = capBuckets(simHashBanded(sim, blocks, maxHam),
-      Seq("band", "key"), maxBucket)
+      maxBucket: Int = Int.MaxValue, blocks: Int = 4): DataFrame = {
+    val allBanded = simHashBanded(sim, blocks, maxHam)
+    val banded = (if (maxBucket == Int.MaxValue) allBanded // skip the no-op cap aggregate
+      else capBuckets(allBanded, Seq("band", "key"), maxBucket))
       .select(col("band"), col("key"), col("doc_id"))
     // ids only through the shuffle; signatures joined back per DISTINCT
     // edge (the minHashCandidates two-step)
@@ -385,15 +397,16 @@ object Dedup {
     * Jaccard against the bucket representative. Feed to
     * [[clusterDocs]]/[[connectedComponents]] when genuine dup clusters
     * are large enough that [[minHashCandidates]]'s pair output goes
-    * quadratic.
+    * quadratic. Uncapped by default for the same reason as
+    * [[simHashStarEdges]]: every stage is linear in bucket size.
     */
   def minHashStarEdges(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      minEstJaccard: Double = 0.0, maxBucket: Int = 100000,
+      minEstJaccard: Double = 0.0, maxBucket: Int = Int.MaxValue,
       family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
-    val banded = capBuckets(
-      minHashBanded(signatures, bands, rowsPerBand, family)
-        .select(col("band"), col("bucket"), col("doc_id")),
-      Seq("band", "bucket"), maxBucket)
+    val allBanded = minHashBanded(signatures, bands, rowsPerBand, family)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val banded = if (maxBucket == Int.MaxValue) allBanded
+      else capBuckets(allBanded, Seq("band", "bucket"), maxBucket)
     val reps = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("rep"))
     banded.join(reps, Seq("band", "bucket"))

@@ -226,6 +226,13 @@ class DedupSpec extends SparkSpecBase {
       minEstJaccard = 0.9).collect()
     assert(mstar.length == 79, s"minhash star edges: ${mstar.length}")
     assert(mstar.forall(r => r.getLong(1) == 0L && r.getDouble(2) == 1.0))
+    // star edges are UNCAPPED by default (every stage linear in bucket
+    // size, so the mega-cluster survives); an explicit finite cap still
+    // drops its buckets — both code paths exercised
+    assert(Dedup.simHashStarEdges(sim, maxHam = 3, blocks = 6,
+      maxBucket = 10).count() == 0L, "explicit cap must drop the 80-doc bucket")
+    assert(Dedup.minHashStarEdges(msigs, bands = 8, rowsPerBand = 4,
+      maxBucket = 10).count() == 0L)
   }
 
   test("duplicateSpans finds cross-doc n-gram spans with correct stats") {
