@@ -874,6 +874,41 @@ object GraftQueries {
           Dedup.simHash(docs.union(planted), family = sketch),
           maxHam = 3, blocks = 6)
         .orderBy("doc_id", "rep")
+    }),
+
+    // dedup: MinHash star edges — the linear cluster-feed form of q18
+    // (same md5-family signatures and 8x4 banding; member->bucket-min-rep
+    // edges verified by signature agreement against the rep only, instead
+    // of the all-pairs per-bucket self-join). Uncapped: see
+    // minHashStarEdges scaladoc.
+    "q56_minhash_star" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
+        family = sketch)
+      Dedup.minHashStarEdges(sigs, bands = 8, rowsPerBand = 4,
+        minEstJaccard = 0.5, family = sketch)
+        .orderBy("doc_id", "rep")
+    }),
+
+    // dedup: embedding star edges — the linear cluster-feed form of q21
+    // (planted identical dups). The UNVERIFIED member->bucket-min-rep
+    // candidate set is persisted to {AUX}/q57_cand and the result is the
+    // exact-cosine verification over it (the q20/q41 oracle pattern:
+    // DuckDB re-scores the same persisted pairs — the SplitMix64
+    // hyperplanes aren't SQL-reproducible; banding recall is pinned by
+    // DedupSpec's planted/perturbed-dup tests).
+    "q57_embedding_star" -> ((s, dir) => {
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val all = emb.union(planted)
+      val candPath = s"${auxDir(dir)}/q57_cand"
+      Dedup.embeddingStarCandidates(all, nPlanes = 24, bands = 3, dim = 64)
+        .coalesce(1).write.mode("overwrite").parquet(candPath)
+      Dedup.verifyEmbeddingStar(s.read.parquet(candPath), all, minCos = 0.999)
+        .orderBy("vec_id", "rep")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1332,6 +1367,60 @@ object GraftQueries {
         |JOIN sigl sr ON sr.doc_id = e.rep
         |WHERE len(list_filter(range(1, 65), j -> sd.bl[j] <> sr.bl[j])) <= 3
         |ORDER BY e.doc_id, e.rep""".stripMargin,
+
+    // q18's md5 MinHash signatures + banding, then the star form: bucket
+    // reps + distinct (member, rep) edges + signature-agreement verify
+    // against the rep only. No bucket-cap CTE (uncapped by default).
+    "q56_minhash_star" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM all_docs),
+        |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)),
+        |mh AS (
+        |  SELECT doc_id, f,
+        |    min(('0x' || substring(md5(f::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS v
+        |  FROM sh, LATERAL (SELECT unnest(range(0, 32)) AS f)
+        |  GROUP BY doc_id, f),
+        |sig AS (SELECT doc_id, list(v ORDER BY f) AS s FROM mh GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, bd,
+        |    md5(array_to_string(s[bd*4+1 : bd*4+4], ',')) AS bucket
+        |  FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS bd)),
+        |reps AS (SELECT bd, bucket, min(doc_id) AS rep FROM banded
+        |         GROUP BY bd, bucket),
+        |edges AS (SELECT DISTINCT b.doc_id, r.rep
+        |          FROM banded b JOIN reps r USING (bd, bucket)
+        |          WHERE b.doc_id <> r.rep)
+        |SELECT e.doc_id, e.rep,
+        |  round(len(list_filter(range(1, 33), j -> sd.s[j] = sr.s[j])) / 32.0, 4)
+        |    AS est_jaccard
+        |FROM edges e
+        |JOIN sig sd ON sd.doc_id = e.doc_id
+        |JOIN sig sr ON sr.doc_id = e.rep
+        |WHERE len(list_filter(range(1, 33), j -> sd.s[j] = sr.s[j])) / 32.0 >= 0.5
+        |ORDER BY e.doc_id, e.rep""".stripMargin,
+
+    // exact-cosine re-score of the persisted star candidate edges (the
+    // q20/q41 pattern: {AUX} substituted by the driver's Verify run).
+    "q57_embedding_star" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |cand AS (SELECT vec_id, rep FROM read_parquet('{AUX}/q57_cand/*.parquet'))
+        |SELECT c.vec_id, c.rep,
+        |  round(list_cosine_similarity(d.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4)
+        |    AS cos
+        |FROM cand c
+        |JOIN emb d ON d.vec_id = c.vec_id
+        |JOIN emb r ON r.vec_id = c.rep
+        |WHERE round(list_cosine_similarity(d.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4)
+        |  >= 0.999
+        |ORDER BY c.vec_id, c.rep""".stripMargin,
 
     "q39_pack_sharded" ->
       """WITH t AS (SELECT doc_id % 4 AS shard, doc_id,

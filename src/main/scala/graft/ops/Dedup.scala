@@ -399,6 +399,14 @@ object Dedup {
     * are large enough that [[minHashCandidates]]'s pair output goes
     * quadratic. Uncapped by default for the same reason as
     * [[simHashStarEdges]]: every stage is linear in bucket size.
+    *
+    * `signatures` is referenced once for banding and twice for edge
+    * verification; pass a MATERIALIZED table (parquet read, not the
+    * inlined [[minHashSignatures]] lineage) at scale, or the signature
+    * pipeline re-evaluates per reference — the signatures relation is
+    * n x nHashes longs, far cheaper to rescan than to recompute or to
+    * ride through the band shuffle (same contract as
+    * [[minHashCandidates]]).
     */
   def minHashStarEdges(signatures: DataFrame, bands: Int, rowsPerBand: Int,
       minEstJaccard: Double = 0.0, maxBucket: Int = Int.MaxValue,
@@ -445,6 +453,59 @@ object Dedup {
       .distinct()
       .filter(col("cos") >= minCos)
   }
+
+  /** UNVERIFIED star candidates for the embedding family: distinct
+    * (vec_id, rep) with rep = the banded-hyperplane bucket's MIN vec_id.
+    * Ids only through the shuffle; verification is a separate stage
+    * ([[verifyEmbeddingStar]]) so an oracle can re-score a persisted
+    * candidate set (the q20/q41 pattern — the hyperplanes are SplitMix64
+    * pseudo-randoms a SQL oracle can't cheaply reproduce, so the oracle
+    * contract is re-scoring the same pairs, and banding recall is pinned
+    * by the planted-dup tests).
+    */
+  def embeddingStarCandidates(embeddings: DataFrame, nPlanes: Int = 24,
+      bands: Int = 3, dim: Int = 64,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = Similarity.bandedHyperplane(embeddings, nPlanes, bands,
+      dim, maxBucket).select(col("band"), col("key"), col("vec_id"))
+    val reps = banded.groupBy(col("band"), col("key"))
+      .agg(min(col("vec_id")).as("rep"))
+    banded.join(reps, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("vec_id"), col("rep")).distinct()
+  }
+
+  /** Exact-cosine verification of star candidate edges against their
+    * representatives: one cosine per distinct edge, keep cos >= minCos
+    * (rounded to 4 dp, the cross-engine-stable form every embedding op
+    * here scores with).
+    */
+  def verifyEmbeddingStar(candidates: DataFrame, embeddings: DataFrame,
+      minCos: Double): DataFrame =
+    candidates
+      .join(embeddings.select(col("vec_id"), col("embedding").as("e_d")),
+        Seq("vec_id"))
+      .join(embeddings.select(col("vec_id").as("rep"),
+        col("embedding").as("e_r")), Seq("rep"))
+      .select(col("vec_id"), col("rep"),
+        round(Similarity.cosineCol(col("e_d").cast("array<double>"),
+          col("e_r").cast("array<double>")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+
+  /** Star (canopy) edges for the embedding family: every banded-LSH
+    * bucket member links to its bucket's MIN vec_id, verified by exact
+    * cosine against that representative only — the linear cluster-feed
+    * form of [[embeddingNearDups]], with the same canopy-semantics trade
+    * and uncapped default as [[simHashStarEdges]] (every stage linear in
+    * bucket size). Output (vec_id, rep, cos); feed to [[clusterDocs]] /
+    * [[connectedComponents]].
+    */
+  def embeddingStarEdges(embeddings: DataFrame, minCos: Double,
+      nPlanes: Int = 24, bands: Int = 3, dim: Int = 64,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    verifyEmbeddingStar(
+      embeddingStarCandidates(embeddings, nPlanes, bands, dim, maxBucket),
+      embeddings, minCos)
 
   /** Cross-document duplicated n-gram spans — the fixed-granularity,
     * distributable form of suffix-array substring dedup (Lee et al. 2022,

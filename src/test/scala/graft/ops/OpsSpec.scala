@@ -457,6 +457,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dups.contains((7L, 9999L)), s"planted dup not found: $dups")
   }
 
+  test("embeddingStarEdges: planted dup links to its cluster rep; cap paths") {
+    val spark0 = spark
+    import spark0.implicits._
+    // vec 9999 duplicates vec 7; vec 0 is the GLOBAL min id, so every
+    // bucket containing its dup 8888 has rep 0 exactly — the edge
+    // (8888 -> 0, cos 1.0) is guaranteed regardless of hash noise
+    val withDup = embeddings.union(
+      Seq((9999L, vec(7).toSeq), (8888L, vec(0).toSeq))
+        .toDF("vec_id", "embedding"))
+    val star = Dedup.embeddingStarEdges(withDup, minCos = 0.999,
+      nPlanes = 10, bands = 2, dim = dim)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    assert(star.contains((0L, 8888L, 1.0)), s"guaranteed star edge missing: ${star.toSeq}")
+    // every verified edge meets the threshold, and candidates superset
+    // the verified edges (the two-stage split the q57 oracle re-scores)
+    assert(star.forall(_._3 >= 0.999))
+    val cand = Dedup.embeddingStarCandidates(withDup, nPlanes = 10,
+      bands = 2, dim = dim)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(star.map(e => (e._1, e._2)).toSet.subsetOf(cand))
+    // an explicit finite cap still drops oversized buckets
+    assert(Dedup.embeddingStarEdges(withDup, minCos = 0.0, nPlanes = 10,
+      bands = 2, dim = dim, maxBucket = 1).count() == 0L)
+  }
+
   test("banded embedding LSH finds PERTURBED near-dups, not just identical") {
     val spark0 = spark
     import spark0.implicits._
