@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+import graft.core.Tokenizer
+import graft.corpus.Turn
+import graft.index.{Compactor, Generations, IndexBuilder, IndexConf, MultiGenEngine}
+import graft.query.QueryEngine
+
+/** spark-submit entry point — the deployable surface of the library
+  * (north rule: "run via spark-submit on multi-executor clusters").
+  * Thin by design: every subcommand is one call into the library, so
+  * cluster runs exercise exactly the code the tests and oracles pin.
+  *
+  * {{{
+  * spark-submit --class graft.IndexCli <jar> build \
+  *   --in hdfs:///corpora/turns --out hdfs:///indexes/main \
+  *   --num-parts 4096 --bigrams
+  * spark-submit --class graft.IndexCli <jar> append \
+  *   --in hdfs:///corpora/new_batch --root hdfs:///indexes/incr
+  * spark-submit --class graft.IndexCli <jar> query \
+  *   --root hdfs:///indexes/incr --q "table scan" --k 10
+  * }}}
+  *
+  * Subcommands: build | append | upsert | delete-where | compact |
+  * query | search. `--root` auto-detects a single index
+  * (index_meta.json present) vs a generations root (gen-* dirs) on the
+  * read paths; the master/deploy-mode/executor topology comes from
+  * spark-submit, never from here (the session is getOrCreate()).
+  * Input tables are the (conv_id, turn_idx, role, text, tool, ts)
+  * transcript shape (BASELINE.json input_hint).
+  */
+object IndexCli {
+
+  final case class Args(cmd: String, opts: Map[String, String],
+      flags: Set[String])
+
+  /** `--key value` pairs + bare `--flag`s after the subcommand. Strict:
+    * an unknown or malformed token fails with usage, never a silent
+    * default — a cluster job launched with a typo'd option must not
+    * quietly build a default-configured index for hours.
+    */
+  def parseArgs(argv: Seq[String], flagNames: Set[String]): Args = {
+    require(argv.nonEmpty, usage)
+    val cmd = argv.head
+    var rest = argv.tail.toList
+    val opts = Map.newBuilder[String, String]
+    val flags = Set.newBuilder[String]
+    while (rest.nonEmpty) {
+      val k = rest.head
+      if (!k.startsWith("--"))
+        throw new IllegalArgumentException(s"expected --option, got '$k'\n$usage")
+      if (flagNames(k.drop(2))) { flags += k.drop(2); rest = rest.tail }
+      else rest.tail match {
+        case v :: tail => opts += (k.drop(2) -> v); rest = tail
+        case Nil =>
+          throw new IllegalArgumentException(s"missing value for $k\n$usage")
+      }
+    }
+    Args(cmd, opts.result(), flags.result())
+  }
+
+  val usage: String =
+    """usage: graft.IndexCli <subcommand> [options]
+      |  build        --in <turns parquet> --out <index root>
+      |  append       --in <turns parquet> --root <generations root>
+      |  upsert       --in <turns parquet> --root <generations root>
+      |  delete-where --root <generations root> --predicate "<SQL over docs cols>"
+      |  compact      --root <generations root> --out <index root>
+      |  query        --root <index|generations root> --q "<text>" [--k N]
+      |  search       --root <index|generations root> --q "<text>" [--k N] [--window N]
+      |build/append/upsert/compact options: --num-parts N --skew-df N --salts N
+      |  --k1 X --b X --bigrams --fuzzy-d N --lemmas <local csv file>
+      |query/search options: --out-parquet <dir> (default: show on stdout)
+      |""".stripMargin
+
+  private def confFrom(o: Map[String, String], flags: Set[String],
+      defaultParts: Int): IndexConf = {
+    val base = IndexConf(numParts = o.get("num-parts").map(_.toInt)
+      .getOrElse(defaultParts))
+    base.copy(
+      skewDfThreshold = o.get("skew-df").map(_.toLong).getOrElse(base.skewDfThreshold),
+      nSalts = o.get("salts").map(_.toInt).getOrElse(base.nSalts),
+      k1 = o.get("k1").map(_.toDouble).getOrElse(base.k1),
+      b = o.get("b").map(_.toDouble).getOrElse(base.b),
+      indexBigrams = flags("bigrams") || base.indexBigrams,
+      fuzzyMaxDistance = o.get("fuzzy-d").map(_.toInt).getOrElse(base.fuzzyMaxDistance))
+  }
+
+  private def lemmasFrom(o: Map[String, String]): Map[String, String] =
+    o.get("lemmas").map(Tokenizer.loadLemmasFile).getOrElse(Map.empty)
+
+  private def turnsFrom(spark: SparkSession, o: Map[String, String]) = {
+    val in = o.getOrElse("in", throw new IllegalArgumentException(s"--in required\n$usage"))
+    spark.read.parquet(in).as(org.apache.spark.sql.Encoders.product[Turn])
+  }
+
+  private def req(o: Map[String, String], k: String): String =
+    o.getOrElse(k, throw new IllegalArgumentException(s"--$k required\n$usage"))
+
+  /** Results go to parquet when `--out-parquet` is given (the cluster
+    * shape — a driver stdout table is useless to a pipeline), else to
+    * stdout for interactive runs.
+    */
+  private def emit(df: DataFrame, o: Map[String, String]): Unit =
+    o.get("out-parquet") match {
+      case Some(dir) => df.write.mode("overwrite").parquet(dir)
+      case None => df.show(100, truncate = false)
+    }
+
+  /** True = `root` is a single compacted/built index; false = a
+    * generations root. Anything else fails fast.
+    */
+  private def isSingleIndex(root: String): Boolean =
+    if (graft.index.Fs.exists(graft.index.IndexPaths(root).meta)) true
+    else if (Generations.genDirs(root).nonEmpty) false
+    else throw new IllegalArgumentException(
+      s"$root holds neither index_meta.json nor complete gen-* directories")
+
+  def run(spark: SparkSession, argv: Seq[String]): Unit = {
+    val a = parseArgs(argv, flagNames = Set("bigrams"))
+    val o = a.opts
+    a.cmd match {
+      case "build" =>
+        val conf = confFrom(o, a.flags, spark.sparkContext.defaultParallelism)
+        val meta = new IndexBuilder(spark, lemmasFrom(o), conf)
+          .build(turnsFrom(spark, o), req(o, "out"))
+        println(s"built ${req(o, "out")}: n_docs=${meta.n_docs} " +
+          s"n_terms=${meta.n_terms} n_postings=${meta.n_postings}")
+      case "append" =>
+        val conf = confFrom(o, a.flags, spark.sparkContext.defaultParallelism)
+        val dir = Generations.append(spark, turnsFrom(spark, o), req(o, "root"),
+          lemmasFrom(o), conf)
+        println(s"appended generation $dir")
+      case "upsert" =>
+        val conf = confFrom(o, a.flags, spark.sparkContext.defaultParallelism)
+        val dir = Generations.upsert(spark, turnsFrom(spark, o), req(o, "root"),
+          lemmasFrom(o), conf)
+        println(s"upserted as generation $dir")
+      case "delete-where" =>
+        val dir = Generations.deleteWhere(spark, req(o, "root"),
+          expr(req(o, "predicate")))
+        println(s"tombstoned batch $dir")
+      case "compact" =>
+        val conf = confFrom(o, a.flags, spark.sparkContext.defaultParallelism)
+        val meta = Compactor.compact(spark, req(o, "root"), req(o, "out"),
+          lemmasFrom(o), conf)
+        println(s"compacted -> ${req(o, "out")}: n_docs=${meta.n_docs} " +
+          s"n_terms=${meta.n_terms}")
+      case "query" | "search" =>
+        val root = req(o, "root")
+        val q = req(o, "q")
+        val k = o.get("k").map(_.toInt).getOrElse(10)
+        val lem = lemmasFrom(o)
+        val window = o.get("window").map(_.toInt).getOrElse(3)
+        val res =
+          if (isSingleIndex(root)) {
+            val e = new QueryEngine(spark, root, lem)
+            if (a.cmd == "query") e.handleQuery(q, k)
+            else e.searchWithSnippets(q, k, window)
+          } else {
+            val e = new MultiGenEngine(spark, root, lem)
+            if (a.cmd == "query") e.handleQuery(q, k)
+            else e.searchWithSnippets(q, k, window)
+          }
+        emit(res, o)
+      case other =>
+        throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    // master/deploy mode/executors come from spark-submit; only the
+    // session-level SQL defaults the library expects are set here (and
+    // only when the submitter didn't override them)
+    val b = SparkSession.builder()
+    if (!sys.props.contains("spark.sql.shuffle.partitions"))
+      b.config("spark.sql.shuffle.partitions",
+        math.max(32, Runtime.getRuntime.availableProcessors * 2).toString)
+    val spark = b.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    try run(spark, argv.toSeq)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.corpus.Transcripts
+
+/** The spark-submit CLI surface: strict arg parsing (a typo'd option on
+  * a cluster job must fail fast, not run for hours with defaults) and
+  * each subcommand delegating to the same library calls the oracles pin
+  * — an e2e thread through build -> query and append -> upsert ->
+  * delete-where -> query -> compact -> query on a tiny corpus.
+  */
+class IndexCliSpec extends SparkSpecBase {
+  import IndexCli.parseArgs
+
+  test("parseArgs: options, flags, strictness") {
+    val a = parseArgs(
+      Seq("build", "--in", "/x", "--out", "/y", "--bigrams", "--num-parts", "8"),
+      flagNames = Set("bigrams"))
+    assert(a.cmd == "build")
+    assert(a.opts == Map("in" -> "/x", "out" -> "/y", "num-parts" -> "8"))
+    assert(a.flags == Set("bigrams"))
+    // trailing flag
+    assert(parseArgs(Seq("build", "--bigrams"), Set("bigrams")).flags == Set("bigrams"))
+    // malformed: bare token, missing value, unknown subcommand at run time
+    intercept[IllegalArgumentException](parseArgs(Seq("build", "oops"), Set.empty))
+    intercept[IllegalArgumentException](parseArgs(Seq("build", "--in"), Set.empty))
+    intercept[IllegalArgumentException](parseArgs(Seq.empty, Set.empty))
+  }
+
+  test("CLI e2e: build/query, append/upsert/delete-where/query, compact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val turns = Transcripts.generateLocal(30L)
+    val in = tmpDir("cli_in")
+    turns.toDS().write.mode("overwrite").parquet(in)
+
+    // ---- build -> query on the single index (out-parquet path)
+    val idx = tmpDir("cli_idx") + "/root"
+    IndexCli.run(spark, Seq("build", "--in", in, "--out", idx,
+      "--num-parts", "4", "--skew-df", "300", "--salts", "4"))
+    val qOut = tmpDir("cli_q") + "/res"
+    val q = s"the ${Transcripts.contentWords(2)}"
+    IndexCli.run(spark, Seq("query", "--root", idx, "--q", q,
+      "--k", "5", "--out-parquet", qOut))
+    val viaCli = spark.read.parquet(qOut)
+      .orderBy($"tier", $"score".desc, $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = new graft.query.QueryEngine(spark, idx)
+      .handleQuery(q, 5)
+      .orderBy($"tier", $"score".desc, $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaCli == direct && viaCli.nonEmpty)
+
+    // ---- generations root: append twice, delete a conversation, query
+    val gens = tmpDir("cli_gens") + "/root"
+    val (b1, b2) = turns.splitAt(turns.size / 2)
+    val in2 = tmpDir("cli_in2")
+    b1.toDS().write.mode("overwrite").parquet(in)   // reuse in for batch 1
+    b2.toDS().write.mode("overwrite").parquet(in2)
+    IndexCli.run(spark, Seq("append", "--in", in, "--root", gens,
+      "--num-parts", "4"))
+    IndexCli.run(spark, Seq("append", "--in", in2, "--root", gens,
+      "--num-parts", "4"))
+    val delConv = turns.head.conv_id
+    IndexCli.run(spark, Seq("delete-where", "--root", gens,
+      "--predicate", s"conv_id = '$delConv'"))
+    val gOut = tmpDir("cli_g") + "/res"
+    IndexCli.run(spark, Seq("search", "--root", gens, "--q", q,
+      "--k", "5", "--out-parquet", gOut))
+    val gRows = spark.read.parquet(gOut)
+    assert(gRows.count() > 0)
+    assert(gRows.columns.toSet == Set("doc_id", "score", "first_pos", "snippet"))
+    // the tombstoned conversation's docs never surface
+    val deadIds = new graft.index.MultiGenEngine(spark, gens).engines
+      .map(_.docs.filter($"conv_id" === delConv).select("doc_id"))
+      .reduce(_ unionByName _).as[Long].collect().toSet
+    assert(deadIds.nonEmpty)
+    assert(!gRows.select("doc_id").as[Long].collect().exists(deadIds))
+
+    // ---- upsert: corrected text for one turn supersedes it
+    val corrected = turns.head.copy(text = "zzcorrected marker text only")
+    val in3 = tmpDir("cli_in3")
+    Seq(corrected).toDS().write.mode("overwrite").parquet(in3)
+    IndexCli.run(spark, Seq("upsert", "--in", in3, "--root", gens,
+      "--num-parts", "4"))
+
+    // ---- compact -> query serves the same live corpus
+    val cIdx = tmpDir("cli_cidx") + "/root"
+    IndexCli.run(spark, Seq("compact", "--root", gens, "--out", cIdx,
+      "--num-parts", "4"))
+    val cOut = tmpDir("cli_c") + "/res"
+    IndexCli.run(spark, Seq("query", "--root", cIdx, "--q",
+      "zzcorrected marker", "--k", "5", "--out-parquet", cOut))
+    val hits = spark.read.parquet(cOut).select("doc_id").as[Long].collect()
+    assert(hits.length == 1, s"corrected doc should be the only match: ${hits.toSeq}")
+
+    intercept[IllegalArgumentException](
+      IndexCli.run(spark, Seq("frobnicate", "--root", gens)))
+    intercept[IllegalArgumentException](
+      IndexCli.run(spark, Seq("query", "--root", tmpDir("cli_empty"),
+        "--q", "x")))
+  }
+}
