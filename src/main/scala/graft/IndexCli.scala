@@ -63,16 +63,20 @@ object IndexCli {
 
   val usage: String =
     """usage: graft.IndexCli <subcommand> [options]
-      |  build        --in <turns parquet> --out <index root>
-      |  append       --in <turns parquet> --root <generations root>
-      |  upsert       --in <turns parquet> --root <generations root>
-      |  delete-where --root <generations root> --predicate "<SQL over docs cols>"
-      |  compact      --root <generations root> --out <index root>
-      |  query        --root <index|generations root> --q "<text>" [--k N]
-      |  search       --root <index|generations root> --q "<text>" [--k N] [--window N]
-      |build/append/upsert/compact options: --num-parts N --skew-df N --salts N
-      |  --k1 X --b X --bigrams --fuzzy-d N --lemmas <local csv file>
+      |  build          --in <turns parquet> --out <index root>
+      |  append         --in <turns parquet> --root <generations root>
+      |  upsert         --in <turns parquet> --root <generations root>
+      |  delete-where   --root <generations root> --predicate "<SQL over docs cols>"
+      |  compact        --root <generations root> --out <index root>
+      |  query          --root <index|generations root> --q "<text>" [--k N]
+      |  search         --root <index|generations root> --q "<text>" [--k N] [--window N]
+      |  stream-ingest  --in <watched parquet dir> --root <generations root>
+      |  stream-deletes --in <watched doc_id parquet dir> --root <generations root>
+      |build/append/upsert/compact/stream-ingest options: --num-parts N --skew-df N
+      |  --salts N --k1 X --b X --bigrams --fuzzy-d N --lemmas <local csv file>
       |query/search options: --out-parquet <dir> (default: show on stdout)
+      |stream-* options: --follow <seconds> (micro-batch cadence; default:
+      |  catch up on available input, then exit — the AvailableNow trigger)
       |""".stripMargin
 
   private def confFrom(o: Map[String, String], flags: Set[String],
@@ -165,6 +169,27 @@ object IndexCli {
             else e.searchWithSnippets(q, k, window)
           }
         emit(res, o)
+      case "stream-ingest" | "stream-deletes" =>
+        // the long-running deployable shape: a spark-submit job that
+        // tails a directory. --follow N keeps it up on an N-second
+        // micro-batch cadence; without it the AvailableNow trigger
+        // indexes everything already there and exits (catch-up runs,
+        // and the testable form). Exactly-once is StreamIngest's
+        // batchId-keyed generation/tombstone protocol either way.
+        import org.apache.spark.sql.streaming.Trigger
+        val trigger = o.get("follow")
+          .map(s => Trigger.ProcessingTime(s.toLong * 1000L))
+          .getOrElse(Trigger.AvailableNow())
+        val sq =
+          if (a.cmd == "stream-ingest")
+            graft.streaming.StreamIngest.start(spark, req(o, "in"),
+              req(o, "root"), lemmasFrom(o),
+              confFrom(o, a.flags, spark.sparkContext.defaultParallelism),
+              trigger)
+          else
+            graft.streaming.StreamIngest.startDeletes(spark, req(o, "in"),
+              req(o, "root"), trigger)
+        sq.awaitTermination()
       case other =>
         throw new IllegalArgumentException(s"unknown subcommand '$other'\n$usage")
     }

@@ -99,4 +99,28 @@ class IndexCliSpec extends SparkSpecBase {
       IndexCli.run(spark, Seq("query", "--root", tmpDir("cli_empty"),
         "--q", "x")))
   }
+
+  test("CLI stream-ingest/stream-deletes: catch-up run lands a generation and a tombstone batch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val watched = tmpDir("cli_stream_in")
+    Transcripts.generateLocal(8L).toDS().repartition(1)
+      .write.mode("overwrite").parquet(watched)
+    val root = tmpDir("cli_stream_root") + "/root"
+    // AvailableNow (no --follow): indexes what's there, then returns
+    IndexCli.run(spark, Seq("stream-ingest", "--in", watched, "--root", root,
+      "--num-parts", "2"))
+    val gens = graft.index.Generations.genDirs(root)
+    assert(gens.nonEmpty, "stream-ingest committed no generation")
+    val eng = new graft.index.MultiGenEngine(spark, root)
+    assert(eng.nDocs > 0)
+    // tombstone one doc through the delete stream
+    val victim = eng.engines.head.docs.select("doc_id").as[Long].head()
+    val delDir = tmpDir("cli_stream_del")
+    Seq(victim).toDF("doc_id").repartition(1)
+      .write.mode("overwrite").parquet(delDir)
+    IndexCli.run(spark, Seq("stream-deletes", "--in", delDir, "--root", root))
+    val eng2 = new graft.index.MultiGenEngine(spark, root)
+    assert(eng2.deletedIds.map(_.as[Long].collect().toSet) == Some(Set(victim)))
+  }
 }
