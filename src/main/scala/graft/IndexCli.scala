@@ -61,6 +61,32 @@ object IndexCli {
     Args(cmd, opts.result(), flags.result())
   }
 
+  /** Options each subcommand accepts — the fail-fast allowlist: a typo'd
+    * or misplaced option (`--num-part`, `--out` on append) errors at
+    * launch instead of silently running with defaults.
+    */
+  private val IndexingOpts = Set("num-parts", "skew-df", "salts", "k1", "b",
+    "fuzzy-d", "lemmas")
+  private val KnownOpts: Map[String, Set[String]] = Map(
+    "build" -> (IndexingOpts + "in" + "out"),
+    "append" -> (IndexingOpts + "in" + "root"),
+    "upsert" -> (IndexingOpts + "in" + "root"),
+    "delete-where" -> Set("root", "predicate"),
+    "compact" -> (IndexingOpts + "root" + "out"),
+    "query" -> Set("root", "q", "k", "lemmas", "out-parquet"),
+    "search" -> Set("root", "q", "k", "window", "lemmas", "out-parquet"),
+    "stream-ingest" -> (IndexingOpts + "in" + "root" + "follow"),
+    "stream-deletes" -> Set("in", "root", "follow"))
+
+  private def checkKnown(a: Args): Unit =
+    KnownOpts.get(a.cmd).foreach { known =>
+      val unknown = a.opts.keySet.diff(known)
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unknown option(s) for ${a.cmd}: " +
+            unknown.toSeq.sorted.map("--" + _).mkString(", ") + s"\n$usage")
+    }
+
   val usage: String =
     """usage: graft.IndexCli <subcommand> [options]
       |  build          --in <turns parquet> --out <index root>
@@ -124,6 +150,7 @@ object IndexCli {
 
   def run(spark: SparkSession, argv: Seq[String]): Unit = {
     val a = parseArgs(argv, flagNames = Set("bigrams"))
+    checkKnown(a)
     val o = a.opts
     a.cmd match {
       case "build" =>
@@ -203,7 +230,9 @@ object IndexCli {
     if (!sys.props.contains("spark.sql.shuffle.partitions"))
       b.config("spark.sql.shuffle.partitions",
         math.max(32, Runtime.getRuntime.availableProcessors * 2).toString)
-    val spark = b.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    if (!sys.props.contains("spark.sql.session.timeZone"))
+      b.config("spark.sql.session.timeZone", "UTC")
+    val spark = b.getOrCreate()
     try run(spark, argv.toSeq)
     finally spark.stop()
   }

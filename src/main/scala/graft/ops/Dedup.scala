@@ -126,6 +126,10 @@ object Dedup {
     */
   private[ops] def capBuckets(banded: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
+    // uncapped (the star-edge callers' default): nothing to drop, so
+    // skip the no-op cap aggregate + anti-join entirely — ONE home for
+    // this check, so no caller can forget it
+    if (maxBucket == Int.MaxValue) return banded
     // anti-join against the (tiny) oversized-key relation instead of a
     // count() window: the window sort-shuffles the WHOLE banded relation,
     // while the groupBy is map-side-combined and the oversized keys are
@@ -135,6 +139,27 @@ object Dedup {
       .filter(col("_bucket_n") > maxBucket)
       .select(keys.map(col): _*)
     banded.join(over, keys, "left_anti")
+  }
+
+  /** Distinct member→bucket-min-rep edges over a banded LSH relation —
+    * the ONE home for the linear star shape all three LSH families'
+    * star-edge operators share: reps via a map-side-combined
+    * groupBy(min), members joined to their rep, self-edges dropped,
+    * DISTINCT taken on bare (id, rep) BEFORE any signature joins back
+    * for verification (so no per-bucket self-join exists anywhere in
+    * the plan — the property PLANS.md pins). Every stage is linear in
+    * bucket size; `maxBucket` = Int.MaxValue (the callers' default)
+    * adds no cap stage at all.
+    */
+  private[ops] def starEdgesFromBanded(allBanded: DataFrame,
+      keys: Seq[String], idCol: String, maxBucket: Int): DataFrame = {
+    val banded = capBuckets(allBanded, keys, maxBucket)
+      .select((keys :+ idCol).map(col): _*)
+    val reps = banded.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("rep"))
+    banded.join(reps, keys)
+      .filter(col(idCol) =!= col("rep"))
+      .select(col(idCol), col("rep")).distinct()
   }
 
   /** Buckets that exceed `maxBucket` (for skew reporting/auditing):
@@ -374,17 +399,10 @@ object Dedup {
     */
   def simHashStarEdges(sim: DataFrame, maxHam: Int = 3,
       maxBucket: Int = Int.MaxValue, blocks: Int = 4): DataFrame = {
-    val allBanded = simHashBanded(sim, blocks, maxHam)
-    val banded = (if (maxBucket == Int.MaxValue) allBanded // skip the no-op cap aggregate
-      else capBuckets(allBanded, Seq("band", "key"), maxBucket))
-      .select(col("band"), col("key"), col("doc_id"))
     // ids only through the shuffle; signatures joined back per DISTINCT
     // edge (the minHashCandidates two-step)
-    val reps = banded.groupBy(col("band"), col("key"))
-      .agg(min(col("doc_id")).as("rep"))
-    banded.join(reps, Seq("band", "key"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id"), col("rep")).distinct()
+    starEdgesFromBanded(simHashBanded(sim, blocks, maxHam),
+      Seq("band", "key"), "doc_id", maxBucket)
       .join(sim.select(col("doc_id"), col("simhash").as("sh_d")), Seq("doc_id"))
       .join(sim.select(col("doc_id").as("rep"), col("simhash").as("sh_r")), Seq("rep"))
       .select(col("doc_id"), col("rep"),
@@ -411,15 +429,8 @@ object Dedup {
   def minHashStarEdges(signatures: DataFrame, bands: Int, rowsPerBand: Int,
       minEstJaccard: Double = 0.0, maxBucket: Int = Int.MaxValue,
       family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
-    val allBanded = minHashBanded(signatures, bands, rowsPerBand, family)
-      .select(col("band"), col("bucket"), col("doc_id"))
-    val banded = if (maxBucket == Int.MaxValue) allBanded
-      else capBuckets(allBanded, Seq("band", "bucket"), maxBucket)
-    val reps = banded.groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("rep"))
-    banded.join(reps, Seq("band", "bucket"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id"), col("rep")).distinct()
+    starEdgesFromBanded(minHashBanded(signatures, bands, rowsPerBand, family),
+      Seq("band", "bucket"), "doc_id", maxBucket)
       .join(signatures.select(col("doc_id"), col("signature").as("sig_d")), Seq("doc_id"))
       .join(signatures.select(col("doc_id").as("rep"), col("signature").as("sig_r")), Seq("rep"))
       .select(col("doc_id"), col("rep"),
@@ -465,15 +476,13 @@ object Dedup {
     */
   def embeddingStarCandidates(embeddings: DataFrame, nPlanes: Int = 24,
       bands: Int = 3, dim: Int = 64,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = Similarity.bandedHyperplane(embeddings, nPlanes, bands,
-      dim, maxBucket).select(col("band"), col("key"), col("vec_id"))
-    val reps = banded.groupBy(col("band"), col("key"))
-      .agg(min(col("vec_id")).as("rep"))
-    banded.join(reps, Seq("band", "key"))
-      .filter(col("vec_id") =!= col("rep"))
-      .select(col("vec_id"), col("rep")).distinct()
-  }
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    starEdgesFromBanded(
+      // cap applied ONCE, in starEdgesFromBanded (bandedHyperplane's own
+      // capBuckets call no-ops at the uncapped sentinel)
+      Similarity.bandedHyperplane(embeddings, nPlanes, bands, dim,
+        Int.MaxValue),
+      Seq("band", "key"), "vec_id", maxBucket)
 
   /** Exact-cosine verification of star candidate edges against their
     * representatives: one cosine per distinct edge, keep cos >= minCos

@@ -150,10 +150,9 @@ object Similarity {
         b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
       .as(Seq("band", "key")))
     // one cap implementation for every LSH family (reporting side:
-    // Dedup.oversizedBuckets over the same keys); Int.MaxValue skips
-    // the no-op cap aggregate (the star-edge callers' uncapped default)
-    if (maxBucket == Int.MaxValue) banded
-    else Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
+    // Dedup.oversizedBuckets over the same keys); capBuckets itself
+    // no-ops at the uncapped Int.MaxValue sentinel
+    Dedup.capBuckets(banded, Seq("band", "key"), maxBucket)
   }
 
   /** IVF (inverted-file) ANN index: deterministic Lloyd k-means (fixed

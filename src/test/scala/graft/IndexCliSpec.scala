@@ -24,6 +24,14 @@ class IndexCliSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](parseArgs(Seq("build", "oops"), Set.empty))
     intercept[IllegalArgumentException](parseArgs(Seq("build", "--in"), Set.empty))
     intercept[IllegalArgumentException](parseArgs(Seq.empty, Set.empty))
+    // the fail-fast allowlist: a typo'd option (--num-part) or one that
+    // belongs to another subcommand (--out on append) must error at
+    // launch, not silently run a cluster job with defaults
+    val typo = intercept[IllegalArgumentException](IndexCli.run(spark,
+      Seq("build", "--in", "/x", "--out", "/y", "--num-part", "4096")))
+    assert(typo.getMessage.contains("--num-part"))
+    intercept[IllegalArgumentException](IndexCli.run(spark,
+      Seq("append", "--in", "/x", "--root", "/r", "--out", "/y")))
   }
 
   test("CLI e2e: build/query, append/upsert/delete-where/query, compact") {
