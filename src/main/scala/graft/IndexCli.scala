@@ -76,7 +76,8 @@ object IndexCli {
     "query" -> Set("root", "q", "k", "lemmas", "out-parquet"),
     "search" -> Set("root", "q", "k", "window", "lemmas", "out-parquet"),
     "stream-ingest" -> (IndexingOpts + "in" + "root" + "follow"),
-    "stream-deletes" -> Set("in", "root", "follow"))
+    "stream-deletes" -> Set("in", "root", "follow"),
+    "stats" -> Set("root"))
 
   private def checkKnown(a: Args): Unit =
     KnownOpts.get(a.cmd).foreach { known =>
@@ -98,6 +99,7 @@ object IndexCli {
       |  search         --root <index|generations root> --q "<text>" [--k N] [--window N]
       |  stream-ingest  --in <watched parquet dir> --root <generations root>
       |  stream-deletes --in <watched doc_id parquet dir> --root <generations root>
+      |  stats          --root <index|generations root>
       |build/append/upsert/compact/stream-ingest options: --num-parts N --skew-df N
       |  --salts N --k1 X --b X --bigrams --fuzzy-d N --lemmas <local csv file>
       |query/search options: --out-parquet <dir> (default: show on stdout)
@@ -196,6 +198,30 @@ object IndexCli {
             else e.searchWithSnippets(q, k, window)
           }
         emit(res, o)
+      case "stats" =>
+        // operational inventory, metadata-only: generation metas +
+        // tombstone markers (one small read each), no table scans
+        val root = req(o, "root")
+        if (isSingleIndex(root)) {
+          val m = IndexBuilder.readMeta(root)
+          println(s"single index $root: n_docs=${m.n_docs} " +
+            s"n_terms=${m.n_terms} n_postings=${m.n_postings} " +
+            f"avgdl=${m.avgdl}%.2f k1=${m.k1} b=${m.b}")
+        } else {
+          val gens = Generations.genDirs(root)
+          gens.foreach { g =>
+            val m = IndexBuilder.readMeta(g)
+            println(s"${g.split('/').last}: n_docs=${m.n_docs} " +
+              s"n_terms=${m.n_terms} n_postings=${m.n_postings}")
+          }
+          val dels = Generations.delDirs(root)
+          dels.foreach { d =>
+            println(s"${d.split('/').last}: " +
+              graft.index.Fs.readString(s"$d/del_meta.json"))
+          }
+          println(s"total: ${gens.size} generations, " +
+            s"n_docs=${Generations.totalDocs(root)}, ${dels.size} tombstone batches")
+        }
       case "stream-ingest" | "stream-deletes" =>
         // the long-running deployable shape: a spark-submit job that
         // tails a directory. --follow N keeps it up on an N-second

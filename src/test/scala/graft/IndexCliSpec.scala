@@ -130,5 +130,7 @@ class IndexCliSpec extends SparkSpecBase {
     IndexCli.run(spark, Seq("stream-deletes", "--in", delDir, "--root", root))
     val eng2 = new graft.index.MultiGenEngine(spark, root)
     assert(eng2.deletedIds.map(_.as[Long].collect().toSet) == Some(Set(victim)))
+    // stats is metadata-only and runs on both root shapes
+    IndexCli.run(spark, Seq("stats", "--root", root))
   }
 }
