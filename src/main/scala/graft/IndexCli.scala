@@ -79,7 +79,17 @@ object IndexCli {
     "stream-deletes" -> Set("in", "root", "follow"),
     "stats" -> Set("root"))
 
-  private def checkKnown(a: Args): Unit =
+  /** Flags each subcommand accepts — the indexing subcommands only.
+    * `--bigrams` on `query` would parse but do nothing (query-side
+    * bigram use is driven by the INDEX's meta, not a CLI switch), so it
+    * fails at launch like a typo'd option does.
+    */
+  private val KnownFlags: Map[String, Set[String]] = Map(
+    "build" -> Set("bigrams"), "append" -> Set("bigrams"),
+    "upsert" -> Set("bigrams"), "compact" -> Set("bigrams"),
+    "stream-ingest" -> Set("bigrams")).withDefaultValue(Set.empty)
+
+  private def checkKnown(a: Args): Unit = {
     KnownOpts.get(a.cmd).foreach { known =>
       val unknown = a.opts.keySet.diff(known)
       if (unknown.nonEmpty)
@@ -87,6 +97,12 @@ object IndexCli {
           s"unknown option(s) for ${a.cmd}: " +
             unknown.toSeq.sorted.map("--" + _).mkString(", ") + s"\n$usage")
     }
+    val badFlags = a.flags.diff(KnownFlags(a.cmd))
+    if (badFlags.nonEmpty)
+      throw new IllegalArgumentException(
+        s"flag(s) not accepted by ${a.cmd}: " +
+          badFlags.toSeq.sorted.map("--" + _).mkString(", ") + s"\n$usage")
+  }
 
   val usage: String =
     """usage: graft.IndexCli <subcommand> [options]

@@ -32,6 +32,11 @@ class IndexCliSpec extends SparkSpecBase {
     assert(typo.getMessage.contains("--num-part"))
     intercept[IllegalArgumentException](IndexCli.run(spark,
       Seq("append", "--in", "/x", "--root", "/r", "--out", "/y")))
+    // flags are allowlisted per subcommand too: --bigrams on query would
+    // parse but do nothing (query-side bigram use comes from index meta)
+    val flagErr = intercept[IllegalArgumentException](IndexCli.run(spark,
+      Seq("query", "--root", "/r", "--q", "x", "--bigrams")))
+    assert(flagErr.getMessage.contains("--bigrams"))
   }
 
   test("CLI e2e: build/query, append/upsert/delete-where/query, compact") {
