@@ -188,6 +188,46 @@ object GraftQueries {
     new graft.index.MultiGenEngine(spark, root, Map.empty)
   }
 
+  /** Three-generation root (thirds in conv_id order) whose FIRST TWO
+    * generations were merged by `Compactor.mergeGenerationsAt` (q58) —
+    * the partial-compaction serving shape. Every step is idempotent via
+    * explicit directories (appendAt / mergeGenerationsAt meta checks),
+    * so a Verify re-run over a cached /tmp root is a no-op replay.
+    * The retired sources are deliberately NOT gc'd here: gcReplaced
+    * would delete gen-00000/gen-00001, and a replay in a fresh JVM
+    * would then re-append the first third as NEW generations on top of
+    * the merged copy. gc is spec-pinned (GenerationMergeSpec); the
+    * serving-relevant exclusion (replaces.json) is exercised right here.
+    */
+  def multiGenMergedFor(spark: SparkSession, dir: String)
+      : graft.index.MultiGenEngine = {
+    val key = s"merged:$dir"
+    val root = indexCache.getOrElseUpdate(key, {
+      val token = IndexBuilder.tableToken(s"$dir/documents.parquet").take(12)
+      val out = s"/tmp/graft_index_merged_${safeName(dir)}_$token"
+      val conf = IndexConf(numParts = spark.sparkContext.defaultParallelism,
+        skewDfThreshold = 100000L, nSalts = 8)
+      val maxId = documents(spark, dir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      def cut(i: Long) = f"conv-${i * maxId / 3 + 1}%010d"
+      val turns = docsAsTurns(spark, dir)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id < cut(1)),
+        out, s"$out/gen-00000", Map.empty, conf)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id >= cut(1) && t.conv_id < cut(2)),
+        out, s"$out/gen-00001", Map.empty, conf)
+      graft.index.Generations.appendAt(spark,
+        turns.filter(t => t.conv_id >= cut(2)),
+        out, s"$out/gen-00002", Map.empty, conf)
+      graft.index.Compactor.mergeGenerationsAt(spark, out,
+        Seq(s"$out/gen-00000", s"$out/gen-00001"), s"$out/gen-00003",
+        Map.empty, conf)
+      out
+    })
+    new graft.index.MultiGenEngine(spark, root, Map.empty)
+  }
+
   // --------------------------------------------------------- query catalog
 
   /** The oracle-paired catalog: the sketch queries (q18/q19/q23/q42/q43)
@@ -909,6 +949,24 @@ object GraftQueries {
         .coalesce(1).write.mode("overwrite").parquet(candPath)
       Dedup.verifyEmbeddingStar(s.read.parquet(candPath), all, minCos = 0.999)
         .orderBy("vec_id", "rep")
+    }),
+
+    // partial (tiered) compaction on the hot-append root: a THREE-
+    // generation split whose first two generations were physically
+    // merged by Compactor.mergeGenerations — the LSM maintenance step
+    // that bounds generation fan-out without a full rebuild. Global
+    // statistics are generation-partitioning-invariant (integer df sums,
+    // exactly round-tripping corpus length), so handleQuery over the
+    // merged root is identical to q25/q46 and the oracle IS the q25
+    // oracle. Same top-100-raw + rounded-reorder envelope.
+    "q58_handle_query_merged" -> ((s, dir) => {
+      val m = multiGenMergedFor(s, dir)
+      val got = m.handleQuery("table scan", 100)
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("tier"))
+      withOrigDocIdMulti(m, got)
+        .orderBy(col("tier").asc, col("score").desc, col("doc_id").asc)
+        .limit(10)
+        .select("doc_id", "score", "tier")
     }))
 
   // --------------------------------------------------------- oracle SQL
@@ -1149,6 +1207,7 @@ object GraftQueries {
     // identical by design: the two-generation engine must reproduce the
     // single-index handle_query bit-for-bit under global statistics
     "q46_handle_query_twogen" -> handleQuerySql,
+    "q58_handle_query_merged" -> handleQuerySql,
 
     // norms over ALL terms of each doc; score only over the query terms.
     // (tf*df) products stay exact in 64-bit integers at oracle scale, so

@@ -73,6 +73,8 @@ object IndexCli {
     "upsert" -> (IndexingOpts + "in" + "root"),
     "delete-where" -> Set("root", "predicate"),
     "compact" -> (IndexingOpts + "root" + "out"),
+    "merge" -> Set("root", "gens", "smallest", "num-parts", "fuzzy-d", "lemmas"),
+    "gc" -> Set("root"),
     "query" -> Set("root", "q", "k", "lemmas", "out-parquet"),
     "search" -> Set("root", "q", "k", "window", "lemmas", "out-parquet"),
     "stream-ingest" -> (IndexingOpts + "in" + "root" + "follow"),
@@ -111,6 +113,8 @@ object IndexCli {
       |  upsert         --in <turns parquet> --root <generations root>
       |  delete-where   --root <generations root> --predicate "<SQL over docs cols>"
       |  compact        --root <generations root> --out <index root>
+      |  merge          --root <generations root> (--gens g1,g2,... | --smallest K)
+      |  gc             --root <generations root>   (drop merged-away gen dirs)
       |  query          --root <index|generations root> --q "<text>" [--k N]
       |  search         --root <index|generations root> --q "<text>" [--k N] [--window N]
       |  stream-ingest  --in <watched parquet dir> --root <generations root>
@@ -197,6 +201,26 @@ object IndexCli {
           lemmasFrom(o), conf)
         println(s"compacted -> ${req(o, "out")}: n_docs=${meta.n_docs} " +
           s"n_terms=${meta.n_terms}")
+      case "merge" =>
+        // partial (tiered) compaction: --gens names OR --smallest K;
+        // k1/b come from the source metas, never from options
+        val root = req(o, "root")
+        val conf = confFrom(o, a.flags, spark.sparkContext.defaultParallelism)
+        val dir = (o.get("gens"), o.get("smallest")) match {
+          case (Some(names), None) =>
+            Compactor.mergeGenerations(spark, root,
+              names.split(',').toSeq.map(n => s"$root/${n.trim}"),
+              lemmasFrom(o), conf)
+          case (None, Some(k)) =>
+            Compactor.mergeSmallest(spark, root, k.toInt, lemmasFrom(o), conf)
+          case _ => throw new IllegalArgumentException(
+            s"merge needs exactly one of --gens or --smallest\n$usage")
+        }
+        println(s"merged -> $dir")
+      case "gc" =>
+        val dropped = Compactor.gcReplaced(req(o, "root"))
+        println(s"gc dropped ${dropped.size} replaced generation dir(s)" +
+          (if (dropped.isEmpty) "" else dropped.mkString(": ", ", ", "")))
       case "query" | "search" =>
         val root = req(o, "root")
         val q = req(o, "q")

@@ -16,12 +16,43 @@ import graft.corpus.Turn
   */
 object Generations {
 
-  def genDirs(root: String): Seq[String] =
-    Fs.listNames(root)
+  def genDirs(root: String): Seq[String] = {
+    val complete = Fs.listNames(root)
       .filter(n => n.startsWith("gen-") &&
         Fs.exists(s"$root/$n/index_meta.json"))
       .sorted
-      .map(n => s"$root/$n")
+    // a COMMITTED merged generation (Compactor.mergeGenerations)
+    // excludes the sources it physically replaced — still on disk until
+    // gcReplaced — or every merged doc would be served twice. Only
+    // complete generations' markers count: a crashed merge (replaces
+    // written, meta absent) is invisible and leaves its sources live.
+    val replaced = complete.flatMap(n => replacedBy(s"$root/$n")).toSet
+    complete.filterNot(replaced).map(n => s"$root/$n")
+  }
+
+  /** Generation names a committed merged generation replaced (empty for
+    * ordinary generations — the marker only exists on merge outputs).
+    */
+  private[index] def replacedBy(dir: String): Seq[String] = {
+    val f = s"$dir/replaces.json"
+    if (!Fs.exists(f)) Nil
+    else "\"replaces\":\\[([^\\]]*)\\]".r.findFirstMatchIn(Fs.readString(f))
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** max numeric suffix + 1 over the root's `prefix`-NNNNN dirs.
+    * Meta-less partials from a crashed run are INCLUDED in the max — a
+    * crashed dir's name must never be reused (resuming its stage
+    * checkpoints would silently build over the crashed batch's data),
+    * and only ^prefix-\d+$ names feed the counter: streaming dirs
+    * (gen-b<hex-sid>-NNNNN) would otherwise contribute digit runs from
+    * inside the random hex sid and make the counter jump arbitrarily.
+    */
+  private[index] def nextNumbered(root: String, prefix: String): Long =
+    Fs.listNames(root).filter(_.matches(s"$prefix-\\d+"))
+      .map(_.stripPrefix(s"$prefix-").toLong)
+      .foldLeft(-1L)(math.max) + 1
 
   def totalDocs(root: String): Long =
     genDirs(root).map(IndexBuilder.readMeta(_).n_docs).sum
@@ -35,17 +66,7 @@ object Generations {
     */
   def append(spark: SparkSession, turns: Dataset[Turn], root: String,
       lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
-    // max over ALL gen-* dirs, including meta-less partials from a
-    // crashed append: reusing a partial dir would resume ITS stage
-    // checkpoints and silently build over the crashed batch's data.
-    val all = Fs.listNames(root).filter(_.startsWith("gen-"))
-    // only ^gen-\d+$ names feed the numeric counter: streaming dirs
-    // (gen-b<hex-sid>-NNNNN) would otherwise contribute digit runs from
-    // inside the random hex sid and make the counter jump arbitrarily
-    val next = all
-      .filter(_.matches("gen-\\d+"))
-      .map(_.stripPrefix("gen-").toLong)
-      .foldLeft(-1L)(math.max) + 1
+    val next = nextNumbered(root, "gen")
     appendAt(spark, turns, root, f"$root/gen-$next%05d", lemmas, conf)
   }
 
@@ -93,10 +114,7 @@ object Generations {
     */
   def deleteDocs(spark: SparkSession, docIds: Dataset[Long],
       root: String): String = {
-    val next = Fs.listNames(root)
-      .filter(_.matches("del-\\d+"))
-      .map(_.stripPrefix("del-").toLong)
-      .foldLeft(-1L)(math.max) + 1
+    val next = nextNumbered(root, "del")
     deleteDocsAt(spark, docIds, root, f"$root/del-$next%05d")
   }
 
@@ -934,5 +952,211 @@ object Compactor {
       s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
       s""""n_postings":$nPostings,"k1":${conf.k1},"b":${conf.b},"fingerprint":"compacted"}""")
     meta
+  }
+
+  // ------------------------------------------------- partial (tiered) merge
+
+  /** LSM-style PARTIAL compaction: physically merge a subset of a root's
+    * generations into ONE new generation, leaving every other generation
+    * and all tombstone batches untouched. At 10^12 turns a hot-append
+    * root accumulates generations faster than anyone can afford full
+    * [[compact]] runs (which rewrite the whole corpus); tiered merges
+    * bound the per-query generation fan-out (dictionary probes, scoring
+    * folds, block-max bound rescales are all per-generation) at
+    * O(log n) total write amplification — each doc is rewritten once per
+    * tier it climbs, the classic size-tiered trade.
+    *
+    * The serving contract is BIT-IDENTICAL results (test-pinned): no
+    * tombstone purge happens here, so doc_ids, `totalDocs` (the append
+    * offset watermark) and the pre-delete statistics semantics are
+    * exactly preserved — global df is an integer sum over generations
+    * and the merged generation contributes the same integers, while the
+    * reconstructed corpus length `round(avgdl*n_docs)` round-trips
+    * exactly (MultiGenEngine.avgdl). Purging inside a partial merge
+    * would instead leave the root's statistics half pre-delete / half
+    * post-delete and strand tombstone batches that still cover
+    * un-merged generations; full [[compact]] remains the purger.
+    *
+    * Commit protocol: the merged generation is built like any index
+    * (resumable stage manifests under a source-set fingerprint — a
+    * killed merge re-run into the same dir skips completed stages),
+    * then `replaces.json` (the source names) is written, then
+    * `index_meta.json`. The meta is the single commit point:
+    * `Generations.genDirs` excludes the sources the moment it appears,
+    * so no reader ever lists a doc twice, and a crash anywhere earlier
+    * leaves an invisible partial with the sources still serving.
+    * Source dirs stay on disk until [[gcReplaced]] removes them.
+    *
+    * The sources' segments checkpoints are re-shuffled into the stage-1
+    * layout and PERSISTED under the merged generation (the k-way merge,
+    * reference src/spimi.rs:50-121), so it carries its own sorted runs
+    * and later merges / full compactions treat it like any other
+    * generation. BM25 constants come from the source metas (they are
+    * baked into every chunk's block-max bound and must agree across the
+    * root anyway — MultiGenEngine enforces it); `conf.k1`/`conf.b` are
+    * ignored here.
+    */
+  def mergeGenerations(spark: SparkSession, root: String,
+      sources: Seq[String], lemmas: Map[String, String],
+      conf: IndexConf = IndexConf()): String = {
+    val next = Generations.nextNumbered(root, "gen")
+    mergeGenerationsAt(spark, root, sources, f"$root/gen-$next%05d",
+      lemmas, conf)
+  }
+
+  /** [[mergeGenerations]] at an EXPLICIT directory — idempotent via meta
+    * existence (appendAt's replay semantics) and resumable: re-running
+    * after a crash into the same dir skips completed stage manifests.
+    */
+  def mergeGenerationsAt(spark: SparkSession, root: String,
+      sources: Seq[String], dir: String, lemmas: Map[String, String],
+      conf: IndexConf = IndexConf()): String = {
+    import spark.implicits._
+    if (Fs.exists(IndexPaths(dir).meta)) return dir
+    require(sources.size >= 2,
+      s"merge needs >=2 source generations, got ${sources.size}")
+    val live = Generations.genDirs(root).toSet
+    val dead = sources.filterNot(live)
+    require(dead.isEmpty,
+      s"merge sources must be live generations of $root; not live: " +
+        dead.mkString(", "))
+    val metas = sources.map(IndexBuilder.readMeta)
+    require(metas.map(m => (m.k1, m.b)).distinct.size == 1,
+      "merge sources disagree on BM25 constants: " +
+        metas.map(m => (m.k1, m.b)).distinct.mkString(","))
+    // effective conf: k1/b pinned to the sources' build constants (see
+    // scaladoc); everything else (numParts, stage2Ranges, fuzzy d) is
+    // the caller's choice and fingerprinted below
+    val mconf = conf.copy(k1 = metas.head.k1, b = metas.head.b)
+    val builder = new IndexBuilder(spark, lemmas, mconf)
+    val paths = IndexPaths(dir)
+    Fs.mkdirs(dir)
+
+    // identity = the source generation set (names + metas, which carry
+    // the per-gen build fingerprints) + the layout-relevant conf.
+    // Tombstones are deliberately NOT part of merge identity — nothing
+    // is purged, so a merge is valid regardless of delete batches
+    // landing before/during/after it.
+    val fp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def upd(s: String): Unit =
+        md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      sources.sorted.foreach { g =>
+        upd(g); upd("\n")
+        upd(try Fs.readString(IndexPaths(g).meta)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalStateException(
+                  s"unreadable generation meta for $g — refusing to " +
+                    s"fingerprint a merge over it", e)
+            })
+      }
+      upd(s"np${mconf.numParts}-k1${mconf.k1}-b${mconf.b}" +
+        s"-fz${mconf.fuzzyMaxDistance}")
+      s"merge-${md.digest().map(b => f"$b%02x").mkString}-n${sources.size}"
+    }
+
+    // docs: plain union (doc_ids already globally disjoint), no purge
+    if (!builder.manifestComplete(paths.docs, fp)) {
+      val t0 = System.nanoTime()
+      sources.map(g => spark.read.parquet(IndexPaths(g).docs))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(paths.docs)
+      builder.writeManifest(paths.docs, fp,
+        spark.read.parquet(paths.docs).count(),
+        (System.nanoTime() - t0) / 1000000)
+    }
+
+    // segments: union re-shuffled into the stage-1 layout ((term, salt)
+    // partitions, (term, salt, doc_id)-sorted files) and persisted —
+    // the one corpus-scale shuffle a merge pays
+    if (!builder.manifestComplete(paths.segments, fp)) {
+      val t0 = System.nanoTime()
+      sources.map(g => spark.read.option("recursiveFileLookup", "true")
+          .parquet(IndexPaths(g).segments))
+        .reduce(_ unionByName _).as[SegmentRow]
+        .repartition(mconf.numParts, $"term", $"salt")
+        .sortWithinPartitions($"term", $"salt", $"doc_id")
+        .write.mode("overwrite").parquet(paths.segments)
+      builder.writeManifest(paths.segments, fp,
+        spark.read.parquet(paths.segments).count(),
+        (System.nanoTime() - t0) / 1000000)
+    }
+
+    val docs = spark.read.parquet(paths.docs)
+    val agg = docs.agg(count(lit(1)), avg($"doc_len")).head()
+    val nDocs = agg.getLong(0)
+    val avgdl = agg.getDouble(1)
+    // stage 2 shares the fresh-build writer: the persisted merged
+    // segments read back in stage-1 layout, chunked directly (no second
+    // shuffle), with per-term-range resume
+    val dictDf = builder.writeStage2(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(paths.segments).as[SegmentRow],
+      nDocs, avgdl, dir, fp)
+    val nTerms = builder.manifestRows(paths.dictionary)
+      .getOrElse(dictDf.count())
+    val nPostings = spark.read.parquet(paths.dictionary)
+      .agg(sum($"df")).head().getLong(0)
+
+    // replaces BEFORE meta: the meta is the single commit point that
+    // both publishes the merged generation and retires its sources
+    IndexBuilder.writeAtomic(s"$dir/replaces.json",
+      s"""{"replaces":[${sources.map(s =>
+        "\"" + s.split('/').last + "\"").mkString(",")}]}""")
+    IndexBuilder.writeAtomic(paths.meta,
+      s"""{"n_docs":$nDocs,"avgdl":$avgdl,"n_terms":$nTerms,""" +
+      s""""n_postings":$nPostings,"k1":${mconf.k1},"b":${mconf.b},""" +
+      s""""fingerprint":"$fp"}""")
+    dir
+  }
+
+  /** Size-tiered maintenance step: merge the `k` smallest live
+    * generations (by meta n_docs — metadata-only selection). The policy
+    * loop that bounds a hot-append root's generation count: appends
+    * land small, periodic mergeSmallest consolidates upward, full
+    * [[compact]] runs only when tombstone debt warrants a purge.
+    */
+  def mergeSmallest(spark: SparkSession, root: String, k: Int,
+      lemmas: Map[String, String], conf: IndexConf = IndexConf()): String = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gens = Generations.genDirs(root)
+    require(gens.size >= 2, s"nothing to merge under $root (${gens.size} generations)")
+    val chosen = gens.map(g => (IndexBuilder.readMeta(g).n_docs, g))
+      .sortBy(identity).take(math.min(k, gens.size)).map(_._2)
+    mergeGenerations(spark, root, chosen, lemmas, conf)
+  }
+
+  /** Remove generation directories that a COMMITTED merged generation
+    * replaced. Deletion is bottom-up: a replaced dir is deleted only
+    * once every dir IT replaces (if it was itself a merge output) is
+    * already gone — deleting a mid-chain merge first and crashing
+    * before its sources would orphan their replaced-ness and resurrect
+    * them in genDirs. Idempotent. New readers never see replaced dirs
+    * (genDirs excludes them from the commit on), but a MultiGenEngine
+    * CONSTRUCTED before the merge still scans them — run gc on the
+    * maintenance cadence, after serving sessions have rolled over.
+    * Returns the deleted dirs.
+    */
+  def gcReplaced(root: String): Seq[String] = {
+    val deleted = Seq.newBuilder[String]
+    var present = scala.collection.mutable.Set(
+      Fs.listNames(root).filter(_.startsWith("gen-")): _*)
+    var progress = true
+    while (progress) {
+      progress = false
+      val replaced = present.toSeq.sorted
+        .filter(n => Fs.exists(s"$root/$n/index_meta.json"))
+        .flatMap(n => Generations.replacedBy(s"$root/$n")).toSet
+      replaced.toSeq.sorted.foreach { r =>
+        if (present(r) && !Generations.replacedBy(s"$root/$r").exists(present)) {
+          Fs.deleteRecursive(s"$root/$r")
+          present -= r
+          deleted += s"$root/$r"
+          progress = true
+        }
+      }
+    }
+    deleted.result()
   }
 }

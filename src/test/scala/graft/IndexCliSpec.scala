@@ -106,6 +106,22 @@ class IndexCliSpec extends SparkSpecBase {
     val hits = spark.read.parquet(cOut).select("doc_id").as[Long].collect()
     assert(hits.length == 1, s"corrected doc should be the only match: ${hits.toSeq}")
 
+    // ---- merge (tiered compaction) + gc through the CLI: the two
+    // smallest generations collapse into one; retired dirs drop on gc;
+    // the root serves identically (the upserted doc is still the only
+    // live match)
+    val nGensBefore = graft.index.Generations.genDirs(gens).size
+    IndexCli.run(spark, Seq("merge", "--root", gens, "--smallest", "2",
+      "--num-parts", "4"))
+    assert(graft.index.Generations.genDirs(gens).size == nGensBefore - 1)
+    IndexCli.run(spark, Seq("gc", "--root", gens))
+    val mOut = tmpDir("cli_m") + "/res"
+    IndexCli.run(spark, Seq("query", "--root", gens, "--q",
+      "zzcorrected marker", "--k", "5", "--out-parquet", mOut))
+    assert(spark.read.parquet(mOut).select("doc_id").as[Long].collect().length == 1)
+    intercept[IllegalArgumentException](
+      IndexCli.run(spark, Seq("merge", "--root", gens))) // needs --gens|--smallest
+
     intercept[IllegalArgumentException](
       IndexCli.run(spark, Seq("frobnicate", "--root", gens)))
     intercept[IllegalArgumentException](
