@@ -259,8 +259,11 @@ object IndexCli {
             println(s"${d.split('/').last}: " +
               graft.index.Fs.readString(s"$d/del_meta.json"))
           }
+          val retired = Generations.retiredDirs(root)
           println(s"total: ${gens.size} generations, " +
-            s"n_docs=${Generations.totalDocs(root)}, ${dels.size} tombstone batches")
+            s"n_docs=${Generations.totalDocs(root)}, ${dels.size} tombstone batches" +
+            (if (retired.isEmpty) ""
+             else s", ${retired.size} retired dir(s) awaiting gc"))
         }
       case "stream-ingest" | "stream-deletes" =>
         // the long-running deployable shape: a spark-submit job that

@@ -41,6 +41,18 @@ object Generations {
       .getOrElse(Nil)
   }
 
+  /** Complete generation dirs a committed merge has retired — still on
+    * disk, excluded from [[genDirs]], awaiting `Compactor.gcReplaced`.
+    */
+  def retiredDirs(root: String): Seq[String] = {
+    val live = genDirs(root).map(_.split('/').last).toSet
+    Fs.listNames(root)
+      .filter(n => n.startsWith("gen-") && !live(n) &&
+        Fs.exists(s"$root/$n/index_meta.json"))
+      .sorted
+      .map(n => s"$root/$n")
+  }
+
   /** max numeric suffix + 1 over the root's `prefix`-NNNNN dirs.
     * Meta-less partials from a crashed run are INCLUDED in the max — a
     * crashed dir's name must never be reused (resuming its stage

@@ -63,9 +63,11 @@ class GenerationMergeSpec extends SparkSpecBase {
     val merged = Compactor.mergeGenerations(spark, root, sources, lemmas, conf)
     assert(merged == s"$root/gen-00003")
 
-    // listing: merged + the untouched third; sources still on disk
+    // listing: merged + the untouched third; sources still on disk,
+    // reported as retired
     assert(Generations.genDirs(root) == Seq(s"$root/gen-00002", merged))
     assert(sources.forall(s => Fs.exists(s"$s/index_meta.json")))
+    assert(Generations.retiredDirs(root) == sources)
     assert(Generations.totalDocs(root) == nDocsBefore)
 
     val post = new MultiGenEngine(spark, root, lemmas)
@@ -107,6 +109,7 @@ class GenerationMergeSpec extends SparkSpecBase {
     assert(Fs.listNames(root).filter(_.startsWith("gen-")) == Seq("gen-00004"))
 
     // second gc is a no-op; serving still identical (tombstones intact)
+    assert(Generations.retiredDirs(root).isEmpty)
     assert(Compactor.gcReplaced(root).isEmpty)
     assert(snapshot(new MultiGenEngine(spark, root, lemmas)) == before)
   }
