@@ -1007,6 +1007,12 @@ object Compactor {
     * baked into every chunk's block-max bound and must agree across the
     * root anyway — MultiGenEngine enforces it); `conf.k1`/`conf.b` are
     * ignored here.
+    *
+    * Like [[compact]] and gc, this is a MAINTENANCE op: one scheduled
+    * writer per root at a time (appends/streaming ingest may land new
+    * generations concurrently — they are untouched — but two merges
+    * over overlapping source sets would each commit a copy of the
+    * shared sources; serialize the merge/compact/gc cadence).
     */
   def mergeGenerations(spark: SparkSession, root: String,
       sources: Seq[String], lemmas: Map[String, String],
