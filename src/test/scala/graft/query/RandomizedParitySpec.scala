@@ -1,0 +1,86 @@
+package graft.query
+
+import graft.SparkSpecBase
+import graft.corpus.Transcripts
+import graft.index.{Compactor, Generations, IndexBuilder, IndexConf, MultiGenEngine}
+import graft.oracle.Oracle
+
+/** Seeded randomized differential testing of the flagship entry point:
+  * `handleQuery` must answer IDENTICALLY (tier/rank/bit-identical
+  * scores) from every serving shape — a fresh single index, an
+  * uncompacted three-generation root, and the same root after a partial
+  * merge — and match the scalar oracle, for machine-generated queries
+  * that mix corpus terms, inflected forms, near-miss typos and absent
+  * junk. Hand-picked oracle rows exercise the paths we thought of;
+  * the seeded generator walks the ones we didn't (absent-term claim
+  * handling, single-term phrases, all-junk queries, duplicate terms).
+  * Failures reproduce exactly: the query list is a pure function of the
+  * fixed seed.
+  */
+class RandomizedParitySpec extends SparkSpecBase {
+
+  private val lemmas = Transcripts.lemmas
+  private val conf = IndexConf(numParts = 4, skewDfThreshold = 300,
+    nSalts = 4, indexBigrams = true)
+  private lazy val allTurns = Transcripts.generateLocal(40L)
+  private lazy val oracle = new Oracle(allTurns, lemmas, indexBigrams = true)
+
+  /** Corpus vocabulary (post-tokenizer, so lemma-folded): the honest
+    * pool for in-domain draws.
+    */
+  private lazy val vocab: Vector[String] =
+    allTurns.take(80).flatMap(t =>
+      graft.core.Tokenizer.tokenize(t.text, lemmas).map(_.term))
+      .distinct.sorted.toVector
+
+  private lazy val single: QueryEngine = {
+    val dir = tmpDir("graft-fuzzq-single")
+    import spark.implicits._
+    new IndexBuilder(spark, lemmas, conf)
+      .build(spark.createDataset(allTurns), dir)
+    new QueryEngine(spark, dir, lemmas)
+  }
+
+  private lazy val root: String = {
+    val dir = tmpDir("graft-fuzzq-root")
+    import spark.implicits._
+    val (b1, rest) = allTurns.splitAt(allTurns.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach(b =>
+      Generations.append(spark, spark.createDataset(b), dir, lemmas, conf))
+    dir
+  }
+
+  test("handleQuery: 30 seeded random queries identical across single / 3-gen / merged / oracle") {
+    val rnd = new scala.util.Random(20260818L)
+    def word(): String = rnd.nextInt(10) match {
+      case 0 | 1 => // near-miss typo of a corpus term
+        val w = vocab(rnd.nextInt(vocab.size))
+        if (w.length > 3) w.dropRight(1) + "q" else w + "q"
+      case 2 => s"zzjunk${rnd.nextInt(100)}" // absent
+      case _ => vocab(rnd.nextInt(vocab.size)) // in-domain
+    }
+    val queries = Seq.fill(30)(Seq.fill(1 + rnd.nextInt(4))(word()).mkString(" "))
+
+    val mPre = new MultiGenEngine(spark, root, lemmas).warmDictionaries()
+    assert(mPre.gens.size == 3)
+    // partial merge AFTER mPre is constructed: mPre keeps serving the
+    // retired (still-on-disk) sources — the documented reader contract
+    val merged = Compactor.mergeGenerations(spark, root,
+      mPre.gens.take(2), lemmas, conf)
+    val mPost = new MultiGenEngine(spark, root, lemmas).warmDictionaries()
+    assert(mPost.gens == Seq(s"$root/gen-00002", merged))
+
+    queries.foreach { q =>
+      val want = oracle.handleQuery(q, 10)
+      def got(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Int)] =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val s = got(single.handleQuery(q, 10))
+      assert(s == want, s"single vs oracle drift for '$q'\n got=$s\nwant=$want")
+      val pre = got(mPre.handleQuery(q, 10))
+      assert(pre == want, s"3-gen vs oracle drift for '$q'\n got=$pre\nwant=$want")
+      val post = got(mPost.handleQuery(q, 10))
+      assert(post == want, s"merged vs oracle drift for '$q'\n got=$post\nwant=$want")
+    }
+  }
+}
