@@ -277,16 +277,23 @@ object Bench {
       val lat = res.map(_._1).sorted
       (lat(lat.length / 2), res.map(_._2))
     }
-    val mPre = new graft.index.MultiGenEngine(spark, root, Transcripts.lemmas)
-      .warmDictionaries()
+    // dict_local=1 (default): driver-hash-map dictionaries — the serving
+    // configuration (kills the per-generation probe jobs); 0 = the
+    // pre-round-5 cached-distributed-probe form, kept for paired A/B
+    val dictLocal =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MERGE_LOCALDICT", "1") == "1"
+    def warmMulti(m: graft.index.MultiGenEngine): graft.index.MultiGenEngine =
+      if (dictLocal) m.warmDictionariesLocal() else m.warmDictionaries()
+    val mPre = warmMulti(
+      new graft.index.MultiGenEngine(spark, root, Transcripts.lemmas))
     val (p50Pre, idsPre) = p50(q => mPre.bm25TopK(q, 10))
     t0 = System.nanoTime()
     graft.index.Compactor.mergeSmallest(spark, root, nGens / 2,
       Transcripts.lemmas, conf)
     val mergeSec = (System.nanoTime() - t0) / 1e9
     graft.index.Compactor.gcReplaced(root)
-    val mPost = new graft.index.MultiGenEngine(spark, root, Transcripts.lemmas)
-      .warmDictionaries()
+    val mPost = warmMulti(
+      new graft.index.MultiGenEngine(spark, root, Transcripts.lemmas))
     val (p50Post, idsPost) = p50(q => mPost.bm25TopK(q, 10))
     val parity = idsPre.zip(idsPost).count { case (a, b) => a == b }
     val full = "/dev/shm/graft/bench_merge_full"
@@ -294,13 +301,15 @@ object Bench {
     t0 = System.nanoTime()
     graft.index.Compactor.compact(spark, root, full, Transcripts.lemmas, conf)
     val compactSec = (System.nanoTime() - t0) / 1e9
-    val eng = new QueryEngine(spark, full, Transcripts.lemmas).warmDictionary()
+    val eng = new QueryEngine(spark, full, Transcripts.lemmas)
+    if (dictLocal) eng.warmDictionaryLocal() else eng.warmDictionary()
     val (p50Single, _) = p50(q => eng.bm25TopK(q, 10))
     println(s"""{"metric":"merge_bench","gens":$nGens,""" +
       s""""append_total_sec":$appendSec,"merge_sec":$mergeSec,""" +
       s""""compact_sec":$compactSec,"gens_after_merge":${mPost.gens.size},""" +
       s""""bm25_p50_pre_sec":$p50Pre,"bm25_p50_post_sec":$p50Post,""" +
       s""""bm25_p50_single_sec":$p50Single,""" +
+      s""""dict_local":${if (dictLocal) 1 else 0},""" +
       s""""rank_parity":"$parity/${referenceQueries.size}"}""")
     spark.stop()
   }
@@ -408,10 +417,13 @@ object Bench {
     val spark = newSession(cpus) // same session as high-parallelism build
     val engine = new QueryEngine(spark, s"/dev/shm/graft/bench_idx_c$cpus",
       Transcripts.lemmas)
-    // resident dictionary (always safe) + the OPT-IN postings cache —
-    // valid here because the bench index fits; a 100 TB deployment
-    // calls warmDictionary() only (see QueryEngine scaladoc)
-    engine.warmDictionary().cachePostings()
+    // driver-hash-map dictionary (n_terms-gated; falls back to the
+    // cached distributed probe above dictLocalCap) + the OPT-IN postings
+    // cache — the cache is valid here because the bench index fits; a
+    // 100 TB deployment calls warmDictionaryLocal() only, whose gate
+    // then yields cached distributed probes (QueryEngine scaladoc)
+    engine.warmDictionaryLocal()
+    engine.cachePostings()
     // best-of-2 per query: single runs swing >30% on this shared-host VM
     val lat = referenceQueries.map { q =>
       (1 to 2).map { _ =>

@@ -360,6 +360,20 @@ class MultiGenEngine(spark: SparkSession, root: String,
     this
   }
 
+  /** The driver-hash-map analog of [[warmDictionaries]]
+    * (QueryEngine.warmDictionaryLocal per generation, each gen gated on
+    * its own `meta.n_terms`): [[GlobalStats]] runs one dictionary probe
+    * PER GENERATION per term set, sequentially — at 8 generations those
+    * probe jobs are the largest per-query fixed cost (BENCH.md round-5
+    * fan-out anatomy), and this turns all of them into driver hash
+    * lookups. Generations whose lexicon exceeds the cap fall back to a
+    * cached distributed probe individually.
+    */
+  def warmDictionariesLocal(): this.type = {
+    engines.foreach(_.warmDictionaryLocal())
+    this
+  }
+
   def queryTerms(query: String): Seq[String] =
     graft.core.Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
 

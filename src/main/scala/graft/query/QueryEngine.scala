@@ -43,14 +43,23 @@ class QueryEngine(spark: SparkSession, root: String,
   val docs: DataFrame = spark.read.parquet(paths.docs)
 
   /** Driver-side lookup of the query terms' dictionary entries — a
-    * handful of rows; Parquet predicate pushdown prunes the scan.
+    * handful of rows. Served from the [[warmDictionaryLocal]] hash map
+    * when installed (zero Spark jobs), else a pushed Parquet probe.
+    * [[QueryEngine.dictProbes]] counts LOGICAL probes (one per term
+    * set) on both paths, so probe-budget tests pin the same contract
+    * regardless of serving mode.
     */
   def lookupTerms(terms: Seq[String]): Seq[DictRow] =
     if (terms.isEmpty) Nil
     else {
       QueryEngine.dictProbes.incrementAndGet() // test hook (probe budget)
-      dictionary.filter($"term".isin(terms.distinct: _*))
-        .as[DictRow].collect().toSeq.sortBy(_.term_id)
+      dictLocalMap match {
+        case Some(m) =>
+          terms.distinct.flatMap(t => Option(m.get(t))).sortBy(_.term_id)
+        case None =>
+          dictionary.filter($"term".isin(terms.distinct: _*))
+            .as[DictRow].collect().toSeq.sortBy(_.term_id)
+      }
     }
 
   def queryTerms(query: String): Seq[String] =
@@ -191,6 +200,39 @@ class QueryEngine(spark: SparkSession, root: String,
   def warmDictionary(): this.type = {
     dictionary.cache().count()
     this
+  }
+
+  /** Lexicon-row cap for [[warmDictionaryLocal]] — gated on
+    * `meta.n_terms` (no job runs to decide). 4M DictRows ≈ a few
+    * hundred MB of driver heap; a 100 TB corpus lexicon (~10^8 terms)
+    * fails the gate and lookups stay distributed pushed probes.
+    */
+  var dictLocalCap: Long = 4000000L
+
+  private var dictLocalMap: Option[java.util.HashMap[String, DictRow]] = None
+
+  /** Whether [[warmDictionaryLocal]] installed the driver hash map. */
+  def dictLocalInstalled: Boolean = dictLocalMap.isDefined
+
+  /** Opt-in serving upgrade: when the lexicon fits under
+    * [[dictLocalCap]], materialize the dictionary as a driver-side hash
+    * map so every [[lookupTerms]] becomes a hash probe instead of a
+    * Spark job. Per-query job-scheduling overhead from sequential
+    * dictionary probes is the dominant share of multi-generation
+    * serving latency (one probe PER GENERATION per term set — BENCH.md
+    * round 5 fan-out anatomy), and this removes it entirely. Above the
+    * cap it falls back to [[warmDictionary]] (cached distributed
+    * probes) so callers can use this method unconditionally. Returns
+    * whether the local map was installed.
+    */
+  def warmDictionaryLocal(): Boolean = {
+    if (dictLocalMap.isDefined) return true
+    if (meta.n_terms > dictLocalCap) { warmDictionary(); return false }
+    val m = new java.util.HashMap[String, DictRow](
+      math.max(16, (meta.n_terms * 2).toInt))
+    dictionary.as[DictRow].collect().foreach(r => m.put(r.term, r))
+    dictLocalMap = Some(m)
+    true
   }
 
   /** OPT-IN postings cache, for bench/small-corpus serving ONLY: at full
