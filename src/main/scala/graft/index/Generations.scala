@@ -41,6 +41,20 @@ object Generations {
       .getOrElse(Nil)
   }
 
+  /** Generation-dir name owning a postings FILE path: the path segment
+    * immediately before the last `postings` segment (works for the
+    * per-term-range subdir layout and for any filesystem scheme —
+    * `file:/...` URIs split the same way). The fused multi-generation
+    * read recovers generation identity this way because MERGED
+    * generations hold non-contiguous doc ranges and cannot be
+    * interval-mapped from doc_ids.
+    */
+  private[index] def genSegOf(path: String): String = {
+    val parts = path.split('/')
+    val i = parts.lastIndexOf("postings")
+    if (i > 0) parts(i - 1) else ""
+  }
+
   /** Complete generation dirs a committed merge has retired — still on
     * disk, excluded from [[genDirs]], awaiting `Compactor.gcReplaced`.
     */
@@ -374,6 +388,151 @@ class MultiGenEngine(spark: SparkSession, root: String,
     this
   }
 
+  // ------------------------------------------------- fused postings read
+  //
+  // Per-generation plan branches are the dominant multi-generation
+  // serving cost: each scoring read unioned one typed sub-plan PER
+  // GENERATION (its own pushed scan, broadcasts and — on the
+  // candidate-pruned path — its own chunk-metadata collect job), so
+  // per-query latency grew near-linearly with generation count
+  // (measured 0.64 s @1 gen / 1.63 s @5 / 3.61 s @8 at 420k turns,
+  // BENCH.md round 5). The fused read replaces them with ONE multi-path
+  // scan over every generation's postings dir: term_id predicates push
+  // as before (the union of the generations' local ids — over-selecting
+  // chunk ROWS whose local id collides across generations is fine, the
+  // decode step drops them before any byte is decoded), the owning
+  // generation is recovered from the file path (the dir segment before
+  // `postings` — robust for MERGED generations, whose doc ranges are
+  // non-contiguous and therefore cannot be interval-mapped), and chunk
+  // pruning runs one metadata pre-pass instead of one per generation.
+  // Scoring output is bit-identical: same (doc_id, fold_key, impact)
+  // rows, same sorted per-doc fold.
+
+  /** Serve scoring reads through the fused single-scan path (default).
+    * `false` restores the per-generation union form — kept for paired
+    * A/B and as the correctness cross-check in FusedReadSpec.
+    */
+  var fusedRead: Boolean = true
+
+  private lazy val genSegIndex: Map[String, Int] =
+    gens.zipWithIndex.map { case (g, i) => g.split('/').last -> i }.toMap
+
+  private lazy val fusedPostings: DataFrame = spark.read
+    .option("recursiveFileLookup", "true")
+    .parquet(gens.map(g => IndexPaths(g).postings): _*)
+
+  /** Fused (doc_id, fold_key, impact) rows for `ts` across ALL
+    * generations in one scan; `candOpt` (sorted) engages the fused
+    * chunk-pruned read. None when no generation holds any of `ts`.
+    */
+  private def fusedFoldRows(st: GlobalStats, ts: Seq[String],
+      candOpt: Option[Array[Long]]): Option[DataFrame] = {
+    val pairs: Seq[(Int, DictRow, Int, Double)] =
+      st.perGen.zipWithIndex.flatMap { case (dict, gi) =>
+        st.ordered.filter(t => ts.contains(t) && dict.contains(t))
+          .map(t => (gi, dict(t), st.foldKey(t), st.idf(t)))
+      }
+    if (pairs.isEmpty) return None
+    val info: Map[(Int, Long), (Int, Double)] =
+      pairs.map { case (gi, d, fk, tIdf) => (gi, d.term_id) -> (fk, tIdf) }.toMap
+    val unionIds = pairs.map(_._2.term_id).distinct
+    val bcInfo = spark.sparkContext.broadcast(info)
+    val bcSeg = spark.sparkContext.broadcast(genSegIndex)
+    val bcCand = candOpt.map(spark.sparkContext.broadcast(_))
+    // local copies — capturing the fields would capture `this`
+    val avg = avgdl
+    val k1L = k1
+    val bL = bParam
+
+    val base = fusedPostings.filter($"term_id".isin(unionIds: _*))
+    val pruned = candOpt match {
+      case None => base
+      case Some(cand) =>
+        // one metadata pre-pass over the fused relation (vs one PER
+        // GENERATION before): same dense-skip / literal-IN / semi-join
+        // routing as the single-index candidatePrunedPostings, with the
+        // same driver-known survivor bound before any collect. The
+        // (gen, term_id) validity check runs in the pre-pass too, so
+        // survivor pairs are exact; chunk_seq is a doc_id and doc
+        // ranges are disjoint, so (term_id, chunk_seq) stays a
+        // globally-unique join key across generations.
+        val knobs = engines.head
+        val totalChunks = pairs.map { case (_, d, _, _) =>
+          (d.df + graft.core.ChunkCodec.ChunkSize - 1) /
+            graft.core.ChunkCodec.ChunkSize }.sum.toDouble
+        val metaPairs = base
+          .select(input_file_name().as("_file"), $"term_id", $"chunk_seq",
+            $"min_doc_id", $"max_doc_id")
+          .as[(String, Long, Long, Long, Long)]
+          .filter { c =>
+            val gi = bcSeg.value.getOrElse(Generations.genSegOf(c._1), -1)
+            bcInfo.value.contains((gi, c._2)) &&
+              QueryEngine.rangeHasCandidate(c._4, c._5, bcCand.get.value)
+          }
+          .select($"term_id", $"chunk_seq")
+        val survBound = math.min(totalChunks, cand.length.toDouble * pairs.size)
+        if (survBound <= knobs.chunkMetaCollectCap) {
+          val survivors = metaPairs.as[(Long, Long)].collect()
+          if (survivors.length > knobs.chunkPruneDenseFraction * totalChunks)
+            base
+          else if (survivors.length <= knobs.chunkInMaxLiterals)
+            base.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+          else
+            base.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+              Seq("term_id", "chunk_seq"), "left_semi")
+        } else
+          base.join(metaPairs.toDF("term_id", "chunk_seq"),
+            Seq("term_id", "chunk_seq"), "left_semi")
+    }
+    Some(dropDeleted(pruned
+      .select(input_file_name().as("_file"), $"term_id", $"n_postings",
+        $"doc_gaps", $"tfs", $"dls")
+      .as[(String, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+      .flatMap { case (file, termId, n, gaps, tfs, dls) =>
+        val gi = bcSeg.value.getOrElse(Generations.genSegOf(file), -1)
+        bcInfo.value.get((gi, termId)) match {
+          case None => Iterator.empty
+          case Some((fk, tIdf)) =>
+            val ids = graft.core.ChunkCodec.decodeDocGaps(gaps, n)
+            val it = Iterator.tabulate(n)(i =>
+              (ids(i), fk, Bm25.impact(tIdf, tfs(i), dls(i), avg, k1L, bL)))
+            bcCand match {
+              case Some(bc) => it.filter(r =>
+                java.util.Arrays.binarySearch(bc.value, r._1) >= 0)
+              case None => it
+            }
+        }
+      }.toDF("doc_id", "fold_key", "impact")))
+  }
+
+  /** Scoring rows for `ts` (optionally candidate-restricted) through the
+    * fused or per-generation path per [[fusedRead]] — the single seam
+    * every scoring consumer goes through.
+    */
+  private def scoringRows(st: GlobalStats, ts: Seq[String],
+      candOpt: Option[Array[Long]] = None): Option[DataFrame] =
+    if (fusedRead) fusedFoldRows(st, ts, candOpt)
+    else {
+      val rows = candOpt match {
+        case None => engines.zip(st.perGen)
+          .flatMap { case (e, d) => foldRows(st, d, ts, e.scoredPostings) }
+        case Some(cand) => engines.zip(st.perGen)
+          .flatMap { case (e, dict) =>
+            val present =
+              st.ordered.filter(t => ts.contains(t) && dict.contains(t))
+            if (present.isEmpty) None
+            else {
+              val totalChunks = present.map(t =>
+                (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
+                  graft.core.ChunkCodec.ChunkSize).sum.toDouble
+              foldRows(st, dict, present,
+                ids => e.candidatePrunedPostings(ids, cand, totalChunks))
+            }
+          }
+      }
+      if (rows.isEmpty) None else Some(rows.reduce(_ unionByName _))
+    }
+
   def queryTerms(query: String): Seq[String] =
     graft.core.Tokenizer.tokenizeQuery(query, lemmas).unigrams.map(_.term).distinct
 
@@ -463,11 +622,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
   /** Exact global BM25 scores for every matching doc (no limit) — the
     * handleQuery exact-form scorer.
     */
-  private def exactScoresAll(st: GlobalStats): DataFrame = {
-    val rows = engines.zip(st.perGen)
-      .flatMap { case (e, d) => foldRows(st, d, st.ordered, e.scoredPostings) }
-    if (rows.isEmpty) emptyScores() else aggScores(rows.reduce(_ unionByName _))
-  }
+  private def exactScoresAll(st: GlobalStats): DataFrame =
+    scoringRows(st, st.ordered).fold(emptyScores())(aggScores)
 
   /** Exact global BM25 scores RESTRICTED to `cand` (a SORTED doc_id
     * array), via each generation's candidate-pruned chunk machinery — a
@@ -478,18 +634,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     */
   private def scoresForCandidates(st: GlobalStats, cand: Array[Long]): DataFrame = {
     if (st.ordered.isEmpty || cand.isEmpty) return emptyScores()
-    val rows = engines.zip(st.perGen).flatMap { case (e, dict) =>
-      val present = st.ordered.filter(dict.contains)
-      if (present.isEmpty) None
-      else {
-        val totalChunks = present.map(t =>
-          (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
-            graft.core.ChunkCodec.ChunkSize).sum.toDouble
-        foldRows(st, dict, present,
-          ids => e.candidatePrunedPostings(ids, cand, totalChunks))
-      }
-    }
-    if (rows.isEmpty) emptyScores() else aggScores(rows.reduce(_ unionByName _))
+    scoringRows(st, st.ordered, Some(cand)).fold(emptyScores())(aggScores)
   }
 
   /** BM25 top-k across generations, deterministic fold order by query-term
@@ -523,9 +668,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
 
     def exactPath(): DataFrame = {
       lastPath = "exact"
-      aggTopK(engines.zip(perGen)
-        .flatMap { case (e, d) => foldRows(st, d, ordered, e.scoredPostings) }
-        .reduce(_ unionByName _))
+      aggTopK(scoringRows(st, ordered).get)
     }
 
     if (globalDf.values.sum < wandMinPostings) return exactPath()
@@ -541,9 +684,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // the best term's (largest) postings decode ONCE: the persisted fold
     // rows serve both the theta pass and the essential union below —
     // the cross-gen analog of wandImpl's bestPostings cache
-    val bestRows = engines.zip(perGen)
-      .flatMap { case (e, d) => foldRows(st, d, Seq(best), e.scoredPostings) }
-      .reduce(_ unionByName _)
+    val bestRows = scoringRows(st, Seq(best)).get
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val thetaRows = bestRows.select($"impact".as("value"))
@@ -568,8 +709,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
       val cumNonEssMax = nonEss.toSeq.map(globalMax).sum
 
       val essOther = ess.filterNot(_ == best)
-      val essRows = (Seq(bestRows) ++ engines.zip(perGen)
-        .flatMap { case (e, d) => foldRows(st, d, essOther, e.scoredPostings) })
+      val essRows = (Seq(bestRows) ++ scoringRows(st, essOther))
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -597,18 +737,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
         lastPath = "pruned"
 
         /** Candidate-pruned non-essential fold rows for `cand`. */
-        def nonEssRowsFor(cand: Array[Long]): Seq[DataFrame] =
-          engines.zip(perGen).flatMap { case (e, dict) =>
-            val present = ordered.filter(t => nonEss(t) && dict.contains(t))
-            if (present.isEmpty) None
-            else {
-              val totalChunks = present.map(t =>
-                (dict(t).df + graft.core.ChunkCodec.ChunkSize - 1) /
-                  graft.core.ChunkCodec.ChunkSize).sum.toDouble
-              foldRows(st, dict, present,
-                ids => e.candidatePrunedPostings(ids, cand, totalChunks))
-            }
-          }
+        def nonEssRowsFor(cand: Array[Long]): Option[DataFrame] =
+          scoringRows(st, ordered.filter(nonEss), Some(cand))
 
         // θ REFINEMENT — shared arithmetic in QueryEngine.refineTheta
         // (same mid-df taming as wandImpl); the distributed job here
@@ -616,8 +746,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
         val thetaEff = QueryEngine.refineTheta(candPairs, k, theta, Eps,
           refineMinCandidates, { topCIds =>
             nonEssRowsFor(topCIds) match {
-              case Seq() => Map.empty[Long, Double]
-              case rs => rs.reduce(_ unionByName _)
+              case None => Map.empty[Long, Double]
+              case Some(rs) => rs
                 .groupBy($"doc_id").agg(sum($"impact").as("ne_sum"))
                 .as[(Long, Double)].collect().toMap
             }
@@ -631,7 +761,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
         }
         java.util.Arrays.sort(candIds)
 
-        val all = (Seq(essRows) ++ nonEssRowsFor(candIds)).reduce(_ unionByName _)
+        val all = (Seq(essRows) ++ nonEssRowsFor(candIds).toSeq)
+          .reduce(_ unionByName _)
         // eager: the persisted essRows must stay alive until collection
         val rows = aggTopK(all).as[(Long, Double)].collect().toSeq
         spark.createDataFrame(rows).toDF("doc_id", "score")
@@ -758,13 +889,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
     if (nAllowed == 0L) emptyScores()
     else if (nAllowed <= candidateCap)
       scoresForCandidates(st, allowed.as[Long].collect().sorted)
-    else {
-      val rows = engines.zip(st.perGen)
-        .flatMap { case (e, d) => foldRows(st, d, st.ordered, e.scoredPostings) }
-      if (rows.isEmpty) emptyScores()
-      else aggScores(rows.reduce(_ unionByName _)
-        .join(allowed, Seq("doc_id"), "left_semi"))
-    }
+    else scoringRows(st, st.ordered).fold(emptyScores())(rows =>
+      aggScores(rows.join(allowed, Seq("doc_id"), "left_semi")))
   }
 
   /** BM25 top-k under a metadata predicate across generations. */
