@@ -287,6 +287,10 @@ object Bench {
     val mPre = warmMulti(
       new graft.index.MultiGenEngine(spark, root, Transcripts.lemmas))
     val (p50Pre, idsPre) = p50(q => mPre.bm25TopK(q, 10))
+    // tiered facade p50 at the same fan-out: the phrase/conjunctive
+    // tiers still union per-generation POSITIONAL plans, so this
+    // isolates what the scoring fusion did not cover
+    val (hqPre, _) = p50(q => mPre.handleQuery(q, 10))
     t0 = System.nanoTime()
     graft.index.Compactor.mergeSmallest(spark, root, nGens / 2,
       Transcripts.lemmas, conf)
@@ -295,6 +299,7 @@ object Bench {
     val mPost = warmMulti(
       new graft.index.MultiGenEngine(spark, root, Transcripts.lemmas))
     val (p50Post, idsPost) = p50(q => mPost.bm25TopK(q, 10))
+    val (hqPost, _) = p50(q => mPost.handleQuery(q, 10))
     val parity = idsPre.zip(idsPost).count { case (a, b) => a == b }
     val full = "/dev/shm/graft/bench_merge_full"
     rmrf(full)
@@ -304,11 +309,14 @@ object Bench {
     val eng = new QueryEngine(spark, full, Transcripts.lemmas)
     if (dictLocal) eng.warmDictionaryLocal() else eng.warmDictionary()
     val (p50Single, _) = p50(q => eng.bm25TopK(q, 10))
+    val (hqSingle, _) = p50(q => eng.handleQuery(q, 10))
     println(s"""{"metric":"merge_bench","gens":$nGens,""" +
       s""""append_total_sec":$appendSec,"merge_sec":$mergeSec,""" +
       s""""compact_sec":$compactSec,"gens_after_merge":${mPost.gens.size},""" +
       s""""bm25_p50_pre_sec":$p50Pre,"bm25_p50_post_sec":$p50Post,""" +
       s""""bm25_p50_single_sec":$p50Single,""" +
+      s""""hq_p50_pre_sec":$hqPre,"hq_p50_post_sec":$hqPost,""" +
+      s""""hq_p50_single_sec":$hqSingle,""" +
       s""""dict_local":${if (dictLocal) 1 else 0},""" +
       s""""rank_parity":"$parity/${referenceQueries.size}"}""")
     spark.stop()

@@ -505,6 +505,176 @@ class MultiGenEngine(spark: SparkSession, root: String,
       }.toDF("doc_id", "fold_key", "impact")))
   }
 
+  /** Fused doc_ids of ONE query term across all generations (`pairs` =
+    * its (gen, local term_id) per generation): doc_gaps-only decode,
+    * column pruning keeps tfs/dls/pos_blob unread — the cross-gen
+    * analog of QueryEngine.postingDocIds in one scan.
+    */
+  private def fusedDocIds(pairs: Seq[(Int, Long)]): DataFrame = {
+    import spark.implicits._
+    if (pairs.isEmpty) return Seq.empty[Long].toDF("doc_id")
+    val valid = pairs.toSet
+    val bcValid = spark.sparkContext.broadcast(valid)
+    val bcSeg = spark.sparkContext.broadcast(genSegIndex)
+    fusedPostings.filter($"term_id".isin(pairs.map(_._2).distinct: _*))
+      .select(input_file_name().as("_file"), $"term_id", $"n_postings",
+        $"doc_gaps")
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (file, termId, n, gaps) =>
+        val gi = bcSeg.value.getOrElse(Generations.genSegOf(file), -1)
+        if (!bcValid.value.contains((gi, termId))) Iterator.empty
+        else graft.core.ChunkCodec.decodeDocGaps(gaps, n).iterator
+      }.toDF("doc_id")
+  }
+
+  /** Fused (doc_id, positions) of ONE query term across all generations,
+    * optionally chunk-pruned to a sorted candidate array — the cross-gen
+    * analog of QueryEngine.positionedForCandidates in one scan, with
+    * exact (term_id, chunk_seq) survivor pairs (chunk_seq is a doc_id,
+    * so the pair stays globally unique across generations).
+    */
+  private def fusedPositioned(pairs: Seq[(Int, Long)],
+      bcCand: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]])
+      : DataFrame = {
+    import spark.implicits._
+    if (pairs.isEmpty)
+      return Seq.empty[(Long, Seq[Int])].toDF("doc_id", "positions")
+    val valid = pairs.toSet
+    val bcValid = spark.sparkContext.broadcast(valid)
+    val bcSeg = spark.sparkContext.broadcast(genSegIndex)
+    val base = fusedPostings.filter($"term_id".isin(pairs.map(_._2).distinct: _*))
+    val pruned = bcCand match {
+      case None => base
+      case Some(bc) =>
+        val knobs = engines.head
+        val survivors = base
+          .select(input_file_name().as("_file"), $"term_id", $"chunk_seq",
+            $"min_doc_id", $"max_doc_id")
+          .as[(String, Long, Long, Long, Long)]
+          .filter { c =>
+            val gi = bcSeg.value.getOrElse(Generations.genSegOf(c._1), -1)
+            bcValid.value.contains((gi, c._2)) &&
+              QueryEngine.rangeHasCandidate(c._4, c._5, bc.value)
+          }
+          .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
+        if (survivors.length <= knobs.chunkInMaxLiterals)
+          base.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+        else
+          base.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+            Seq("term_id", "chunk_seq"), "left_semi")
+    }
+    pruned
+      .select(input_file_name().as("_file"), $"term_id", $"n_postings",
+        $"doc_gaps", $"pos_blob")
+      .as[(String, Long, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (file, termId, n, gaps, posBlob) =>
+        val gi = bcSeg.value.getOrElse(Generations.genSegOf(file), -1)
+        if (!bcValid.value.contains((gi, termId))) Iterator.empty
+        else {
+          val ids = graft.core.ChunkCodec.decodeDocGaps(gaps, n)
+          val keep: Int => Boolean = bcCand match {
+            case Some(bc) =>
+              i => java.util.Arrays.binarySearch(bc.value, ids(i)) >= 0
+            case None => _ => true
+          }
+          lazy val poss = graft.core.ChunkCodec.decodePositions(posBlob, n)
+          Iterator.tabulate(n)(i => i).filter(keep)
+            .map(i => (ids(i), poss(i).toSeq))
+        }
+      }.toDF("doc_id", "positions")
+  }
+
+  /** Per-generation (gen, term_id) pairs of `t` under `st`'s probes. */
+  private def termPairs(st: GlobalStats, t: String): Seq[(Int, Long)] =
+    st.perGen.zipWithIndex.flatMap { case (d, gi) =>
+      d.get(t).map(e => (gi, e.term_id))
+    }
+
+  /** Fused cross-generation phrase match: ONE positional relation per
+    * phrase SLOT (multi-path scan across all generations) instead of one
+    * join chain per generation. Exactly the per-generation union's doc
+    * set: docs live in one generation, so the global doc_id join chain
+    * intersects within generations only, and a generation missing a
+    * term simply contributes no rows for its docs (the same docs its
+    * per-generation chain would drop). Anchor/ordering use GLOBAL df —
+    * an optimization choice, invisible in the (symmetric-intersection)
+    * result. Mirrors QueryEngine.phraseMatchFromEntries' two plans:
+    * candidate-pruned when the anchor's global df is sparse
+    * (positionalPruningPays against global n_docs), shuffle-join chain
+    * otherwise.
+    */
+  private def fusedPhraseMatch(phraseSeq: Seq[String],
+      st: GlobalStats): DataFrame = {
+    import spark.implicits._
+    require(phraseSeq.nonEmpty)
+    val empty = Seq.empty[Long].toDF("doc_id")
+    if (phraseSeq.exists(t => !st.globalDf.contains(t))) return empty
+    if (phraseSeq.size == 1)
+      return fusedDocIds(termPairs(st, phraseSeq.head)).distinct()
+    val knobs = engines.head
+    val idxByDf = phraseSeq.indices.sortBy(i => (st.globalDf(phraseSeq(i)), i))
+    val anchor = idxByDf.head
+    val anchorDf = st.globalDf(phraseSeq(anchor))
+
+    def consecutiveFilter(joined: DataFrame): DataFrame = {
+      val consecutive = exists(col(s"pos$anchor"), p =>
+        phraseSeq.indices.filter(_ != anchor)
+          .map(i => array_contains(col(s"pos$i"), p + (i - anchor)))
+          .reduce(_ && _))
+      joined.filter(consecutive).select($"doc_id").distinct()
+    }
+
+    if (anchorDf <= knobs.phraseMaxCandidates &&
+        anchorDf * knobs.positionalPruneDensity < nDocs) {
+      val cand = fusedDocIds(termPairs(st, phraseSeq(anchor)))
+        .distinct().as[Long].collect()
+      if (cand.isEmpty) return empty
+      java.util.Arrays.sort(cand)
+      val anchorCf = st.perGen
+        .flatMap(_.get(phraseSeq(anchor))).map(_.cf).sum
+      val hintFirst: DataFrame => DataFrame =
+        if (cand.length <= 200000 && anchorCf <= 2000000L)
+          df => broadcast(df)
+        else identity _
+      val bcCand = spark.sparkContext.broadcast(cand)
+      val rels = idxByDf.map { i =>
+        fusedPositioned(termPairs(st, phraseSeq(i)), Some(bcCand))
+          .select($"doc_id", $"positions".as(s"pos$i"))
+      }
+      consecutiveFilter(rels.tail.foldLeft(hintFirst(rels.head))(
+        (a, b) => a.join(b, Seq("doc_id"), "inner")))
+    } else {
+      val rels = idxByDf.map { i =>
+        fusedPositioned(termPairs(st, phraseSeq(i)), None)
+          .select($"doc_id", $"positions".as(s"pos$i"))
+      }
+      consecutiveFilter(rels.reduceLeft((a, b) =>
+        a.join(b, Seq("doc_id"), "inner")))
+    }
+  }
+
+  /** Fused cross-generation conjunctive intersection, global-rarest-term
+    * first — same doc-set equivalence argument as [[fusedPhraseMatch]];
+    * broadcast hint only on the first (rarest) relation when its global
+    * df bound is broadcast-sized, later joins left to AQE (the
+    * single-index conjunctiveFromEntries rationale).
+    */
+  private def fusedConjunctive(terms: Seq[String],
+      st: GlobalStats): DataFrame = {
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    if (distinctTerms.exists(t => !st.globalDf.contains(t)))
+      return Seq.empty[Long].toDF("doc_id")
+    val byDf = distinctTerms.sortBy(t => (st.globalDf(t), t))
+    val docSets = byDf.map(t => fusedDocIds(termPairs(st, t)))
+    val first =
+      if (docSets.size > 1 && st.globalDf(byDf.head) <= 1000000L)
+        broadcast(docSets.head)
+      else docSets.head
+    docSets.tail.foldLeft(first)((acc, next) =>
+      acc.join(next, Seq("doc_id"), "inner")).distinct()
+  }
+
   /** Scoring rows for `ts` (optionally candidate-restricted) through the
     * fused or per-generation path per [[fusedRead]] — the single seam
     * every scoring consumer goes through.
@@ -836,9 +1006,11 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // tier claims are delete-filtered too: a tombstoned phrase doc must
     // neither appear in tier 0 nor count against the unigram tier's
     // claimed set
-    val phraseDocs = dropDeleted(engines.zip(st.perGen).map { case (e, dict) =>
-      e.phraseMatchFromEntries(phraseSeq, terms.flatMap(dict.get))
-    }.reduce(_ unionByName _))
+    val phraseDocs = dropDeleted(
+      if (fusedRead) fusedPhraseMatch(phraseSeq, st)
+      else engines.zip(st.perGen).map { case (e, dict) =>
+        e.phraseMatchFromEntries(phraseSeq, terms.flatMap(dict.get))
+      }.reduce(_ unionByName _))
     val bigramTerms = parsed.bigrams.map(_.term).distinct
     val bst =
       if (bigramTerms.isEmpty) None else Some(new GlobalStats(bigramTerms))
@@ -847,7 +1019,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // presence); a generation missing any bigram contributes no docs
     val bigramActive = bst.exists(_.allPresent(bigramTerms))
     val conjDocs = if (bigramActive) Some(dropDeleted(
-      engines.zip(bst.get.perGen).map { case (e, dict) =>
+      if (fusedRead) fusedConjunctive(bigramTerms, bst.get)
+      else engines.zip(bst.get.perGen).map { case (e, dict) =>
         val es = bigramTerms.flatMap(dict.get)
         if (es.size < bigramTerms.size) spark.emptyDataset[Long].toDF("doc_id")
         else e.conjunctiveFromEntries(es)
@@ -943,11 +1116,15 @@ class MultiGenEngine(spark: SparkSession, root: String,
     * generation, so the intersection distributes over the union).
     */
   def conjunctive(terms: Seq[String]): DataFrame =
-    dropDeleted(engines.map(_.conjunctive(terms)).reduce(_ unionByName _))
+    dropDeleted(
+      if (fusedRead) fusedConjunctive(terms, new GlobalStats(terms.distinct))
+      else engines.map(_.conjunctive(terms)).reduce(_ unionByName _))
 
   /** Phrase match across generations. */
   def phraseMatch(terms: Seq[String]): DataFrame =
-    dropDeleted(engines.map(_.phraseMatch(terms)).reduce(_ unionByName _))
+    dropDeleted(
+      if (fusedRead) fusedPhraseMatch(terms, new GlobalStats(terms.distinct))
+      else engines.map(_.phraseMatch(terms)).reduce(_ unionByName _))
 
   /** Directional proximity across generations. */
   def proximity(term1: String, term2: String, k: Int): DataFrame =

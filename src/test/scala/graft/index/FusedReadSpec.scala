@@ -45,7 +45,15 @@ class FusedReadSpec extends SparkSpecBase {
       "handle" -> m.handleQuery("table scan", 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq,
       "filtered" -> m.bm25TopKFiltered("the of", 10, col("doc_len") % 2 === 0)
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "conj" -> m.conjunctive(Seq("the", "of"))
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      "phrase" -> m.phraseMatch(Seq("the", "of"))
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      "phrase1" -> m.phraseMatch(Seq(Transcripts.contentWords(5)))
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      "conjMissing" -> m.conjunctive(Seq("the", "zzzznotaterm"))
+        .collect().map(_.getLong(0)).toSeq.sorted)
   }
 
   test("genSegOf: per-range layout, URI schemes, degenerate paths") {
@@ -73,6 +81,20 @@ class FusedReadSpec extends SparkSpecBase {
     assert(fused.lastPath == "pruned", s"expected pruned, got ${fused.lastPath}")
     assert(legacy.lastPath == "pruned")
     assert(fTop == lTop)
+  }
+
+  test("fused positional plans: forced candidate-pruned and forced shuffle both match legacy") {
+    def phr(m: MultiGenEngine): Seq[Long] =
+      m.phraseMatch(Seq("the", Transcripts.contentWords(5)))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    for (density <- Seq(0L, 10000000000L)) {
+      val (fused, legacy) = engines(root)
+      (fused.engines ++ legacy.engines)
+        .foreach(_.positionalPruneDensity = density)
+      assert(phr(fused) == phr(legacy), s"density=$density diverged")
+      assert(phr(fused).nonEmpty || density > 0,
+        "forced-pruned phrase matched nothing — weak test")
+    }
   }
 
   test("fused == legacy on a merged root (non-contiguous generation ranges)") {
