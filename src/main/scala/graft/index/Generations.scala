@@ -1126,10 +1126,47 @@ class MultiGenEngine(spark: SparkSession, root: String,
       if (fusedRead) fusedPhraseMatch(terms, new GlobalStats(terms.distinct))
       else engines.map(_.phraseMatch(terms)).reduce(_ unionByName _))
 
-  /** Directional proximity across generations. */
+  /** Directional proximity across generations — fused like
+    * [[fusedPhraseMatch]]: one positional relation per term spanning
+    * all generations, candidate-pruned by the globally rarer term when
+    * that pays, then the single-index explode-pair plan (pp2 > pp1,
+    * pp2 - pp1 <= k). Per-generation unions behind `fusedRead = false`.
+    */
   def proximity(term1: String, term2: String, k: Int): DataFrame =
     dropDeleted(
-      engines.map(_.proximity(term1, term2, k)).reduce(_ unionByName _))
+      if (!fusedRead)
+        engines.map(_.proximity(term1, term2, k)).reduce(_ unionByName _)
+      else {
+        val st = new GlobalStats(Seq(term1, term2).distinct)
+        val empty = Seq.empty[(Long, Int, Int)].toDF("doc_id", "pos1", "pos2")
+        if (!st.globalDf.contains(term1) || !st.globalDf.contains(term2)) empty
+        else {
+          val knobs = engines.head
+          val minDf = math.min(st.globalDf(term1), st.globalDf(term2))
+          val bcCand =
+            if (minDf <= knobs.phraseMaxCandidates &&
+                minDf * knobs.positionalPruneDensity < nDocs) {
+              val rare =
+                if (st.globalDf(term1) <= st.globalDf(term2)) term1 else term2
+              val cand = fusedDocIds(termPairs(st, rare))
+                .distinct().as[Long].collect()
+              java.util.Arrays.sort(cand)
+              Some(spark.sparkContext.broadcast(cand))
+            } else None
+          if (bcCand.exists(_.value.isEmpty)) empty
+          else {
+            val p1 = fusedPositioned(termPairs(st, term1), bcCand)
+              .select($"doc_id", $"positions".as("ps1"))
+            val p2 = fusedPositioned(termPairs(st, term2), bcCand)
+              .select($"doc_id", $"positions".as("ps2"))
+            p1.join(p2, Seq("doc_id"), "inner")
+              .select($"doc_id", explode($"ps1").as("pos1"), $"ps2")
+              .select($"doc_id", $"pos1",
+                explode(filter($"ps2",
+                  p => p > $"pos1" && p - $"pos1" <= lit(k))).as("pos2"))
+          }
+        }
+      })
 
   /** Fuzzy terms across generations: per-generation deletion-index
     * probes, re-aggregated globally by term (df summed; generation-local

@@ -53,7 +53,10 @@ class FusedReadSpec extends SparkSpecBase {
       "phrase1" -> m.phraseMatch(Seq(Transcripts.contentWords(5)))
         .collect().map(_.getLong(0)).toSeq.sorted,
       "conjMissing" -> m.conjunctive(Seq("the", "zzzznotaterm"))
-        .collect().map(_.getLong(0)).toSeq.sorted)
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      "prox" -> m.proximity("the", "of", 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSeq.sorted)
   }
 
   test("genSegOf: per-range layout, URI schemes, degenerate paths") {
