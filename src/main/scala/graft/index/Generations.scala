@@ -417,6 +417,13 @@ class MultiGenEngine(spark: SparkSession, root: String,
   private lazy val genSegIndex: Map[String, Int] =
     gens.zipWithIndex.map { case (g, i) => g.split('/').last -> i }.toMap
 
+  // engine-constant: broadcast once, not per query (three call sites
+  // re-broadcasting an identical small map per fold left churn for the
+  // ContextCleaner)
+  private lazy val bcSegIdx
+      : org.apache.spark.broadcast.Broadcast[Map[String, Int]] =
+    spark.sparkContext.broadcast(genSegIndex)
+
   private lazy val fusedPostings: DataFrame = spark.read
     .option("recursiveFileLookup", "true")
     .parquet(gens.map(g => IndexPaths(g).postings): _*)
@@ -437,7 +444,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
       pairs.map { case (gi, d, fk, tIdf) => (gi, d.term_id) -> (fk, tIdf) }.toMap
     val unionIds = pairs.map(_._2.term_id).distinct
     val bcInfo = spark.sparkContext.broadcast(info)
-    val bcSeg = spark.sparkContext.broadcast(genSegIndex)
+    val bcSeg = bcSegIdx // local alias: the closure must not capture `this`
     val bcCand = candOpt.map(spark.sparkContext.broadcast(_))
     // local copies — capturing the fields would capture `this`
     val avg = avgdl
@@ -515,7 +522,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
     if (pairs.isEmpty) return Seq.empty[Long].toDF("doc_id")
     val valid = pairs.toSet
     val bcValid = spark.sparkContext.broadcast(valid)
-    val bcSeg = spark.sparkContext.broadcast(genSegIndex)
+    val bcSeg = bcSegIdx // local alias: the closure must not capture `this`
     fusedPostings.filter($"term_id".isin(pairs.map(_._2).distinct: _*))
       .select(input_file_name().as("_file"), $"term_id", $"n_postings",
         $"doc_gaps")
@@ -541,7 +548,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
       return Seq.empty[(Long, Seq[Int])].toDF("doc_id", "positions")
     val valid = pairs.toSet
     val bcValid = spark.sparkContext.broadcast(valid)
-    val bcSeg = spark.sparkContext.broadcast(genSegIndex)
+    val bcSeg = bcSegIdx // local alias: the closure must not capture `this`
     val base = fusedPostings.filter($"term_id".isin(pairs.map(_._2).distinct: _*))
     val pruned = bcCand match {
       case None => base

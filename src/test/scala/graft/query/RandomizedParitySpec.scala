@@ -64,6 +64,11 @@ class RandomizedParitySpec extends SparkSpecBase {
 
     val mPre = new MultiGenEngine(spark, root, lemmas).warmDictionaries()
     assert(mPre.gens.size == 3)
+    // the per-generation union form rides along: every query also runs
+    // through fusedRead=false on the 3-gen root, so the randomized walk
+    // differentials the fused read too
+    val mPreLegacy = new MultiGenEngine(spark, root, lemmas).warmDictionaries()
+    mPreLegacy.fusedRead = false
     // partial merge AFTER mPre is constructed: mPre keeps serving the
     // retired (still-on-disk) sources — the documented reader contract
     val merged = Compactor.mergeGenerations(spark, root,
@@ -79,6 +84,8 @@ class RandomizedParitySpec extends SparkSpecBase {
       assert(s == want, s"single vs oracle drift for '$q'\n got=$s\nwant=$want")
       val pre = got(mPre.handleQuery(q, 10))
       assert(pre == want, s"3-gen vs oracle drift for '$q'\n got=$pre\nwant=$want")
+      val leg = got(mPreLegacy.handleQuery(q, 10))
+      assert(leg == want, s"3-gen legacy-read drift for '$q'\n got=$leg\nwant=$want")
       val post = got(mPost.handleQuery(q, 10))
       assert(post == want, s"merged vs oracle drift for '$q'\n got=$post\nwant=$want")
     }
