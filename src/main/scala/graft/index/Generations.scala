@@ -890,27 +890,29 @@ class MultiGenEngine(spark: SparkSession, root: String,
         .reduce(_ unionByName _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val candRel = essRows.groupBy($"doc_id")
+        // cap guard + materialization fused (the wandImpl / liveDocs
+        // pattern): one CollectLimit replaces the old persist + count()
+        // + cached collect(), and the over-cap case early-exits instead
+        // of counting the full set. Driver transfer stays a small
+        // multiple of cap+1 (scale-up waves, remaining-bounded tasks,
+        // doc_id-uniform partitions — see wandImpl's rationale).
+        // Downstream (refineTheta, the candIds filter) is
+        // order-insensitive.
+        val capI = math.min(wandCandidateCap, Int.MaxValue - 2L).toInt
+        val candPairs = essRows.groupBy($"doc_id")
           .agg(sum($"impact").as("ess_sum"))
           .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
           .as[(Long, Double)]
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val candCount =
-          try candRel.count()
-          catch { case t: Throwable => candRel.unpersist(false); throw t }
-        if (candCount == 0L) {
-          candRel.unpersist(false)
+          .limit(capI + 1).collect()
+        if (candPairs.isEmpty) {
           lastPath = "pruned"
           return Seq.empty[(Long, Double)].toDF("doc_id", "score")
         }
-        if (candCount > wandCandidateCap) {
-          candRel.unpersist(false)
+        if (candPairs.length > capI) {
           val r = exactPath()
           lastPath = "fallback-cap" // mirrors QueryEngine.lastWandPath
           return r
         }
-        val candPairs = candRel.collect()
-        candRel.unpersist(false)
         lastPath = "pruned"
 
         /** Candidate-pruned non-essential fold rows for `cand`. */
@@ -1062,13 +1064,15 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val st = new GlobalStats(terms.distinct)
     if (st.ordered.isEmpty) return emptyScores()
     // tombstones narrow the allowed set up front, so the candidate-cap
-    // routing and the collected candidate array count survivors only
+    // routing and the collected candidate array count survivors only.
+    // Routing + materialization in one cap-limited collect (the WAND
+    // tier-1 pattern): length > cap re-reads `allowed` distributed.
     val allowed = dropDeleted(engines.map(_.docs.filter(pred).select($"doc_id"))
       .reduce(_ unionByName _))
-    val nAllowed = allowed.count()
-    if (nAllowed == 0L) emptyScores()
-    else if (nAllowed <= candidateCap)
-      scoresForCandidates(st, allowed.as[Long].collect().sorted)
+    val cap = math.min(candidateCap, Int.MaxValue - 2)
+    val cand = allowed.limit(cap + 1).as[Long].collect()
+    if (cand.isEmpty) emptyScores()
+    else if (cand.length <= cap) scoresForCandidates(st, cand.sorted)
     else scoringRows(st, st.ordered).fold(emptyScores())(rows =>
       aggScores(rows.join(allowed, Seq("doc_id"), "left_semi")))
   }

@@ -486,31 +486,34 @@ class QueryEngine(spark: SparkSession, root: String,
     *
     * Two plans by filter selectivity, result-identical (test-pinned):
     *  - selective (≤ `candidateCap` matching docs, established by ONE
-    *    distributed count before any postings IO): collect the doc_ids
-    *    and score through the block-max candidate machinery — chunks
-    *    whose [min_doc_id, max_doc_id] range contains no candidate are
-    *    never decoded (their tf/dl bytes stay unread in Parquet);
+    *    cap-limited collect before any postings IO — driver memory is
+    *    bounded by the cap, the WAND tier-1 guard pattern): score the
+    *    collected doc_ids through the block-max candidate machinery —
+    *    chunks whose [min_doc_id, max_doc_id] range contains no
+    *    candidate are never decoded (their tf/dl bytes stay unread in
+    *    Parquet);
     *  - broad: left-semi join the per-posting impacts against the
     *    allowed doc_ids BEFORE the per-doc fold (see exactScores —
     *    the join shares the fold's doc_id exchange). A broad filter
     *    touches most postings anyway, so candidate chunk-pruning would
     *    save nothing while shipping a huge broadcast.
-    * At 10^12 turns the count is a metadata-cheap scan of the docs
-    * table (column-pruned to doc_id + the predicate columns), and
-    * `candidateCap` bounds driver memory exactly like the WAND tier-1
-    * candidate guard.
+    * At 10^12 turns the routing probe is a metadata-cheap scan of the
+    * docs table (column-pruned to doc_id + the predicate columns) that
+    * ships at most cap+1 ids to the driver.
     */
   def bm25ScoresFiltered(terms: Seq[String], pred: Column,
       candidateCap: Int = 20000): DataFrame = {
     val entries = lookupTerms(terms)
     if (entries.isEmpty) return emptyScores()
     val allowed = docs.filter(pred).select($"doc_id")
-    val nAllowed = allowed.count()
-    if (nAllowed == 0L) emptyScores()
-    else if (nAllowed <= candidateCap) {
-      val cand = allowed.as[Long].collect().sorted
-      scoresForCandidates(entries, cand)
-    } else exactScores(entries, restrict = Some(allowed))
+    // routing + materialization in one job (the WAND tier-1 pattern):
+    // length > cap routes to the broad plan, which re-reads `allowed`
+    // distributed — the limit rows are discarded, like a count would be
+    val cap = math.min(candidateCap, Int.MaxValue - 2)
+    val cand = allowed.limit(cap + 1).as[Long].collect()
+    if (cand.isEmpty) emptyScores()
+    else if (cand.length <= cap) scoresForCandidates(entries, cand.sorted)
+    else exactScores(entries, restrict = Some(allowed))
   }
 
   /** BM25 top-k under a metadata predicate. Post-filtering an
@@ -731,25 +734,30 @@ class QueryEngine(spark: SparkSession, root: String,
       .groupBy($"doc_id").agg(sum($"impact").as("ess_sum"))
       .filter($"ess_sum" + cumNonEssMax >= theta - Eps)
       .as[(Long, Double)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Cap check runs as a distributed count() BEFORE any driver-side
-    // materialization: an essential mid-df term (df ~ 10^9 at 10^12
-    // docs) would otherwise OOM the driver before the guard fired. The
-    // persist makes the subsequent collect reuse the aggregation.
-    val candCount =
-      try candRel.count()
-      catch { case t: Throwable => candRel.unpersist(false); throw t }
-    wdbg(s"cumNonEssMax=$cumNonEssMax tier1Candidates=$candCount")
-    if (candCount == 0L) {
-      candRel.unpersist(false); lastWandPath = "empty"; return emptyScores()
-    }
-    if (candCount > wandCandidateCap) { // pruning not worth the broadcast
-      candRel.unpersist(false)
+    // Cap guard and materialization fused (the liveDocs/claim-collect
+    // pattern): collect at most cap+1 rows and branch on the length.
+    // This replaces the old persist + distributed count() + cached
+    // collect() with one CollectLimit — measured 9 -> 6 Spark jobs per
+    // warm pruned query (JobCountProbe), and the adversarial case (an
+    // essential mid-df term, df ~ 10^9 at 10^12 docs) now EARLY-EXITS
+    // once cap+1 rows surface instead of counting the full candidate
+    // set. Driver-memory bound: CollectLimit scans reduce partitions in
+    // scale-up waves, each task shipping at most the REMAINING (<=
+    // cap+1) rows; candidates are hash-partitioned by doc_id (uniform),
+    // so the guard fires within a wave of the cap — worst-case transfer
+    // a small multiple of the cap+1 rows the success path collects
+    // anyway, never the unbounded full set. Downstream consumers
+    // (refineTheta, the candIds filter) are order-insensitive, so the
+    // limit's arbitrary row order cannot perturb results.
+    val capI = math.min(wandCandidateCap, Int.MaxValue - 2L).toInt
+    val candPairs = candRel.limit(capI + 1).collect()
+    wdbg(s"cumNonEssMax=$cumNonEssMax tier1Candidates=${candPairs.length}" +
+      (if (candPairs.length > capI) "+ (over cap)" else ""))
+    if (candPairs.isEmpty) { lastWandPath = "empty"; return emptyScores() }
+    if (candPairs.length > capI) { // pruning not worth the broadcast
       lastWandPath = "fallback-cap"
       return topK(exactScores(entries), k)
     }
-    val candPairs = candRel.collect()
-    candRel.unpersist(false)
     lastWandPath = "pruned"
 
     // approximate: salting and split seams add sub-size chunks beyond
