@@ -36,17 +36,22 @@ object JobCountProbe {
     }
 
     val jobs = new AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(s: SparkListenerJobStart): Unit =
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        sites.add(s.stageInfos.map(_.name).mkString(" | ") +
+          s" [${s.stageInfos.size}st]")
+      }
     })
     def measure(label: String)(body: => Unit): Unit = {
       // listener bus is async: settle before and after sampling
       Thread.sleep(500)
-      jobs.set(0)
+      jobs.set(0); sites.clear()
       body
       Thread.sleep(500)
       println(s"JOBS $label=${jobs.get()}")
+      sites.forEach(s => println(s"  SITE $label: $s"))
     }
 
     val e = new QueryEngine(spark, dir, Transcripts.lemmas)
