@@ -100,6 +100,41 @@ class FusedReadSpec extends SparkSpecBase {
     }
   }
 
+  test("pruned-path job count is FLAT in generation count (and legacy pays the fan-out tax)") {
+    // Spark JOB count is the deterministic, noise-free proxy for the
+    // per-query fixed cost the fused read removes: the per-generation
+    // union form runs one chunk-metadata collect job PER GENERATION on
+    // the candidate-pruned path, the fused form exactly one multi-path
+    // pre-pass — so fused jobs must not grow with generation count.
+    import spark.implicits._
+    val oneDir = tmpDir("graft-fused-onegen")
+    Generations.append(spark, spark.createDataset(allTurns), oneDir, lemmas, conf)
+    val one = new MultiGenEngine(spark, oneDir, lemmas)
+    val (fused3, legacy3) = engines(root) // 3 generations + tombstones
+    val q = "the of table"
+    Seq(one, fused3, legacy3).foreach { m =>
+      m.warmDictionariesLocal()
+      m.wandMinPostings = 0L // force the candidate-pruned path
+      m.bm25TopK(q, 10).collect() // warm: plans, liveDocs, file listings
+      assert(m.lastPath == "pruned")
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    def jobsOf(body: => Unit): Int = {
+      Thread.sleep(300); jobs.set(0); body; Thread.sleep(300); jobs.get()
+    }
+    val j1 = jobsOf(one.bm25TopK(q, 10).collect())
+    val j3f = jobsOf(fused3.bm25TopK(q, 10).collect())
+    val j3l = jobsOf(legacy3.bm25TopK(q, 10).collect())
+    assert(j3f == j1, s"fused jobs grew with generations: 1 gen=$j1, 3 gens=$j3f")
+    assert(j3l > j3f, s"expected the legacy per-gen form to pay extra jobs: " +
+      s"legacy=$j3l fused=$j3f")
+  }
+
   test("fused == legacy on a merged root (non-contiguous generation ranges)") {
     // fresh root so the sibling test's engines are undisturbed
     val dir = tmpDir("graft-fused-merged")
