@@ -73,6 +73,9 @@ object JobCountProbe {
     measure("filtered_broad")(
       e.bm25ScoresFiltered(e.queryTerms(q), pred, candidateCap = 1).collect())
 
+    e.searchWithSnippets(q, 10).collect() // warm-up
+    measure("search_snippets")(e.searchWithSnippets(q, 10).collect())
+
     spark.stop()
   }
 }

@@ -1095,15 +1095,49 @@ class MultiGenEngine(spark: SparkSession, root: String,
       .orderBy($"df".desc, $"term".asc)
       .limit(n)
 
-  /** Snippets across generations: doc_id ranges are disjoint, so each
-    * generation serves the ids it owns and the union is lossless (a
-    * foreign id finds no postings in that generation). `docIds` is
-    * k-bounded, so handing the whole array to every generation costs
-    * only its broadcast.
+  /** One multi-path scan over every generation's docs table — the text
+    * side of fused snippet serving. Doc_ids are globally disjoint, so
+    * each doc appears exactly once.
+    */
+  private lazy val fusedDocs: DataFrame =
+    spark.read.parquet(gens.map(g => IndexPaths(g).docs): _*)
+
+  /** Snippets across generations. Fused (default): ONE positional
+    * relation spanning every (generation, query term) pair — a single
+    * chunk-metadata pre-pass and one decode pass feed the per-doc
+    * first_pos agg, and the text join reads all generations' docs
+    * tables as one multi-path pruned scan (pushed doc_id literals) —
+    * vs the per-generation union form (kept behind `fusedRead = false`),
+    * which paid one survivors-collect job per generation on the
+    * result-page path. Assembly shared with the single engine
+    * (QueryEngine.assembleSnippets), so the slice arithmetic cannot
+    * drift. `docIds` is k-bounded, so the candidate broadcast is tiny.
     */
   def snippetsFor(terms: Seq[String], docIds: Array[Long],
-      window: Int = 3): DataFrame =
-    engines.map(_.snippetsFor(terms, docIds, window)).reduce(_ unionByName _)
+      window: Int = 3): DataFrame = {
+    if (!fusedRead)
+      return engines.map(_.snippetsFor(terms, docIds, window))
+        .reduce(_ unionByName _)
+    val empty =
+      Seq.empty[(Long, Int, String)].toDF("doc_id", "first_pos", "snippet")
+    if (docIds.isEmpty) return empty
+    val st = new GlobalStats(terms.distinct)
+    val pairs = st.ordered.flatMap(t => termPairs(st, t))
+    if (pairs.isEmpty) return empty
+    val bc = spark.sparkContext.broadcast(docIds.sorted)
+    val firstPos = fusedPositioned(pairs, Some(bc))
+      // per-posting positions ascend, so element 1 is that posting's min
+      .select($"doc_id", element_at($"positions", 1).as("pos"))
+      .groupBy($"doc_id").agg(min($"pos").as("first_pos"))
+    val knobs = engines.head
+    val textSide =
+      if (docIds.length <= knobs.chunkInMaxLiterals)
+        fusedDocs.filter($"doc_id".isin(docIds.toSeq: _*))
+      else
+        fusedDocs.join(broadcast(docIds.toSeq.toDF("doc_id")),
+          Seq("doc_id"), "left_semi")
+    QueryEngine.assembleSnippets(firstPos, textSide, window)
+  }
 
   /** Result-page serving across generations: global top-k + snippets.
     * One top-k job — the k rows come back as a LocalRelation for the

@@ -556,14 +556,15 @@ class QueryEngine(spark: SparkSession, root: String,
       return Seq.empty[(Long, Int, String)]
         .toDF("doc_id", "first_pos", "snippet")
     val bc = spark.sparkContext.broadcast(docIds.sorted)
-    val firstPos = entries.map(e => positionedForCandidates(e.term_id, bc))
-      .reduce(_ union _)
+    // ONE chunk-metadata pre-pass for ALL query terms (the firstPos agg
+    // only needs "a position of ANY term", so per-term relations buy
+    // nothing): the old per-term positionedForCandidates union paid one
+    // survivors-collect job PER TERM per search
+    val firstPos = positionedForCandidatesAll(entries.map(_.term_id), bc)
       .map(p => (p.doc_id, p.positions.head)) // per-posting positions ascend
       .toDF("doc_id", "pos")
       .groupBy($"doc_id")
       .agg(min($"pos").as("first_pos"))
-    // 0-based first_pos p -> 1-based slice [max(p-w,0)+1, p+w+1]
-    val from = greatest($"first_pos" - window, lit(0))
     // the text side must be PRUNED, not just broadcast-joined: with the
     // k-row side broadcast, the probe would still SCAN every text row.
     // A pushed doc_id IN (k literals) prunes the doc_id-sorted docs
@@ -576,11 +577,42 @@ class QueryEngine(spark: SparkSession, root: String,
       else
         docs.join(broadcast(docIds.toSeq.toDF("doc_id")),
           Seq("doc_id"), "left_semi")
-    firstPos
-      .join(textSide.select($"doc_id", $"text"), Seq("doc_id"))
-      .select($"doc_id", $"first_pos",
-        array_join(slice(split($"text", " "), from + lit(1),
-          $"first_pos" + lit(window + 1) - from), " ").as("snippet"))
+    QueryEngine.assembleSnippets(firstPos, textSide, window)
+  }
+
+  /** Positioned postings of SEVERAL terms restricted to a sorted
+    * candidate array, with ONE metadata pre-pass across all of them
+    * (the multi-term analog of [[positionedForCandidates]]; the union
+    * semantics snippetsFor needs). Exact (term_id, chunk_seq) survivor
+    * pairs, same literal-IN / broadcast-semi-join routing.
+    */
+  private def positionedForCandidatesAll(termIds: Seq[Long],
+      bcCand: org.apache.spark.broadcast.Broadcast[Array[Long]]): Dataset[PositionedPosting] = {
+    val base = postings.filter($"term_id".isin(termIds: _*))
+    val survivors = base
+      .select($"term_id", $"chunk_seq", $"min_doc_id", $"max_doc_id")
+      .as[(Long, Long, Long, Long)]
+      .filter(c => QueryEngine.rangeHasCandidate(c._3, c._4, bcCand.value))
+      .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
+    val pruned =
+      if (survivors.length <= chunkInMaxLiterals)
+        base.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+      else
+        base.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+          Seq("term_id", "chunk_seq"), "left_semi")
+    pruned
+      .select($"term_id", $"min_doc_id", $"max_doc_id", $"n_postings",
+        $"doc_gaps", $"pos_blob")
+      .as[(Long, Long, Long, Int, Array[Byte], Array[Byte])]
+      .filter(c => QueryEngine.rangeHasCandidate(c._2, c._3, bcCand.value))
+      .flatMap { case (tid, _, _, n, gaps, posBlob) =>
+        val ids = ChunkCodec.decodeDocGaps(gaps, n)
+        val cd = bcCand.value
+        val poss = ChunkCodec.decodePositions(posBlob, n)
+        Iterator.tabulate(n)(i => i)
+          .filter(i => java.util.Arrays.binarySearch(cd, ids(i)) >= 0)
+          .map(i => PositionedPosting(tid, ids(i), poss(i).toSeq))
+      }
   }
 
   /** Serving wrapper: BM25 top-k with snippets in one call — the
@@ -1460,6 +1492,25 @@ object QueryEngine {
   /** Forwarder kept for source compatibility; see graft.core.Fuzzy. */
   def deleteVariants(s: String, d: Int): Set[String] =
     graft.core.Fuzzy.deleteVariants(s, d)
+
+  /** Snippet assembly shared by the single-index and multi-generation
+    * engines (no drift in the slice arithmetic): join the per-doc
+    * `first_pos` relation with the pruned text side and cut the ±window
+    * token slice. 0-based first_pos p -> 1-based slice
+    * [max(p-w,0)+1, p+w+1]; both ends clamp at the doc boundary.
+    * Alignment contract documented on QueryEngine.snippetsFor.
+    */
+  def assembleSnippets(firstPos: DataFrame, textSide: DataFrame,
+      window: Int): DataFrame = {
+    val w = window // `window` would be ambiguous under functions._
+    import org.apache.spark.sql.functions._
+    val from = greatest(col("first_pos") - w, lit(0))
+    firstPos
+      .join(textSide.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("first_pos"),
+        array_join(slice(split(col("text"), " "), from + lit(1),
+          col("first_pos") + lit(w + 1) - from), " ").as("snippet"))
+  }
 
   /** Does the sorted candidate array contain a value in [minDoc, maxDoc]?
     * The chunk-skip predicate (reference skip pointer, src/indexer/

@@ -56,7 +56,15 @@ class FusedReadSpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).toSeq.sorted,
       "prox" -> m.proximity("the", "of", 3)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-        .toSeq.sorted)
+        .toSeq.sorted,
+      "snippets" -> {
+        val ids = m.bm25TopK("the of table", 5).collect().map(_.getLong(0))
+        m.snippetsFor(Seq("the", "of", "table"), ids)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          .toSeq.sortBy(_._1)
+      },
+      "search" -> m.searchWithSnippets("the of table", 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
   test("genSegOf: per-range layout, URI schemes, degenerate paths") {
