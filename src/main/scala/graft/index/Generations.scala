@@ -1067,8 +1067,13 @@ class MultiGenEngine(spark: SparkSession, root: String,
     // routing and the collected candidate array count survivors only.
     // Routing + materialization in one cap-limited collect (the WAND
     // tier-1 pattern): length > cap re-reads `allowed` distributed.
-    val allowed = dropDeleted(engines.map(_.docs.filter(pred).select($"doc_id"))
-      .reduce(_ unionByName _))
+    // The predicate scan is one multi-path read over all generations'
+    // docs tables (identical rows to the per-generation union — doc_ids
+    // are disjoint); the union form stays behind fusedRead = false.
+    val allowed = dropDeleted(
+      if (fusedRead) fusedDocs.filter(pred).select($"doc_id")
+      else engines.map(_.docs.filter(pred).select($"doc_id"))
+        .reduce(_ unionByName _))
     val cap = math.min(candidateCap, Int.MaxValue - 2)
     val cand = allowed.limit(cap + 1).as[Long].collect()
     if (cand.isEmpty) emptyScores()
