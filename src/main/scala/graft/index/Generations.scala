@@ -451,9 +451,18 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val k1L = k1
     val bL = bParam
 
+    // _file is captured directly over the scan, BELOW any join:
+    // input_file_name() is only defined while the task is reading the
+    // file and returns "" once rows cross an exchange, so evaluating it
+    // above the over-cap SHUFFLED semi-join would zero out generation
+    // recovery and silently drop every posting row (test-pinned in
+    // FusedReadSpec). Catalyst still prunes unused columns through this
+    // projection.
     val base = fusedPostings.filter($"term_id".isin(unionIds: _*))
+    val withFile = base.select(
+      (input_file_name().as("_file") +: base.columns.toSeq.map(col)): _*)
     val pruned = candOpt match {
-      case None => base
+      case None => withFile
       case Some(cand) =>
         // one metadata pre-pass over the fused relation (vs one PER
         // GENERATION before): same dense-skip / literal-IN / semi-join
@@ -467,8 +476,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
         val totalChunks = pairs.map { case (_, d, _, _) =>
           (d.df + graft.core.ChunkCodec.ChunkSize - 1) /
             graft.core.ChunkCodec.ChunkSize }.sum.toDouble
-        val metaPairs = base
-          .select(input_file_name().as("_file"), $"term_id", $"chunk_seq",
+        val metaPairs = withFile
+          .select($"_file", $"term_id", $"chunk_seq",
             $"min_doc_id", $"max_doc_id")
           .as[(String, Long, Long, Long, Long)]
           .filter { c =>
@@ -481,23 +490,30 @@ class MultiGenEngine(spark: SparkSession, root: String,
         if (survBound <= knobs.chunkMetaCollectCap) {
           val survivors = metaPairs.as[(Long, Long)].collect()
           if (survivors.length > knobs.chunkPruneDenseFraction * totalChunks)
-            base
+            withFile
           else if (survivors.length <= knobs.chunkInMaxLiterals)
-            base.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+            withFile.filter(
+              $"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
           else
-            base.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+            withFile.join(
+              broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
               Seq("term_id", "chunk_seq"), "left_semi")
         } else
-          base.join(metaPairs.toDF("term_id", "chunk_seq"),
+          withFile.join(metaPairs.toDF("term_id", "chunk_seq"),
             Seq("term_id", "chunk_seq"), "left_semi")
     }
     Some(dropDeleted(pruned
-      .select(input_file_name().as("_file"), $"term_id", $"n_postings",
-        $"doc_gaps", $"tfs", $"dls")
-      .as[(String, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
-      .flatMap { case (file, termId, n, gaps, tfs, dls) =>
+      .select($"_file", $"term_id", $"min_doc_id", $"max_doc_id",
+        $"n_postings", $"doc_gaps", $"tfs", $"dls")
+      .as[(String, Long, Long, Long, Int, Array[Byte], Seq[Int], Seq[Int])]
+      .flatMap { case (file, termId, minD, maxD, n, gaps, tfs, dls) =>
+        // chunk-level range re-check before touching the blobs — the
+        // dense-skip branch arrives unpruned, and the single-index
+        // candidatePrunedPostings applies the same metadata-only skip
+        val rangeOk = bcCand.forall(bc =>
+          QueryEngine.rangeHasCandidate(minD, maxD, bc.value))
         val gi = bcSeg.value.getOrElse(Generations.genSegOf(file), -1)
-        bcInfo.value.get((gi, termId)) match {
+        (if (rangeOk) bcInfo.value.get((gi, termId)) else None) match {
           case None => Iterator.empty
           case Some((fk, tIdf)) =>
             val ids = graft.core.ChunkCodec.decodeDocGaps(gaps, n)
@@ -549,13 +565,18 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val valid = pairs.toSet
     val bcValid = spark.sparkContext.broadcast(valid)
     val bcSeg = bcSegIdx // local alias: the closure must not capture `this`
+    // _file captured in the scan stage, below any join — the same
+    // exchange-safety invariant as fusedFoldRows (input_file_name()
+    // returns "" above a shuffle)
     val base = fusedPostings.filter($"term_id".isin(pairs.map(_._2).distinct: _*))
+    val withFile = base.select(
+      (input_file_name().as("_file") +: base.columns.toSeq.map(col)): _*)
     val pruned = bcCand match {
-      case None => base
+      case None => withFile
       case Some(bc) =>
         val knobs = engines.head
-        val survivors = base
-          .select(input_file_name().as("_file"), $"term_id", $"chunk_seq",
+        val survivors = withFile
+          .select($"_file", $"term_id", $"chunk_seq",
             $"min_doc_id", $"max_doc_id")
           .as[(String, Long, Long, Long, Long)]
           .filter { c =>
@@ -565,18 +586,25 @@ class MultiGenEngine(spark: SparkSession, root: String,
           }
           .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
         if (survivors.length <= knobs.chunkInMaxLiterals)
-          base.filter($"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+          withFile.filter(
+            $"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
         else
-          base.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+          withFile.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
             Seq("term_id", "chunk_seq"), "left_semi")
     }
     pruned
-      .select(input_file_name().as("_file"), $"term_id", $"n_postings",
-        $"doc_gaps", $"pos_blob")
-      .as[(String, Long, Int, Array[Byte], Array[Byte])]
-      .flatMap { case (file, termId, n, gaps, posBlob) =>
+      .select($"_file", $"term_id", $"min_doc_id", $"max_doc_id",
+        $"n_postings", $"doc_gaps", $"pos_blob")
+      .as[(String, Long, Long, Long, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (file, termId, minD, maxD, n, gaps, posBlob) =>
+        // metadata-only range skip before decoding: the literal-IN
+        // branch over-selects foreign (term_id, chunk_seq) combos that
+        // share a chunk_seq value, and this drops most of them unread
         val gi = bcSeg.value.getOrElse(Generations.genSegOf(file), -1)
-        if (!bcValid.value.contains((gi, termId))) Iterator.empty
+        if (!bcValid.value.contains((gi, termId)) ||
+            !bcCand.forall(bc =>
+              QueryEngine.rangeHasCandidate(minD, maxD, bc.value)))
+          Iterator.empty
         else {
           val ids = graft.core.ChunkCodec.decodeDocGaps(gaps, n)
           val keep: Int => Boolean = bcCand match {
@@ -640,7 +668,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
       val anchorCf = st.perGen
         .flatMap(_.get(phraseSeq(anchor))).map(_.cf).sum
       val hintFirst: DataFrame => DataFrame =
-        if (cand.length <= 200000 && anchorCf <= 2000000L)
+        if (cand.length <= QueryEngine.PhraseBroadcastMaxCand &&
+            anchorCf <= QueryEngine.PhraseBroadcastMaxCf)
           df => broadcast(df)
         else identity _
       val bcCand = spark.sparkContext.broadcast(cand)
@@ -675,7 +704,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
     val byDf = distinctTerms.sortBy(t => (st.globalDf(t), t))
     val docSets = byDf.map(t => fusedDocIds(termPairs(st, t)))
     val first =
-      if (docSets.size > 1 && st.globalDf(byDf.head) <= 1000000L)
+      if (docSets.size > 1 &&
+          st.globalDf(byDf.head) <= QueryEngine.ConjBroadcastMaxDf)
         broadcast(docSets.head)
       else docSets.head
     docSets.tail.foldLeft(first)((acc, next) =>
@@ -719,7 +749,9 @@ class MultiGenEngine(spark: SparkSession, root: String,
   var wandMinPostings: Long = 100000L
 
   /** Tier-1 candidate cap — above it exact scoring is cheaper than the
-    * candidate broadcast (counted distributed BEFORE any collect).
+    * candidate broadcast. Guarded by one `limit(cap+1).collect()`: the
+    * over-cap case early-exits to the exact path after at most cap+1
+    * rows surface, without counting the full candidate set.
     */
   var wandCandidateCap: Long = 2000000L
 
@@ -1052,10 +1084,10 @@ class MultiGenEngine(spark: SparkSession, root: String,
     * QueryEngine.bm25ScoresFiltered: exact GLOBAL-statistics scores
     * restricted to docs matching `pred` (evaluated against every
     * generation's docs table; doc_id ranges are disjoint so the union
-    * is lossless). Same selectivity routing as the single engine:
-    * ≤ candidateCap matches (one count) go through each generation's
-    * candidate-pruned chunk machinery (foreign-range candidates match
-    * no chunk there); broader filters left-semi the fold rows before
+    * is lossless). Same selectivity routing as the single engine,
+    * fused into one cap-limited collect (no separate count job):
+    * ≤ candidateCap matches go through the fused candidate-pruned
+    * chunk machinery; broader filters left-semi the fold rows before
     * the per-doc aggregation.
     */
   def bm25ScoresFiltered(terms: Seq[String],

@@ -936,7 +936,8 @@ class QueryEngine(spark: SparkSession, root: String,
     // no hint on a single-term "conjunction": there is no join to
     // consume it (Spark logs a dangling-hint warning per query)
     val first =
-      if (docSets.size > 1 && byDf.head.df <= 1000000L) broadcast(docSets.head)
+      if (docSets.size > 1 &&
+          byDf.head.df <= QueryEngine.ConjBroadcastMaxDf) broadcast(docSets.head)
       else docSets.head
     docSets.tail.foldLeft(first) { (acc, next) =>
       acc.join(next, Seq("doc_id"), "inner")
@@ -1042,7 +1043,8 @@ class QueryEngine(spark: SparkSession, root: String,
       // broadcasts at runtime iff the measured size is small.
       val anchorEntry = byTerm(terms(anchor))
       val hintFirst: DataFrame => DataFrame =
-        if (cand.length <= 200000 && anchorEntry.cf <= 2000000L)
+        if (cand.length <= QueryEngine.PhraseBroadcastMaxCand &&
+            anchorEntry.cf <= QueryEngine.PhraseBroadcastMaxCf)
           df => broadcast(df)
         else identity _
       val bcCand = spark.sparkContext.broadcast(cand)
@@ -1396,6 +1398,20 @@ class QueryEngine(spark: SparkSession, root: String,
 }
 
 object QueryEngine {
+
+  /** Broadcast-hint bounds shared by the single-index join chains and
+    * the fused multi-generation forms — ONE home so a retuning cannot
+    * leave the two plans routing differently (paired A/B must compare
+    * identical shapes). A conjunctive chain hints its first (rarest)
+    * relation when that term's df is at most [[ConjBroadcastMaxDf]];
+    * a positional chain hints its anchor relation when the candidate
+    * count and the anchor's collection frequency stay within
+    * [[PhraseBroadcastMaxCand]] / [[PhraseBroadcastMaxCf]] (positions
+    * make rows wide — cf, not df, bounds the broadcast bytes).
+    */
+  val ConjBroadcastMaxDf: Long = 1000000L
+  val PhraseBroadcastMaxCand: Int = 200000
+  val PhraseBroadcastMaxCf: Long = 2000000L
 
   /** Dictionary-probe counter (each probe = one pushed driver-side
     * dictionary scan) — test hook for probe budgets: handleQuery must

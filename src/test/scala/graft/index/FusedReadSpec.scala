@@ -143,6 +143,36 @@ class FusedReadSpec extends SparkSpecBase {
       s"legacy=$j3l fused=$j3f")
   }
 
+  test("over-cap survivors fallback (shuffled semi-join) still recovers generations") {
+    // chunkMetaCollectCap < 0 forces fusedFoldRows' over-cap branch: the
+    // chunk-metadata pre-pass is semi-joined distributed instead of
+    // collected. autoBroadcastJoinThreshold = -1 forces that un-hinted
+    // semi-join to SHUFFLE (explicit broadcast() hints elsewhere are
+    // unaffected) — the plan shape this branch exists for at 100-TB
+    // survivor counts. Generation recovery must survive the exchange:
+    // input_file_name() returns "" once rows cross a shuffle, so it has
+    // to be captured in the scan stage, below any join.
+    val (fused, legacy) = engines(root)
+    fused.engines.foreach(_.chunkMetaCollectCap = -1.0)
+    Seq(fused, legacy).foreach { m =>
+      m.wandMinPostings = 0L; m.refineMinCandidates = 0L
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      def probe(m: MultiGenEngine): Seq[Any] = Seq(
+        m.bm25TopK("the of table", 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        m.bm25TopKFiltered("the of", 10, col("doc_len") % 2 === 0)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      val f = probe(fused)
+      assert(fused.lastPath == "pruned", s"expected pruned, got ${fused.lastPath}")
+      assert(f == probe(legacy))
+      assert(f.head.asInstanceOf[Seq[Any]].nonEmpty, "empty top-k — weak test")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fused == legacy on a merged root (non-contiguous generation ranges)") {
     // fresh root so the sibling test's engines are undisturbed
     val dir = tmpDir("graft-fused-merged")
