@@ -129,25 +129,32 @@ object GraftQueries {
     * than silently serving the old corpus.
     */
   def multiGenFor(spark: SparkSession, dir: String): graft.index.MultiGenEngine = {
-    val key = s"twogen:$dir"
-    val root = indexCache.getOrElseUpdate(key, {
-      val token = IndexBuilder.tableToken(s"$dir/documents.parquet").take(12)
-      val out = s"/tmp/graft_index_twogen_${safeName(dir)}_$token"
-      val conf = IndexConf(numParts = spark.sparkContext.defaultParallelism,
-        skewDfThreshold = 100000L, nSalts = 8)
-      val split = documents(spark, dir)
-        .agg(max(col("doc_id"))).head().getLong(0) / 2
-      import spark.implicits._
-      val turns = docsAsTurns(spark, dir)
-      graft.index.Generations.appendAt(spark,
-        turns.filter(t => t.conv_id < f"conv-${split + 1}%010d"),
-        out, s"$out/gen-00000", Map.empty, conf)
-      graft.index.Generations.appendAt(spark,
-        turns.filter(t => t.conv_id >= f"conv-${split + 1}%010d"),
-        out, s"$out/gen-00001", Map.empty, conf)
-      out
-    })
+    val root = indexCache.getOrElseUpdate(s"twogen:$dir",
+      twoGenRootFor(spark, dir, "twogen"))
     new graft.index.MultiGenEngine(spark, root, Map.empty)
+  }
+
+  /** ONE home for the two-generation build shared by the q46 and q54
+    * fixtures — the split rule and conf cannot drift between them
+    * (q54's oracle assumes exactly q46's root shape plus tombstones).
+    */
+  private def twoGenRootFor(spark: SparkSession, dir: String,
+      prefix: String): String = {
+    val token = IndexBuilder.tableToken(s"$dir/documents.parquet").take(12)
+    val out = s"/tmp/graft_index_${prefix}_${safeName(dir)}_$token"
+    val conf = IndexConf(numParts = spark.sparkContext.defaultParallelism,
+      skewDfThreshold = 100000L, nSalts = 8)
+    val split = documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) / 2
+    import spark.implicits._
+    val turns = docsAsTurns(spark, dir)
+    graft.index.Generations.appendAt(spark,
+      turns.filter(t => t.conv_id < f"conv-${split + 1}%010d"),
+      out, s"$out/gen-00000", Map.empty, conf)
+    graft.index.Generations.appendAt(spark,
+      turns.filter(t => t.conv_id >= f"conv-${split + 1}%010d"),
+      out, s"$out/gen-00001", Map.empty, conf)
+    out
   }
 
   /** [[multiGenFor]] plus tombstones (q54): the same two-generation
@@ -163,20 +170,8 @@ object GraftQueries {
       : graft.index.MultiGenEngine = {
     val key = s"twogendel:$dir"
     val root = indexCache.getOrElseUpdate(key, {
-      val token = IndexBuilder.tableToken(s"$dir/documents.parquet").take(12)
-      val out = s"/tmp/graft_index_twogendel_${safeName(dir)}_$token"
-      val conf = IndexConf(numParts = spark.sparkContext.defaultParallelism,
-        skewDfThreshold = 100000L, nSalts = 8)
-      val split = documents(spark, dir)
-        .agg(max(col("doc_id"))).head().getLong(0) / 2
+      val out = twoGenRootFor(spark, dir, "twogendel")
       import spark.implicits._
-      val turns = docsAsTurns(spark, dir)
-      graft.index.Generations.appendAt(spark,
-        turns.filter(t => t.conv_id < f"conv-${split + 1}%010d"),
-        out, s"$out/gen-00000", Map.empty, conf)
-      graft.index.Generations.appendAt(spark,
-        turns.filter(t => t.conv_id >= f"conv-${split + 1}%010d"),
-        out, s"$out/gen-00001", Map.empty, conf)
       val delIds = graft.index.Generations.genDirs(out)
         .map(g => spark.read.parquet(graft.index.IndexPaths(g).docs)
           .filter(expr("cast(substring(conv_id, 6) as long) % 7 = 3"))

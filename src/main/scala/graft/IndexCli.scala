@@ -194,7 +194,12 @@ object IndexCli {
       case "delete-where" =>
         val dir = Generations.deleteWhere(spark, req(o, "root"),
           expr(req(o, "predicate")))
-        println(s"tombstoned batch $dir")
+        // empty batches never commit (deleteDocsAt returns the dir
+        // without creating it) — don't report a batch that isn't there:
+        // takedown tooling audits this output
+        if (graft.index.Fs.exists(s"$dir/del_meta.json"))
+          println(s"tombstoned batch $dir")
+        else println("predicate matched no docs — no tombstone batch committed")
       case "compact" =>
         val conf = confFrom(o, a.flags, spark.sparkContext.defaultParallelism)
         val meta = Compactor.compact(spark, req(o, "root"), req(o, "out"),

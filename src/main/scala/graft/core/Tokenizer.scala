@@ -37,11 +37,24 @@ object Tokenizer {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {
-      val ca = a.codePointAt(i)
-      val cb = b.codePointAt(j)
-      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      var ca = a.codePointAt(i)
+      var cb = b.codePointAt(j)
       i += Character.charCount(ca)
       j += Character.charCount(cb)
+      // an UNPAIRED surrogate (codePointAt returns the surrogate code
+      // unit itself) is encoded as '?' (0x3F) by Java's UTF-8 encoder —
+      // and therefore by Spark's UTF8String, which fixes the on-disk
+      // dictionary sort and the dense term_ids. Mirror it, or a lone
+      // surrogate would sort ABOVE all BMP letters here (0xD800+) while
+      // sorting as '?' on disk — the drift this comparator exists to
+      // forbid. Paired surrogates never hit this: codePointAt returns
+      // the supplementary code point, whose 4-byte UTF-8 order equals
+      // code point order.
+      if (ca >= Character.MIN_SURROGATE && ca <= Character.MAX_SURROGATE)
+        ca = '?'
+      if (cb >= Character.MIN_SURROGATE && cb <= Character.MAX_SURROGATE)
+        cb = '?'
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
     }
     java.lang.Integer.compare(a.length - i, b.length - j)
   }

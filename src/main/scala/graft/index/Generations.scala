@@ -214,9 +214,11 @@ object Generations {
     if (gens.nonEmpty) {
       val keys = turns.select($"conv_id", $"turn_idx").distinct()
       val existing = docIdsForKeys(spark, gens, keys).as[Long]
-      // tombstone only when something matches: an insert-only batch must
-      // not grow the del-* chain (and the serving anti-join) for nothing
-      if (!existing.isEmpty) deleteDocs(spark, existing, root)
+      // an insert-only batch must not grow the del-* chain (and the
+      // serving anti-join) for nothing — deleteDocsAt's own empty-batch
+      // check provides exactly that, so no separate isEmpty action here
+      // (it would run the full multi-generation key probe an extra time)
+      deleteDocs(spark, existing, root)
     }
     append(spark, turns, root, lemmas, conf)
   }
@@ -1182,12 +1184,8 @@ class MultiGenEngine(spark: SparkSession, root: String,
     */
   def searchWithSnippets(query: String, k: Int, window: Int = 3): DataFrame = {
     val terms = queryTerms(query)
-    val topRows = bm25TopKForTerms(terms, k).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val ids = topRows.map(_._1).toArray
-    topRows.toDF("doc_id", "score")
-      .join(snippetsFor(terms, ids, window), Seq("doc_id"), "left")
-      .orderBy($"score".desc, $"doc_id".asc)
+    QueryEngine.searchPage(spark, bm25TopKForTerms(terms, k),
+      ids => snippetsFor(terms, ids, window))
   }
 
   // Boolean / positional / fuzzy across generations: doc_id ranges are

@@ -319,7 +319,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     * stay stable across queries regardless.
     */
   def vsmNormsDf(postingsDf: DataFrame, dictDf: DataFrame): DataFrame = {
-    val dfs = dictDf.select($"term_id", $"df")
+    // unigrams only — the reference's doc vector has no bigram
+    // dimension (bigram pseudo-terms are this engine's own indexing
+    // extension), and Oracle.vsmNorms sums over Tokenizer.tokenize
+    // output; without this filter a bigram-indexed root inflated every
+    // norm with (tf·df)² over "a b" postings. Same exclusion as
+    // writeFuzzyIndex. The join drops the bigram postings rows.
+    val dfs = dictDf.filter(!$"term".contains(" ")).select($"term_id", $"df")
     postingsDf
       .select($"term_id", $"n_postings", $"doc_gaps", $"tfs")
       .join(dfs, Seq("term_id"))
@@ -361,8 +367,12 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
       (System.nanoTime() - t0) / 1000000L)
     // same staleness guard as the fuzzy tables: tied to the exact
     // dictionary build (dictionary and postings rewrite together);
-    // token written LAST as the serve-side commit marker
-    Fs.writeString(s"$dir/${IndexBuilder.DictTokenFile}", dictToken)
+    // token written LAST as the serve-side commit marker. The format
+    // suffix versions the COMPUTATION: norms tables written before the
+    // unigram-only fix (bigram postings inflated norm_d) carry the
+    // bare dictToken, read as stale, and backfill once on first use.
+    Fs.writeString(s"$dir/${IndexBuilder.DictTokenFile}",
+      dictToken + IndexBuilder.VsmNormsFormatTag)
   }
 
   /** Per-term (df, cf, max_norm) from chunk rows — a cheap aggregation
@@ -880,6 +890,13 @@ object IndexBuilder {
     * dictionary it was derived from.
     */
   val DictTokenFile = "_graft_dict_token"
+
+  /** Computation-format tag appended to the vsm_norms dict token —
+    * bump when the norm formula changes so persisted tables from the
+    * old computation read as stale (e.g. "#unigram": the fix excluding
+    * bigram pseudo-terms from norm_d).
+    */
+  val VsmNormsFormatTag = "#unigram"
 
   /** Does `manifest` (a _manifest.json body) agree with `dir`'s actual
     * parquet files (n_files + bytes)? The integrity core shared by the

@@ -623,15 +623,8 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   def searchWithSnippets(query: String, k: Int, window: Int = 3): DataFrame = {
     val terms = queryTerms(query)
-    // ONE top-k job: the k collected rows become a LocalRelation for the
-    // join (re-referencing the lazy top-k plan would recompute the whole
-    // scoring pass at the final collect — measured ~2x the latency)
-    val topRows = bm25TopKForTerms(terms, k).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val ids = topRows.map(_._1).toArray
-    topRows.toDF("doc_id", "score")
-      .join(snippetsFor(terms, ids, window), Seq("doc_id"), "left")
-      .orderBy($"score".desc, $"doc_id".asc)
+    QueryEngine.searchPage(spark, bm25TopKForTerms(terms, k),
+      ids => snippetsFor(terms, ids, window))
   }
 
   // -------------------------------------------- prefix suggest (q53)
@@ -1332,8 +1325,9 @@ class QueryEngine(spark: SparkSession, root: String,
     */
   private lazy val vsmNormsTable: DataFrame = {
     val dir = paths.vsmNorms
-    def valid: Boolean =
-      derivedTableValid(dir, IndexBuilder.tableToken(paths.dictionary))
+    def valid: Boolean = derivedTableValid(dir,
+      IndexBuilder.tableToken(paths.dictionary) +
+        IndexBuilder.VsmNormsFormatTag)
     if (!valid && !QueryEngine.vsmBackfillFailed.contains(root)) {
       QueryEngine.fuzzyBuildLocks
         .getOrElseUpdate(s"$root#vsm", new Object).synchronized {
@@ -1508,6 +1502,26 @@ object QueryEngine {
   /** Forwarder kept for source compatibility; see graft.core.Fuzzy. */
   def deleteVariants(s: String, d: Int): Set[String] =
     graft.core.Fuzzy.deleteVariants(s, d)
+
+  /** Result-page assembly shared by the single-index and multi-
+    * generation engines (one home, like [[assembleSnippets]]): ONE
+    * top-k job whose k collected rows become a LocalRelation for the
+    * snippet join — re-referencing the lazy top-k plan would recompute
+    * the whole scoring pass at the final collect (measured ~2x the
+    * latency) — and a LEFT join so a result doc is never dropped by
+    * the snippet stage.
+    */
+  def searchPage(spark: org.apache.spark.sql.SparkSession,
+      topK: DataFrame, snippets: Array[Long] => DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val topRows = topK.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ids = topRows.map(_._1).toArray
+    topRows.toDF("doc_id", "score")
+      .join(snippets(ids), Seq("doc_id"), "left")
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
 
   /** Snippet assembly shared by the single-index and multi-generation
     * engines (no drift in the slice arithmetic): join the per-doc

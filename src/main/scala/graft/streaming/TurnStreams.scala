@@ -193,18 +193,22 @@ object TurnStreams {
           .dropDuplicatesWithinWatermark("content_hash")
       else {
         // batch: keep the DETERMINISTIC representative (min (conv_id,
-        // turn_idx) — exactDedup's min-doc rule), via groupBy + join
-        // back, NOT a content_hash-partitioned window: a boilerplate
-        // hash with 10^8 copies would put the whole group through one
-        // WindowExec task (the hotspot exactDedup's shape avoids);
-        // plain dropDuplicates would keep whichever row a partition
-        // delivers first, breaking run-to-run reproducibility
-        val reps = hashed.groupBy(col("content_hash"))
-          .agg(min(struct(col("conv_id"), col("turn_idx"))).as("_rep"))
-        hashed.join(reps, Seq("content_hash"))
-          .filter(col("conv_id") === col("_rep.conv_id") &&
-            col("turn_idx") === col("_rep.turn_idx"))
-          .drop("_rep")
+        // turn_idx) — exactDedup's min-doc rule; the remaining fields
+        // complete a TOTAL order so even byte-identical replayed rows
+        // collapse to ONE). The agg carries the representative row
+        // itself — one map-side-combined shuffle, no join back. The
+        // former groupBy + join-back form kept EVERY row tying on
+        // (conv_id, turn_idx): a record ingested twice into one batch
+        // passed the filter twice and the dedup operator emitted the
+        // duplicate (test-pinned). Still no content_hash-partitioned
+        // window: a boilerplate hash with 10^8 copies would put the
+        // whole group through one WindowExec task; and still no plain
+        // dropDuplicates, which keeps whichever row a partition
+        // delivers first, breaking run-to-run reproducibility.
+        hashed.groupBy(col("content_hash"))
+          .agg(min(struct(col("conv_id"), col("turn_idx"), col("role"),
+            col("text"), col("tool"), col("ts"))).as("_rep"))
+          .select(col("content_hash"), col("_rep.*"))
       }
     deduped.unionByName(nullText).drop("content_hash").as[Turn]
   }

@@ -46,6 +46,31 @@ class UnicodeSpec extends SparkSpecBase {
     assert(graft.core.Tokenizer.compareUtf8(a, b) < 0, "UTF-8: 4-byte seq sorts above")
   }
 
+  test("compareUtf8 matches UTF-8 byte order including unpaired surrogates") {
+    // Java's UTF-8 encoder — and thus Spark's UTF8String, which fixes
+    // the on-disk dictionary order — replaces an UNPAIRED surrogate
+    // with '?' (0x3F); the comparator must mirror that, not compare the
+    // raw surrogate code point (0xD800+ would sort above all BMP
+    // letters while the bytes sort as '?')
+    def byteCmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val emoji = new String(Character.toChars(0x1F600))
+    val samples = Seq(
+      "ab\uD800cd", // unpaired high surrogate mid-word
+      "ab\uDC00cd", // unpaired low surrogate
+      "ab?cd", "ab!cd", "abzcd", // '?' collision + neighbors
+      "ab\uD800", "ab?", "ab", // tie-then-length tails
+      "\uD800\uD800", "??", // consecutive unpaired highs
+      s"ab${emoji}cd", s"ab$emoji", emoji, // PAIRED surrogates (4-byte path)
+      "", "z", "ka")
+    for (a <- samples; b <- samples)
+      assert(
+        Integer.signum(graft.core.Tokenizer.compareUtf8(a, b)) ==
+          Integer.signum(byteCmp(a, b)),
+        s"<$a> vs <$b>: comparator diverges from UTF-8 byte order")
+  }
+
   test("term ids byte-ordered and identical to oracle on unicode terms") {
     val dict = engine.dictionary.collect()
       .map(r => r.getAs[String]("term") -> r.getAs[Long]("term_id")).toMap

@@ -52,14 +52,36 @@ class VsmSpec extends SparkSpecBase {
     assert(one == wantOne)
   }
 
+  test("bigram-indexed root: norms exclude bigram pseudo-terms (oracle parity)") {
+    // the reference's doc vector has no bigram dimension — without the
+    // unigram-only filter, every "a b" posting inflated norm_d and the
+    // scores diverged from the (unigram) scalar oracle on bigram roots
+    val dir = tmpDir("graft-vsm-bigram")
+    new IndexBuilder(spark, lemmas,
+      IndexConf(numParts = 2, indexBigrams = true))
+      .build(Transcripts.generate(spark, nConvs), dir)
+    val e = new QueryEngine(spark, dir, lemmas)
+    val terms = testTerms
+    val got = e.vsmScores(terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val want = oracle.vsmScores(terms)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (d, s) =>
+      assert(s == want(d), s"doc $d: $s != ${want(d)}")
+    }
+  }
+
   test("norms backfill once under the root and are served persisted") {
     engineScores(testTerms.take(1)) // triggers the lazy backfill
     val dir = IndexPaths(indexDir).vsmNorms
     assert(Files.exists(Paths.get(dir, "_SUCCESS")), "vsm_norms not written")
     val marker = Paths.get(dir, IndexBuilder.DictTokenFile)
     assert(Files.exists(marker), "dict-token marker missing")
+    // marker = dict token + computation-format tag: a norms table from
+    // the pre-unigram-fix computation (bare token) must read as stale
     assert(Files.readString(marker) ==
-      IndexBuilder.tableToken(IndexPaths(indexDir).dictionary))
+      IndexBuilder.tableToken(IndexPaths(indexDir).dictionary) +
+        IndexBuilder.VsmNormsFormatTag)
     // the n_files/bytes manifest must exist, or the serve-time
     // manifestIntact gate is vacuous (truncated norms = silently
     // missing docs in every vsmScores result)

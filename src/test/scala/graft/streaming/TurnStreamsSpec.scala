@@ -117,6 +117,15 @@ class TurnStreamsSpec extends SparkSpecBase {
       Turn("b", 0, "user", "x y", "", ts(1))))).collect()
     assert(batch.length == 1)
     assert(batch.head.conv_id == "a", "must keep the min (conv_id, turn_idx) rep")
+    // exact replay: a byte-identical row ingested twice in one batch
+    // (at-least-once upstream) must still collapse to ONE — the tie
+    // case the former groupBy + join-back form emitted twice
+    val replay = TurnStreams.dedupedTurns(spark.createDataset(Seq(
+      Turn("a", 0, "user", "x y", "", ts(0)),
+      Turn("a", 0, "user", "x y", "", ts(0)),
+      Turn("b", 1, "user", "z", "", ts(1))))).collect()
+    assert(replay.length == 2,
+      s"replayed identical row survived dedup: ${replay.toSeq}")
     // null-text rows pass through: md5(null) = null and null dedup keys
     // compare EQUAL, so without the guard two unrelated text-less turns
     // would silently collapse into one
