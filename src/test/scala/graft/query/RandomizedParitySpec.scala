@@ -51,8 +51,15 @@ class RandomizedParitySpec extends SparkSpecBase {
     dir
   }
 
-  test("handleQuery: 30 seeded random queries identical across single / 3-gen / merged / oracle") {
-    val rnd = new scala.util.Random(20260818L)
+  // dev soak knobs (CI defaults fixed → deterministic): e.g.
+  //   GRAFT_FUZZ_QUERIES=300 GRAFT_FUZZ_SEED=7 sbt "testOnly *RandomizedParitySpec"
+  private val fuzzQueries =
+    sys.env.get("GRAFT_FUZZ_QUERIES").map(_.toInt).getOrElse(30)
+  private val fuzzSeed =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260818L)
+
+  test("handleQuery: seeded random queries identical across single / 3-gen / merged / oracle") {
+    val rnd = new scala.util.Random(fuzzSeed)
     def word(): String = rnd.nextInt(10) match {
       case 0 | 1 => // near-miss typo of a corpus term
         val w = vocab(rnd.nextInt(vocab.size))
@@ -60,7 +67,8 @@ class RandomizedParitySpec extends SparkSpecBase {
       case 2 => s"zzjunk${rnd.nextInt(100)}" // absent
       case _ => vocab(rnd.nextInt(vocab.size)) // in-domain
     }
-    val queries = Seq.fill(30)(Seq.fill(1 + rnd.nextInt(4))(word()).mkString(" "))
+    val queries =
+      Seq.fill(fuzzQueries)(Seq.fill(1 + rnd.nextInt(4))(word()).mkString(" "))
 
     val mPre = new MultiGenEngine(spark, root, lemmas).warmDictionaries()
     assert(mPre.gens.size == 3)
