@@ -98,4 +98,62 @@ class RandomizedParitySpec extends SparkSpecBase {
       assert(post == want, s"merged vs oracle drift for '$q'\n got=$post\nwant=$want")
     }
   }
+
+  test("serving surface: seeded random filtered/snippets/suggest walks identical across shapes") {
+    // The hand-picked serving rows (q51-q53, ServingSpec) exercise the
+    // predicates and prefixes we thought of; this walk draws random
+    // ones. Fresh root (the sibling test partially merges `root`
+    // mid-test); contiguous batches keep doc_ids aligned with the
+    // single index, so results must match row-for-row across shapes.
+    import spark.implicits._
+    val dir = tmpDir("graft-fuzzq-serving")
+    val (b1, rest) = allTurns.splitAt(allTurns.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach(b =>
+      Generations.append(spark, spark.createDataset(b), dir, lemmas, conf))
+    val multi = new MultiGenEngine(spark, dir, lemmas).warmDictionaries()
+    val legacy = new MultiGenEngine(spark, dir, lemmas).warmDictionaries()
+    legacy.fusedRead = false
+
+    val rnd = new scala.util.Random(fuzzSeed + 1)
+    def word(): String = vocab(rnd.nextInt(vocab.size))
+    val n = math.max(10, fuzzQueries / 3)
+    (1 to n).foreach { _ =>
+      val q = Seq.fill(1 + rnd.nextInt(3))(word()).mkString(" ")
+      val k = 1 + rnd.nextInt(10)
+      rnd.nextInt(3) match {
+        case 0 => // filtered top-k under a random metadata predicate
+          val m = 2 + rnd.nextInt(4)
+          val pred = org.apache.spark.sql.functions.col("doc_len") % m ===
+            rnd.nextInt(m)
+          def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val s = rows(single.bm25TopKFiltered(q, k, pred))
+          assert(rows(multi.bm25TopKFiltered(q, k, pred)) == s,
+            s"filtered drift: '$q' k=$k mod=$m")
+          assert(rows(legacy.bm25TopKFiltered(q, k, pred)) == s,
+            s"filtered legacy drift: '$q' k=$k mod=$m")
+        case 1 => // result page with snippets at a random window
+          val w = 1 + rnd.nextInt(5)
+          def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+            .map(r => (r.getLong(0), r.getDouble(1),
+              Option(r.get(2)), Option(r.get(3)))).toSeq
+          val s = rows(single.searchWithSnippets(q, k, w))
+          assert(rows(multi.searchWithSnippets(q, k, w)) == s,
+            s"snippets drift: '$q' k=$k w=$w")
+          assert(rows(legacy.searchWithSnippets(q, k, w)) == s,
+            s"snippets legacy drift: '$q' k=$k w=$w")
+        case _ => // typeahead on a random in-vocab prefix (or junk)
+          val base = word()
+          val prefix =
+            if (rnd.nextInt(5) == 0) "zzq" // absent
+            else base.take(1 + rnd.nextInt(math.max(1, base.length)))
+          def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val s = rows(single.suggest(prefix, k))
+          assert(rows(multi.suggest(prefix, k)) == s,
+            s"suggest drift: prefix='$prefix' n=$k")
+      }
+    }
+  }
 }
