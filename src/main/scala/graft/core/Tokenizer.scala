@@ -177,46 +177,19 @@ object Tokenizer {
     * the reference's commented-out index bigrams (tokenizer.rs:159-164,
     * 211-217) whose query side is live in tokenizeQuery.
     */
-  def bigrams(text: String, lemmas: Map[String, String]): Seq[Token] = {
-    if (text.isEmpty) return Nil   // ws-only yields no words below; no trim copy
-    val out = Seq.newBuilder[Token]
-    var position = 0
-    var prev: Option[String] = None
-    splitWhitespace(text).foreach { word =>
-      val cleaned = cleanWord(word)
-      if (cleaned.nonEmpty) {
-        val term = lemmas.getOrElse(cleaned, cleaned)
-        prev.foreach(p => out += Token(position - 1, s"$p $term"))
-        prev = Some(term)
-      }
-      position += 1
-    }
-    out.result()
-  }
-
+  def bigrams(text: String, lemmas: Map[String, String]): Seq[Token] =
+    tokenizeQuery(text, lemmas).bigrams
 
   /** Single-pass document tokenization: `tokenize(text) ++ bigrams(text)`
-    * element-for-element, in ONE split/clean/lemma traversal — the
-    * bigram-indexed build's hot path previously tokenized every document
-    * twice (tokenizeQuery already demonstrates the fused form).
+    * element-for-element, in ONE split/clean/lemma traversal. The fold
+    * itself lives in [[tokenizeQuery]] — ONE home for the subtle
+    * skip-over-empty bigram position rule (position - 1 of the SECOND
+    * surviving word), so the index side cannot drift from the query
+    * side.
     */
   def tokenizeWithBigrams(text: String, lemmas: Map[String, String]): Seq[Token] = {
-    if (text.isEmpty) return Nil
-    val unis = Seq.newBuilder[Token]
-    val bis = Seq.newBuilder[Token]
-    var position = 0
-    var prev: Option[String] = None
-    splitWhitespace(text).foreach { word =>
-      val cleaned = cleanWord(word)
-      if (cleaned.nonEmpty) {
-        val term = lemmas.getOrElse(cleaned, cleaned)
-        unis += Token(position, term)
-        prev.foreach(p => bis += Token(position - 1, s"$p $term"))
-        prev = Some(term)
-      }
-      position += 1
-    }
-    unis.result() ++ bis.result()
+    val q = tokenizeQuery(text, lemmas)
+    q.unigrams ++ q.bigrams
   }
 
   final case class QueryTokens(unigrams: Seq[Token], bigrams: Seq[Token])

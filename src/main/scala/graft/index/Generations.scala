@@ -151,14 +151,20 @@ object Generations {
   def deleteDocsAt(spark: SparkSession, docIds: Dataset[Long],
       root: String, dir: String): String = {
     if (Fs.exists(s"$dir/del_meta.json")) return dir
-    // an empty batch never commits: it would put a permanent no-op
-    // anti-join into every query plan of the root (replays of an empty
-    // batch recompute empty and skip again — idempotent without a marker)
-    if (docIds.isEmpty) return dir
     Fs.mkdirs(root)
+    // write FIRST, decide from the written count: `docIds` may be an
+    // expensive lazy plan (upsert/deleteWhere's multi-generation key
+    // probe), and a pre-check `docIds.isEmpty` would execute that whole
+    // plan a second time. The count comes from the written parquet
+    // footers, not a re-execution.
     docIds.distinct().toDF("doc_id")
       .write.mode("overwrite").parquet(s"$dir/ids")
     val n = spark.read.parquet(s"$dir/ids").count()
+    // an empty batch never commits: it would put a permanent no-op
+    // anti-join into every query plan of the root (replays of an empty
+    // batch recompute empty and skip again — idempotent without a
+    // marker; the uncommitted dir is removed so delDirs never sees it)
+    if (n == 0L) { Fs.deleteRecursive(dir); return dir }
     IndexBuilder.writeAtomic(s"$dir/del_meta.json", s"""{"n_ids":$n}""")
     dir
   }
@@ -577,7 +583,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
       case None => withFile
       case Some(bc) =>
         val knobs = engines.head
-        val survivors = withFile
+        val metaPairs = withFile
           .select($"_file", $"term_id", $"chunk_seq",
             $"min_doc_id", $"max_doc_id")
           .as[(String, Long, Long, Long, Long)]
@@ -586,12 +592,27 @@ class MultiGenEngine(spark: SparkSession, root: String,
             bcValid.value.contains((gi, c._2)) &&
               QueryEngine.rangeHasCandidate(c._4, c._5, bc.value)
           }
-          .select($"term_id", $"chunk_seq").as[(Long, Long)].collect()
-        if (survivors.length <= knobs.chunkInMaxLiterals)
-          withFile.filter(
-            $"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
-        else
-          withFile.join(broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+          .select($"term_id", $"chunk_seq")
+        // Driver-known survivor bound BEFORE any collect, the same
+        // contract as fusedFoldRows: per (gen, term_id) pair the chunks
+        // partition postings into disjoint doc ranges, so one candidate
+        // doc survives at most one chunk per pair — survivors ≤
+        // |candidates| × |pairs|. Above the cap (e.g. a near-
+        // phraseMaxCandidates anchor on a many-generation root) the
+        // pre-pass stays distributed as a left-semi join instead of
+        // collecting millions of boxed pairs onto the serving driver.
+        val survBound = bc.value.length.toDouble * pairs.size
+        if (survBound <= knobs.chunkMetaCollectCap) {
+          val survivors = metaPairs.as[(Long, Long)].collect()
+          if (survivors.length <= knobs.chunkInMaxLiterals)
+            withFile.filter(
+              $"chunk_seq".isin(survivors.map(_._2).distinct.toSeq: _*))
+          else
+            withFile.join(
+              broadcast(survivors.toSeq.toDF("term_id", "chunk_seq")),
+              Seq("term_id", "chunk_seq"), "left_semi")
+        } else
+          withFile.join(metaPairs.toDF("term_id", "chunk_seq"),
             Seq("term_id", "chunk_seq"), "left_semi")
     }
     pruned
@@ -1361,8 +1382,11 @@ object Compactor {
     // manifested like every other stage so a resumed compaction skips it
     if (!builder.manifestComplete(paths.docs, fp)) {
       val t0 = System.nanoTime()
+      // allowMissingColumns: a root whose generations straddle the
+      // docs-schema ts addition (v6) compacts with null ts for the
+      // older generations instead of failing the union
       purge(gens.map(g => spark.read.parquet(IndexPaths(g).docs))
-        .reduce(_ unionByName _))
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
         .write.mode("overwrite").parquet(paths.docs)
       builder.writeManifest(paths.docs, fp,
         spark.read.parquet(paths.docs).count(),
@@ -1512,7 +1536,7 @@ object Compactor {
     if (!builder.manifestComplete(paths.docs, fp)) {
       val t0 = System.nanoTime()
       sources.map(g => spark.read.parquet(IndexPaths(g).docs))
-        .reduce(_ unionByName _)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
         .write.mode("overwrite").parquet(paths.docs)
       builder.writeManifest(paths.docs, fp,
         spark.read.parquet(paths.docs).count(),

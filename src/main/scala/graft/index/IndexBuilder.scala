@@ -91,6 +91,18 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
 
   private val bcLemmas = spark.sparkContext.broadcast(lemmas)
 
+  /** Order-independent fingerprint of the lemma map for the stage-resume
+    * manifest: the lemmatization rewrites every indexed term, so two
+    * builds at the same root with different lemma files must not share
+    * stage manifests. Sorted entries → md5, so HashMap iteration order
+    * (which varies across Scala/JVM versions) cannot flip the value.
+    */
+  private val lemmaFingerprint: String = {
+    val joined = lemmas.toSeq.sorted.map { case (k, v) => s"$k\u0000$v" }
+      .mkString("\u0001")
+    graft.core.StableHash.md5Hex(joined).substring(0, 12)
+  }
+
   // ---------------------------------------------------------------- docs
 
   /** Assign dense 1-based doc_ids in stable (conv_id, turn_idx) order and
@@ -101,15 +113,20 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
   def buildDocs(turns: Dataset[Turn]): DataFrame = {
     import org.apache.spark.sql.Row
     val lem = bcLemmas
+    // ts rides along into the docs table: filtered search and
+    // deleteWhere promise predicates over it (time-window takedowns),
+    // and dropping it here would make those unexpressable without a
+    // rebuild. Storage cost is one int64 column next to `text`.
     val ranked = RangeRank.withRank(
-      turns.toDF().select("conv_id", "turn_idx", "role", "text"),
+      turns.toDF().select("conv_id", "turn_idx", "role", "text", "ts"),
       Seq("conv_id", "turn_idx"), "doc_id", conf.numParts)
     val offset = conf.docIdOffset
-    ranked.as[(String, Int, String, String, Long)]
-      .map { case (conv, turn, role, text, docId) =>
+    ranked.as[(String, Int, String, String, java.sql.Timestamp, Long)]
+      .map { case (conv, turn, role, text, ts, docId) =>
         val dl = Tokenizer.tokenize(text, lem.value).length
-        (docId + offset, conv, turn, role, dl, text)
-      }.toDF("doc_id", "conv_id", "turn_idx", "role", "doc_len", "text")
+        (docId + offset, conv, turn, role, dl, text, ts)
+      }.toDF("doc_id", "conv_id", "turn_idx", "role", "doc_len", "text",
+        "ts")
   }
 
   // ------------------------------------------------------------- stage 1
@@ -761,7 +778,12 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     // chunk's max_norm, so resuming stages built under different BM25
     // constants would serve invalid block-max bounds (silently wrong
     // WAND top-k). (Bumping the version invalidates older-layout caches.)
-    val fp = s"v5-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}-k1${conf.k1}-b${conf.b}-in${inputFingerprint(turns)}"
+    // v6: the LEMMA MAP joins it — lemmatization rewrites every term
+    // (and with it doc lengths, dfs, the dictionary), so a rebuild at
+    // the same root with a different lemma file must not resume stage
+    // manifests and silently serve the OLD lemmatization while queries
+    // lemmatize with the new one.
+    val fp = s"v6-np${conf.numParts}-salt${conf.nSalts}-thr${conf.skewDfThreshold}-off${conf.docIdOffset}-bi${conf.indexBigrams}-fz${conf.fuzzyMaxDistance}-k1${conf.k1}-b${conf.b}-lm$lemmaFingerprint-in${inputFingerprint(turns)}"
 
     // Stage 0: docs (doc_id assignment + doc lengths)
     if (!manifestComplete(paths.docs, fp)) {
@@ -773,8 +795,13 @@ class IndexBuilder(spark: SparkSession, lemmas: Map[String, String],
     }
     val docsWithText = spark.read.parquet(paths.docs)
     val agg = vtime("meta_agg") {
-      docsWithText.agg(count(lit(1)), avg($"doc_len"), sum($"doc_len")).head() }
+      docsWithText.agg(count(lit(1)), avg($"doc_len")).head() }
     val nDocs = agg.getLong(0)
+    // clear error instead of the NPE a null avg() would raise below —
+    // streaming callers (StreamIngest) skip empty micro-batches before
+    // reaching here; a batch caller indexing nothing is a caller bug
+    require(nDocs > 0L,
+      s"empty input: refusing to build an index over zero turns at $root")
     val avgdl = agg.getDouble(1)
 
     // Stage 1: SPIMI segments (sorted runs, salted for skew).

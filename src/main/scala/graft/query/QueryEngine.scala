@@ -275,11 +275,16 @@ class QueryEngine(spark: SparkSession, root: String,
   var chunkPruneDenseFraction: Double = 0.9
 
   /** Max tier-1 WAND candidates worth broadcasting for chunk skipping;
-    * above it the exact unpruned plan is cheaper. The relation is
-    * count()ed distributed and the fallback taken WITHOUT ever
-    * collecting — an essential mid-df term (df ~ 10^9 at 10^12 docs)
-    * must not reach the driver before the guard fires. Tests lower it
-    * to force the fallback.
+    * above it the exact unpruned plan is cheaper. The guard is a
+    * `limit(cap + 1).collect()` — a CollectLimit whose driver transfer
+    * is BOUNDED BY THE CAP (cap+1 rows, ~tens of MB at the default),
+    * never the candidate relation's full size: an essential mid-df term
+    * (df ~ 10^9 at 10^12 docs) ships at most cap+1 of its rows before
+    * the fallback fires, and the success path collects the same rows
+    * anyway (routing + materialization in one job, vs the old separate
+    * distributed count + collect's two). Raising the knob raises the
+    * driver bill linearly — it is a driver-memory budget, not a free
+    * threshold. Tests lower it to force the fallback.
     */
   var wandCandidateCap: Long = 2000000L
 
