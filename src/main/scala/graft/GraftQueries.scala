@@ -45,6 +45,27 @@ object GraftQueries {
 
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Engine-INSTANCE caches (round 6): the index DIRECTORIES were always
+    * cached per JVM (indexCache above), but every catalog call built a
+    * fresh QueryEngine/MultiGenEngine over them, so each query re-paid
+    * distributed dictionary probes (one Spark job per term set, times
+    * generations for the multi-gen rows). Serving engines are warmed
+    * once per (session, root) — warmDictionaryLocal is exactly the
+    * serving configuration Bench's own latency stages run — and reused;
+    * keying on the session identity keeps a stopped test session from
+    * leaking its engine into a new one. No RESULTS are cached: every
+    * query still computes from the parquet index; only the dictionary
+    * (an index TABLE, n_terms-gated) is held as the warm serving
+    * structure.
+    */
+  private val engineCache =
+    scala.collection.concurrent.TrieMap.empty[String, QueryEngine]
+  private val multiEngineCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.index.MultiGenEngine]
+
+  private def sessionKey(spark: SparkSession, root: String): String =
+    System.identityHashCode(spark).toHexString + ":" + root
+
   private def safeName(dir: String): String = dir.replaceAll("[^a-zA-Z0-9.]", "_")
 
   /** Side-output directory for oracle-auxiliary tables (persisted
@@ -70,7 +91,11 @@ object GraftQueries {
         .build(docsAsTurns(spark, dir), out)
       out
     })
-    new QueryEngine(spark, root, Map.empty)
+    engineCache.getOrElseUpdate(sessionKey(spark, root), {
+      val e = new QueryEngine(spark, root, Map.empty)
+      e.warmDictionaryLocal()
+      e
+    })
   }
 
   /** The lemma map used by the lemma/bigram driver checks (q28/q29):
@@ -94,7 +119,11 @@ object GraftQueries {
         .build(docsAsTurns(spark, dir), out)
       out
     })
-    new QueryEngine(spark, root, testLemmas)
+    engineCache.getOrElseUpdate(sessionKey(spark, root), {
+      val e = new QueryEngine(spark, root, testLemmas)
+      e.warmDictionaryLocal()
+      e
+    })
   }
 
   /** internal engine doc_id -> original documents.doc_id, given the
@@ -131,7 +160,9 @@ object GraftQueries {
   def multiGenFor(spark: SparkSession, dir: String): graft.index.MultiGenEngine = {
     val root = indexCache.getOrElseUpdate(s"twogen:$dir",
       twoGenRootFor(spark, dir, "twogen"))
-    new graft.index.MultiGenEngine(spark, root, Map.empty)
+    multiEngineCache.getOrElseUpdate(sessionKey(spark, root),
+      new graft.index.MultiGenEngine(spark, root, Map.empty)
+        .warmDictionariesLocal())
   }
 
   /** ONE home for the two-generation build shared by the q46 and q54
@@ -180,7 +211,9 @@ object GraftQueries {
       graft.index.Generations.deleteDocsAt(spark, delIds, out, s"$out/del-00000")
       out
     })
-    new graft.index.MultiGenEngine(spark, root, Map.empty)
+    multiEngineCache.getOrElseUpdate(sessionKey(spark, root),
+      new graft.index.MultiGenEngine(spark, root, Map.empty)
+        .warmDictionariesLocal())
   }
 
   /** Three-generation root (thirds in conv_id order) whose FIRST TWO
@@ -220,7 +253,9 @@ object GraftQueries {
         Map.empty, conf)
       out
     })
-    new graft.index.MultiGenEngine(spark, root, Map.empty)
+    multiEngineCache.getOrElseUpdate(sessionKey(spark, root),
+      new graft.index.MultiGenEngine(spark, root, Map.empty)
+        .warmDictionariesLocal())
   }
 
   // --------------------------------------------------------- query catalog
@@ -468,15 +503,26 @@ object GraftQueries {
     // then the q07 rounded-score reorder for boundary stability.
     "q24_bm25_wand" -> ((s, dir) => {
       val eng = engineFor(s, dir)
+      // knobs restored after the EAGER wand pass (wand materializes
+      // internally, so the forced-pruning path has already run by the
+      // finally): the engine instance is cached per session now and a
+      // leaked localMaxPostings=0 would silently reroute every later
+      // query on the same engine
+      val (lmpBefore, wmpBefore) = (eng.localMaxPostings, eng.wandMinPostings)
       eng.localMaxPostings = 0
       eng.wandMinPostings = 1
       // buffer of 200: the rounded-score reorder below can only diverge
       // from the oracle if a single rounded-value tie group spans the
       // exact-score cut, i.e. >190 docs sharing one 4-decimal score at
       // the boundary
-      val top = eng.bm25TopKForTerms(Seq("the", "query", "join"), 200,
-        useWand = true)
-        .select(col("doc_id"), round(col("score"), 4).as("score"))
+      val top =
+        try eng.bm25TopKForTerms(Seq("the", "query", "join"), 200,
+          useWand = true)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+        finally {
+          eng.localMaxPostings = lmpBefore
+          eng.wandMinPostings = wmpBefore
+        }
       withOrigDocId(eng, top)
         .orderBy(col("score").desc, col("doc_id").asc).limit(10)
         .select("doc_id", "score")
@@ -597,9 +643,16 @@ object GraftQueries {
         concat(lit("https://example.org/"), col("doc_id")).as("url"),
         array(array(col("text"), lit("<ref>x</ref>")),
           array(concat(lit("para two of doc "), col("doc_id")))).as("text"))
-      articles.coalesce(1).write.mode("overwrite")
+      // parallel writes (round 6): coalesce(1) funneled the bz2
+      // COMPRESSION of the whole dump through one task (bzip2 is the
+      // expensive codec here). Both consumers read directory globs
+      // (WikiSource via the Hadoop codec, the oracle via read_json on
+      // /*.json), and the query result is orderBy(id) — rows are
+      // file-layout-independent, so the single-file shape bought
+      // nothing but the serial write.
+      articles.write.mode("overwrite")
         .option("compression", "bzip2").json(s"${auxDir(dir)}/q37_wiki_bz2")
-      articles.coalesce(1).write.mode("overwrite")
+      articles.write.mode("overwrite")
         .json(s"${auxDir(dir)}/q37_wiki_plain")
       val arts = graft.corpus.WikiSource.readArticles(s,
         s"${auxDir(dir)}/q37_wiki_bz2")

@@ -453,15 +453,27 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, minCos: Double,
       nPlanes: Int = 24, bands: Int = 3, dim: Int = 64,
       maxBucket: Int = 100000): DataFrame = {
+    // ids ONLY through the (band, key) self-join (the minHashCandidates
+    // two-step): riding both 64-float embedding arrays through the band
+    // shuffle costs ~2x512 bytes per banded row and evaluates the
+    // cosine once per SHARED band before the distinct; deduping the
+    // bare pairs first and joining the embeddings back scores each
+    // pair exactly once — identical output (cos is a deterministic
+    // function of the pair, so distinct pairs == distinct triples).
     val banded = Similarity.bandedHyperplane(embeddings, nPlanes, bands,
       dim, maxBucket)
-    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+    val a = banded.select(col("band"), col("key"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band"), col("key"), col("vec_id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(embeddings.select(col("vec_id").as("id_a"),
+        col("embedding").as("e_a")), Seq("id_a"))
+      .join(embeddings.select(col("vec_id").as("id_b"),
+        col("embedding").as("e_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosineCol(col("e_a").cast("array<double>"),
           col("e_b").cast("array<double>")), 4).as("cos"))
-      .distinct()
       .filter(col("cos") >= minCos)
   }
 
@@ -621,9 +633,30 @@ object Dedup {
     * (count + xxhash64 fingerprint) to test convergence; `maxIter` is a
     * safety valve that throws rather than return a half-contracted
     * graph.
+    *
+    * `localMaxEdges`: cap-gated driver union-find fast path (the
+    * dictLocalCap / bm25TopKLocal pattern). When the CANONICAL edge set
+    * fits under the cap — established by ONE limit(cap+1) collect, so
+    * the driver transfer is bounded by the cap (16 bytes/edge: the
+    * 2M default is ~32 MB), never the graph size — components are
+    * solved in-process with path-compressed union-find and joined back
+    * as one small relation: star-contraction's per-round fixed cost
+    * (~6 exchanges + an action per round, O(log^2 n) rounds) collapses
+    * to a single job. Results are bit-identical (min reachable id,
+    * asserted against the distributed path in OpsSpec); graphs above
+    * the cap (web-scale boilerplate) take the distributed rounds
+    * unchanged. 0 disables.
+    *
+    * `checkpointDir`: when set, round lineage is truncated with a
+    * RELIABLE checkpoint into this directory instead of
+    * localCheckpoint — executor-local blocks are not fault-tolerant,
+    * so a long CC job on a preemptible cluster should pass a
+    * persistent dir (round-5 verdict finding #3). Unset keeps the
+    * cheaper localCheckpoint.
     */
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localMaxEdges: Long = 2000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val allIds = {
       val fromEdges = edges.toDF("u", "v")
@@ -638,6 +671,46 @@ object Dedup {
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
+
+    // ---- cap-gated driver union-find (see scaladoc): routing +
+    // materialization in one cap-limited collect, the WAND tier-1 /
+    // bm25ScoresFiltered pattern. Over-cap graphs fall through to the
+    // distributed star-contraction below with nothing wasted but the
+    // bounded collect.
+    if (localMaxEdges > 0) {
+      val cap = math.min(localMaxEdges, Int.MaxValue - 2L).toInt
+      val spark0 = spark
+      import spark0.implicits._
+      val local = canon(edges.toDF("u", "v")).limit(cap + 1)
+        .as[(Long, Long)].collect()
+      if (local.length <= cap) {
+        lastCcRounds = 0
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        local.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+        }
+        // one row per distinct endpoint: (id, min reachable id). Root
+        // rows map to self, so the left join below needs no groupBy —
+        // isolated `nodes` ids fall through the coalesce.
+        val seen = new java.util.HashSet[Long]()
+        val assign = local.iterator.flatMap { case (u, v) => Iterator(u, v) }
+          .filter(seen.add).map(id => (id, find(id))).toSeq
+        return allIds.select(col("u").as("doc_id"))
+          .join(assign.toDF("doc_id", "component"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+      }
+    }
 
     // large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u}).
     // m <= u < v, so no self-loops can appear.
@@ -696,7 +769,15 @@ object Dedup {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
 
-    var cur = canon(edges.toDF("u", "v")).localCheckpoint(false)
+    // reliable-checkpoint mode (finding #3): same LAZY semantics — the
+    // fingerprint action both materializes the checkpoint and tests
+    // convergence in one job per round
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else df.localCheckpoint(false)
+
+    var cur = truncate(canon(edges.toDF("u", "v")))
     var fp = fingerprint(cur)
     var converged = fp._1 == 0L
     var it = 0
@@ -705,7 +786,7 @@ object Dedup {
       if (it > maxIter)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds")
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val next = truncate(smallStar(largeStar(cur)))
       val nextFp = fingerprint(next)
       unpersistCheckpoint(cur)
       converged = nextFp == fp
@@ -739,10 +820,13 @@ object Dedup {
     * Cluster size is a skew-safe groupBy+join (the [[exactDedup]]
     * shape), never a component-partitioned window.
     */
-  def clusterDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def clusterDocs(docs: DataFrame, pairs: DataFrame,
+      localMaxEdges: Long = 2000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val cc = connectedComponents(
       pairs.select(pairs.columns(0), pairs.columns(1)),
-      Some(docs.select(col("doc_id"))))
+      Some(docs.select(col("doc_id"))),
+      localMaxEdges = localMaxEdges, checkpointDir = checkpointDir)
     val sizes = cc.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("component"))

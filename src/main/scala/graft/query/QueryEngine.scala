@@ -1604,6 +1604,15 @@ private[graft] object TieredQuery {
   private[graft] val adaptiveEscalations =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Count of queries answered by the phrase tier alone: when the
+    * phrase tier already holds >= k docs, `finish`'s tier-ascending
+    * order guarantees the whole answer is tier 0, so the bigram-
+    * conjunctive probe and tiers 1-2 (including the unigram top-k
+    * machinery) are skipped outright (round-5 verdict finding #2).
+    */
+  private[graft] val phraseFillExits =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** The engine-specific scoring surface the shared algebra drives.
     * `topK(n)`/`candScores`/`exactScores` score UNIGRAMS;
     * `bigramCandScores`/`bigramExactScores` score the query bigrams
@@ -1643,6 +1652,20 @@ private[graft] object TieredQuery {
     val cap = math.min(claimCap, Int.MaxValue - 1)
     val phraseIds = s.phraseDocs.select(col("doc_id"))
       .limit(cap + 1).as[Long].collect()
+    // Early exit when the phrase tier alone fills k: finish() orders
+    // tier-ascending, so with >= k phrase docs the answer is entirely
+    // tier 0 — the bigram-conjunctive probe, the bigram tier and the
+    // unigram top-k (the expensive block-max pass) can contribute
+    // nothing and are skipped. Exactness: tier 0 here is the SAME
+    // candScores relation the full construction builds; finish takes
+    // its top-k under the same (score desc, doc_id asc) order.
+    if (s.unigramsPresent && k > 0 && phraseIds.length >= k &&
+        phraseIds.length <= cap) {
+      setPath("pruned")
+      phraseFillExits.incrementAndGet()
+      java.util.Arrays.sort(phraseIds)
+      return finish(s.candScores(phraseIds).withColumn("tier", lit(0)), k)
+    }
     val conjIds = s.conjDocs.map(_.select(col("doc_id"))
       .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
     if (s.unigramsPresent && phraseIds.length <= cap && conjIds.length <= cap) {

@@ -163,15 +163,18 @@ class BigramSpec extends SparkSpecBase {
   test("adaptive unclaimed-top-k escalates when every top unigram doc is claimed (exact)") {
     import graft.corpus.Turn
     import graft.query.TieredQuery
-    // 8 docs where "zebra quartz" ALWAYS appears as the adjacent phrase:
-    // every disjunctive unigram match is a phrase (claimed) doc, so the
-    // first adaptive guess (forced tiny via guessFloor = 0) finds ZERO
-    // unclaimed rows and must escalate to the worst-case
-    // top-(k + |claimed|) width — and the final answer must still match
-    // the scalar oracle bit-for-bit (tier 2 is exactly empty).
+    // 8 GAP docs: both query bigrams ("zebra quartz", "quartz nickel")
+    // appear but never the full phrase — so the phrase tier is EMPTY
+    // (the phrase-fills-k early exit cannot fire) and every claimed doc
+    // is bigram-conjunctive. Every disjunctive unigram match is such a
+    // claimed doc, so the first adaptive guess (forced tiny via
+    // guessFloor = 0) finds ZERO unclaimed rows and must escalate to
+    // the worst-case top-(k + |claimed|) width — and the final answer
+    // must still match the scalar oracle bit-for-bit (tier 2 empty).
     val ts0 = new java.sql.Timestamp(60000000L)
     val custom = (0 until 8).map { i =>
-      Turn(f"c$i%03d", 0, "user", s"zebra quartz fill$i word$i", "", ts0)
+      Turn(f"c$i%03d", 0, "user",
+        s"zebra quartz fill$i quartz nickel word$i", "", ts0)
     } :+ Turn("c999", 0, "user", "unrelated filler text", "", ts0)
     val dir = tmpDir("graft-escalate")
     import spark.implicits._
@@ -182,27 +185,30 @@ class BigramSpec extends SparkSpecBase {
     TieredQuery.guessFloor = 0
     try {
       val before = TieredQuery.adaptiveEscalations.get()
-      val got = e.handleQuery("zebra quartz", 1).collect()
+      val got = e.handleQuery("zebra quartz nickel", 1).collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
       assert(TieredQuery.adaptiveEscalations.get() == before + 1,
         "all-claimed top slots must trigger the worst-case escalation")
       val want = new graft.oracle.Oracle(custom, Map.empty, indexBigrams = true)
-        .handleQuery("zebra quartz", 1)
+        .handleQuery("zebra quartz nickel", 1)
       assert(got == want, s"escalated path drifts from oracle: got=$got want=$want")
+      assert(got.forall(_._3 == 1), "all results must come from the bigram tier")
     } finally TieredQuery.guessFloor = floorBefore
   }
 
   test("adaptive unclaimed-top-k skips escalation when the match universe is exhausted") {
     import graft.corpus.Turn
     import graft.query.TieredQuery
-    // 9 docs, ALL phrase-claimed, and no other doc matches any query
-    // unigram: the first adaptive round's topK(width=10) comes back
-    // SHORT (9 rows) with zero unclaimed — proof the universe is
+    // 9 GAP docs (both bigrams, never the phrase — see the escalation
+    // test above), ALL bigram-claimed, and no other doc matches any
+    // query unigram: the first adaptive round's topK(width=10) comes
+    // back SHORT (9 rows) with zero unclaimed — proof the universe is
     // exhausted, so the worst-case full-width re-run is provably
     // useless and must be skipped (the counter must NOT move).
     val ts0 = new java.sql.Timestamp(60000000L)
     val custom = (0 until 9).map { i =>
-      Turn(f"x$i%03d", 0, "user", s"zebra quartz fill$i word$i", "", ts0)
+      Turn(f"x$i%03d", 0, "user",
+        s"zebra quartz fill$i quartz nickel word$i", "", ts0)
     } :+ Turn("x999", 0, "user", "unrelated filler text", "", ts0)
     val dir = tmpDir("graft-exhaust")
     import spark.implicits._
@@ -213,14 +219,63 @@ class BigramSpec extends SparkSpecBase {
     TieredQuery.guessFloor = 0 // guess = k + min(9, 4k) = 10 < k + 9 = 11
     try {
       val before = TieredQuery.adaptiveEscalations.get()
-      val got = e.handleQuery("zebra quartz", 2).collect()
+      val got = e.handleQuery("zebra quartz nickel", 2).collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
       assert(TieredQuery.adaptiveEscalations.get() == before,
         "exhausted match universe must not trigger the full-width escalation")
       val want = new graft.oracle.Oracle(custom, Map.empty, indexBigrams = true)
-        .handleQuery("zebra quartz", 2)
+        .handleQuery("zebra quartz nickel", 2)
       assert(got == want, s"exhausted path drifts from oracle: got=$got want=$want")
-      assert(got.forall(_._3 == 0), "all results must come from the phrase tier")
+      assert(got.forall(_._3 == 1), "all results must come from the bigram tier")
     } finally TieredQuery.guessFloor = floorBefore
+  }
+
+  test("phrase-fills-k early exit: tier-0-only answer, identical to the exact form") {
+    import graft.corpus.Turn
+    import graft.query.TieredQuery
+    // 8 docs carry the exact phrase "zebra quartz" (plus noise docs with
+    // the unigrams scattered): any k <= 8 must be answered by the phrase
+    // tier alone. The early exit must (a) fire (counter moves), (b) stay
+    // bit-identical to the exact (claimCap = -1) construction, and
+    // (c) return only tier-0 rows.
+    val ts0 = new java.sql.Timestamp(60000000L)
+    val custom = (0 until 8).map { i =>
+      Turn(f"p$i%03d", 0, "user", s"zebra quartz fill$i word$i", "", ts0)
+    } ++ (0 until 5).map { i =>
+      Turn(f"n$i%03d", 0, "user", s"zebra fill$i quartz tail", "", ts0)
+    }
+    val dir = tmpDir("graft-phrasefill")
+    import spark.implicits._
+    new IndexBuilder(spark, Map.empty, IndexConf(numParts = 2, indexBigrams = true))
+      .build(spark.createDataset(custom), dir)
+    val e = new QueryEngine(spark, dir, Map.empty)
+    def run(k: Int): Seq[(Long, Double, Int)] =
+      e.handleQuery("zebra quartz", k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    Seq(1, 4, 8).foreach { k =>
+      val before = TieredQuery.phraseFillExits.get()
+      val fast = run(k)
+      assert(TieredQuery.phraseFillExits.get() == before + 1,
+        s"phrase tier holds 8 >= $k docs: the early exit must fire")
+      assert(fast.forall(_._3 == 0), s"k=$k: all rows must be tier 0")
+      e.handleQueryClaimCap = -1 // force the exact form
+      val exact = run(k)
+      e.handleQueryClaimCap = 300000
+      assert(e.lastHandlePath == "exact")
+      assert(fast == exact, s"k=$k early exit drifts from exact:\n " +
+        s"fast=$fast\n exact=$exact")
+    }
+    // k above the phrase-doc count: the exit must NOT fire (tiers 1-2
+    // are needed to fill k) and the full construction must still agree
+    // with the exact form.
+    val before = TieredQuery.phraseFillExits.get()
+    val full = run(10)
+    assert(TieredQuery.phraseFillExits.get() == before,
+      "k=10 > 8 phrase docs: the early exit must not fire")
+    e.handleQueryClaimCap = -1
+    val exact = run(10)
+    e.handleQueryClaimCap = 300000
+    assert(full == exact, s"k=10 full construction drifts from exact:\n " +
+      s"full=$full\n exact=$exact")
   }
 }

@@ -285,35 +285,43 @@ class DedupSpec extends SparkSpecBase {
   private def ccMap(res: DataFrame): Map[Long, Long] =
     res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("connectedComponents: path graph contracts to min id") {
+  test("connectedComponents: path graph contracts to min id (both paths)") {
     // worst case for naive propagation: a 9-hop path
     val path = edgesDf((1L to 9L).map(i => (i, i + 1)))
-    val cc = ccMap(Dedup.connectedComponents(path))
-    assert(cc.size == 10)
-    assert(cc.values.forall(_ == 1L))
+    Seq(0L, 1000L).foreach { cap => // distributed rounds, then local union-find
+      val cc = ccMap(Dedup.connectedComponents(path, localMaxEdges = cap))
+      assert(cc.size == 10)
+      assert(cc.values.forall(_ == 1L))
+    }
   }
 
-  test("connectedComponents: multiple components, isolated nodes, dup/self edges") {
+  test("connectedComponents: multiple components, isolated nodes, dup/self edges (both paths)") {
     val edges = edgesDf(Seq(
       (5L, 3L), (3L, 7L),          // comp 3 (direction mixed)
       (10L, 11L), (11L, 10L),      // comp 10, duplicate both ways
       (20L, 20L)))                 // self loop only -> singleton
     val nodes = { val s = spark; import s.implicits._
       Seq(99L, 5L).toDF("id") }    // 99 isolated; 5 already present
-    val cc = ccMap(Dedup.connectedComponents(edges, Some(nodes)))
-    assert(cc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 99L -> 99L))
+    Seq(0L, 1000L).foreach { cap =>
+      val cc = ccMap(Dedup.connectedComponents(edges, Some(nodes),
+        localMaxEdges = cap))
+      assert(cc == Map(3L -> 3L, 5L -> 3L, 7L -> 3L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L, 99L -> 99L))
+    }
   }
 
-  test("connectedComponents: empty edge set yields singleton components") {
+  test("connectedComponents: empty edge set yields singleton components (both paths)") {
     val empty = edgesDf(Seq.empty)
     val nodes = { val s = spark; import s.implicits._
       Seq(1L, 2L, 3L).toDF("id") }
-    val cc = ccMap(Dedup.connectedComponents(empty, Some(nodes)))
-    assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    Seq(0L, 1000L).foreach { cap =>
+      val cc = ccMap(Dedup.connectedComponents(empty, Some(nodes),
+        localMaxEdges = cap))
+      assert(cc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    }
   }
 
-  test("connectedComponents matches scalar union-find on a seeded random graph") {
+  test("connectedComponents matches scalar union-find on a seeded random graph (all modes)") {
     val rnd = new scala.util.Random(42)
     val n = 60
     val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
@@ -327,14 +335,47 @@ class DedupSpec extends SparkSpecBase {
     val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
     val nodes = { val s = spark; import s.implicits._
       (0L until n.toLong).toDF("id") }
-    val cc = ccMap(Dedup.connectedComponents(edgesDf(edges), Some(nodes)))
-    assert(cc == expected)
+    // distributed rounds, the driver union-find fast path, and the cap
+    // boundary: cap == |canonical edges| takes the local path, cap one
+    // below must fall through to the distributed rounds (limit(cap+1)
+    // returns cap+1 rows)
+    val nCanon = edges.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      .filter(p => p._1 != p._2).distinct.size.toLong
+    Seq(0L, 2000000L, nCanon, nCanon - 1).foreach { cap =>
+      val cc = ccMap(Dedup.connectedComponents(edgesDf(edges), Some(nodes),
+        localMaxEdges = cap))
+      assert(cc == expected, s"localMaxEdges=$cap drifts from union-find oracle")
+      if (cap == nCanon - 1) assert(Dedup.lastCcRounds > 0,
+        "cap below canonical edge count must take the distributed rounds")
+      if (cap == nCanon) assert(Dedup.lastCcRounds == 0,
+        "cap at canonical edge count must take the local path")
+    }
+  }
+
+  test("connectedComponents reliable-checkpoint mode matches localCheckpoint mode") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    // localMaxEdges = 0 so BOTH runs take the iterative rounds — the
+    // checkpoint mode is what differs
+    val viaLocal = ccMap(Dedup.connectedComponents(edgesDf(edges),
+      localMaxEdges = 0L))
+    val localRounds = Dedup.lastCcRounds
+    val viaReliable = ccMap(Dedup.connectedComponents(edgesDf(edges),
+      localMaxEdges = 0L, checkpointDir = Some(dir)))
+    assert(viaReliable == viaLocal, "reliable-checkpoint mode drifts")
+    assert(Dedup.lastCcRounds == localRounds,
+      "checkpoint mode must not change round count")
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty,
+      "reliable mode must actually write checkpoints")
   }
 
   test("connectedComponents unpersists intermediate round checkpoints") {
     val before = spark.sparkContext.getPersistentRDDs.size
     val path = edgesDf((1L to 9L).map(i => (i, i + 1)))
-    Dedup.connectedComponents(path).count()
+    Dedup.connectedComponents(path, localMaxEdges = 0L).count()
     assert(Dedup.lastCcRounds >= 2) // multi-round run, so rounds 1..n-1 had checkpoints to free
     val after = spark.sparkContext.getPersistentRDDs.size
     // only the final converged round's checkpoint may remain (the
