@@ -420,8 +420,16 @@ object GraftQueries {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
-        family = sketch)
+      // signatures MATERIALIZED once (the minHashStarEdges scaladoc
+      // contract): minHashCandidates references the relation for
+      // banding, the bucket cap, and both verification join-backs —
+      // inlined, the tokenize+32-hash+min-agg subtree appeared six
+      // times in the physical plan (77k-char explain). Long arrays
+      // round-trip parquet exactly, so results are unchanged.
+      val sigsPath = s"${auxDir(dir)}/q18_sigs"
+      Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
+        family = sketch).write.mode("overwrite").parquet(sigsPath)
+      val sigs = s.read.parquet(sigsPath)
       Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5,
         family = sketch)
         .orderBy("doc_a", "doc_b")
@@ -434,6 +442,9 @@ object GraftQueries {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      // (measured: materializing the sim relation here costs more than
+      // the duplicate-subtree recompute it saves — the typed simHash
+      // map is one cheap pass and its banding exchange is reused)
       Dedup.simHashCandidates(Dedup.simHash(docs.union(planted), family = sketch),
           maxHam = 3)
         .orderBy("doc_a", "doc_b")
@@ -449,9 +460,12 @@ object GraftQueries {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val candPath = s"${auxDir(dir)}/q20_cand"
+      // no coalesce(1): the candidate plan is NARROW (typed signature
+      // map -> filter, no exchange), so coalesce collapsed the whole
+      // signature computation into one task; the oracle reads a glob
       Similarity.annCandidates(emb, q, nPlanes = 8, probeHamming = 2)
         .select(col("vec_id"))
-        .coalesce(1).write.mode("overwrite").parquet(candPath)
+        .write.mode("overwrite").parquet(candPath)
       val cand = s.read.parquet(candPath)
       Similarity.bruteForceTopK(emb.join(cand, Seq("vec_id")), q, 10,
         excludeId = Some(0L))
@@ -543,8 +557,9 @@ object GraftQueries {
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val probes = model.nearestCells(q.map(_.toDouble), 3)
       val candPath = s"${auxDir(dir)}/q26_cand"
+      // no coalesce(1) — narrow plan, same rationale as q20
       cells.filter(col("cell").isin(probes: _*)).select(col("vec_id"))
-        .coalesce(1).write.mode("overwrite").parquet(candPath)
+        .write.mode("overwrite").parquet(candPath)
       val cand = s.read.parquet(candPath)
       Similarity.bruteForceTopK(emb.join(cand, Seq("vec_id")), q, 10,
         excludeId = Some(0L))
@@ -728,9 +743,11 @@ object GraftQueries {
     "q41_knn_join" -> ((s, dir) => {
       val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val pairsPath = s"${auxDir(dir)}/q41_pairs"
+      // no coalesce(1): it pinned the distinct's final merge + write to
+      // one task (measured ~0.2 s on this row); the oracle reads a glob
       Similarity.knnCandidatePairs(emb, nPlanes = 24, bands = 3, dim = 64)
         .filter(col("id_a") < 50)
-        .coalesce(1).write.mode("overwrite").parquet(pairsPath)
+        .write.mode("overwrite").parquet(pairsPath)
       val pairs = s.read.parquet(pairsPath)
       Similarity.knnRank(emb, pairs, k = 5, roundTo = 4)
         .orderBy("id_a", "rank")
@@ -826,8 +843,12 @@ object GraftQueries {
       val p1 = planted(1000000L, 20, "hopone")
       val p2 = planted(2000000L, 10, "hoptwo")
       val all = docs.union(p1).union(p2)
-      val sigs = Dedup.minHashSignatures(all, k = 3, nHashes = 32,
-        family = sketch)
+      // signatures materialized once (see q18) — the candidate
+      // generator references them six times in one plan otherwise
+      val sigsPath = s"${auxDir(dir)}/q48_sigs"
+      Dedup.minHashSignatures(all, k = 3, nHashes = 32, family = sketch)
+        .write.mode("overwrite").parquet(sigsPath)
+      val sigs = s.read.parquet(sigsPath)
       val chain = docs.filter(col("doc_id") < 20).select(
           col("doc_id").as("doc_a"),
           (col("doc_id") + 1000000).as("doc_b"))
@@ -958,6 +979,9 @@ object GraftQueries {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      // (measured: materializing the sim relation costs more than the
+      // recompute it saves here — see q19; the 32-hash MINHASH relation
+      // is the one worth persisting, q18/q48/q56)
       Dedup.simHashStarEdges(
           Dedup.simHash(docs.union(planted), family = sketch),
           maxHam = 3, blocks = 6)
@@ -973,8 +997,14 @@ object GraftQueries {
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
       val planted = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
-        family = sketch)
+      // signatures materialized once — this is literally the
+      // minHashStarEdges scaladoc's at-scale contract ("pass a
+      // MATERIALIZED table, or the signature pipeline re-evaluates
+      // per reference"); see q18
+      val sigsPath = s"${auxDir(dir)}/q56_sigs"
+      Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
+        family = sketch).write.mode("overwrite").parquet(sigsPath)
+      val sigs = s.read.parquet(sigsPath)
       Dedup.minHashStarEdges(sigs, bands = 8, rowsPerBand = 4,
         minEstJaccard = 0.5, family = sketch)
         .orderBy("doc_id", "rep")
@@ -993,8 +1023,10 @@ object GraftQueries {
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       val all = emb.union(planted)
       val candPath = s"${auxDir(dir)}/q57_cand"
+      // no coalesce(1) — it pinned the star contraction's tail to one
+      // task (the q41 rationale); the oracle reads a glob
       Dedup.embeddingStarCandidates(all, nPlanes = 24, bands = 3, dim = 64)
-        .coalesce(1).write.mode("overwrite").parquet(candPath)
+        .write.mode("overwrite").parquet(candPath)
       Dedup.verifyEmbeddingStar(s.read.parquet(candPath), all, minCos = 0.999)
         .orderBy("vec_id", "rep")
     }),

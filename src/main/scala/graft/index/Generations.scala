@@ -1014,6 +1014,12 @@ class MultiGenEngine(spark: SparkSession, root: String,
     */
   var handleQueryClaimCap: Int = 300000
 
+  /** Per-engine adaptive-guess floor (mirrors
+    * QueryEngine.handleQueryGuessFloor; -1 = the TieredQuery.guessFloor
+    * process default).
+    */
+  var handleQueryGuessFloor: Int = -1
+
   /** Diagnostic: "pruned" | "exact" form taken by the last handleQuery. */
   var lastHandlePath: String = ""
 
@@ -1100,7 +1106,7 @@ class MultiGenEngine(spark: SparkSession, root: String,
       exactScores = () => exactScoresAll(st),
       bigramExactScores = () => exactScoresAll(bst.get),
       empty = () => emptyScores()),
-      k, handleQueryClaimCap, p => lastHandlePath = p)
+      k, handleQueryClaimCap, p => lastHandlePath = p, handleQueryGuessFloor)
   }
 
   /** Filtered search across generations — the multi-generation form of

@@ -98,10 +98,19 @@ object Pipeline {
     */
   def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
       k: Int): DataFrame = {
-    val docSh = Dedup.shingles(docs, k)
-    val benchSh = Dedup.shingles(benchmark, k)
+    // RAW shingles into the semi-join, distinct AFTER: n_hits counts a
+    // doc's DISTINCT contaminated shingles, and semi-join/distinct
+    // commute ((doc_id, shingle) pairs surviving the join are the same
+    // set either way) — but distinct-first shuffles the corpus's ENTIRE
+    // shingle relation, while distinct-after shuffles only the
+    // contaminated survivors (rare by construction: the benchmark side
+    // is small). The benchmark side deduplicates once on the bare
+    // shingle (its per-doc dedup was subsumed by that).
+    val docSh = Dedup.shinglesRaw(docs, k)
+    val benchSh = Dedup.shinglesRaw(benchmark, k)
       .select(col("shingle")).distinct()
     docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 

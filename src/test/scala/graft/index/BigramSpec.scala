@@ -230,6 +230,44 @@ class BigramSpec extends SparkSpecBase {
     } finally TieredQuery.guessFloor = floorBefore
   }
 
+  test("guess floor is per-engine: two engines with different floors coexist") {
+    import graft.corpus.Turn
+    import graft.query.TieredQuery
+    // same gap-doc corpus as the escalation test: claimed = 8 docs. An
+    // engine with a per-instance floor of 0 must escalate (tiny guess,
+    // all top slots claimed) while an engine at the DEFAULT floor on
+    // the same index must not (floor 50 covers the whole claimed set,
+    // so the non-adaptive worst-case-width branch runs) — and both
+    // must return identical results. The object-level var is untouched
+    // throughout.
+    val ts0 = new java.sql.Timestamp(60000000L)
+    val custom = (0 until 8).map { i =>
+      Turn(f"g$i%03d", 0, "user",
+        s"zebra quartz fill$i quartz nickel word$i", "", ts0)
+    } :+ Turn("g999", 0, "user", "unrelated filler text", "", ts0)
+    val dir = tmpDir("graft-perengine-floor")
+    import spark.implicits._
+    new IndexBuilder(spark, Map.empty, IndexConf(numParts = 2, indexBigrams = true))
+      .build(spark.createDataset(custom), dir)
+    val eTiny = new QueryEngine(spark, dir, Map.empty)
+    eTiny.handleQueryGuessFloor = 0
+    val eDefault = new QueryEngine(spark, dir, Map.empty)
+    val globalBefore = TieredQuery.guessFloor
+    def run(e: QueryEngine): Seq[(Long, Double, Int)] =
+      e.handleQuery("zebra quartz nickel", 1).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val before = TieredQuery.adaptiveEscalations.get()
+    val gotTiny = run(eTiny)
+    assert(TieredQuery.adaptiveEscalations.get() == before + 1,
+      "floor-0 engine must escalate")
+    val gotDefault = run(eDefault)
+    assert(TieredQuery.adaptiveEscalations.get() == before + 1,
+      "default-floor engine must not escalate")
+    assert(gotTiny == gotDefault, "per-engine floors must not change results")
+    assert(TieredQuery.guessFloor == globalBefore,
+      "per-engine overrides must not touch the process default")
+  }
+
   test("phrase-fills-k early exit: tier-0-only answer, identical to the exact form") {
     import graft.corpus.Turn
     import graft.query.TieredQuery
