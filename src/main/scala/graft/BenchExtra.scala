@@ -71,6 +71,17 @@ object BenchExtra {
     val sketch = graft.core.HashFamily.Xx64
     def documents = GraftQueries.documents(spark, sfDir)
 
+    // cat:<prefix>[,<prefix>...] — time whole catalog rows (the bench's
+    // own fn(spark, sfDir).count() action, min-of-2) without paying for
+    // the full Bench build stages; engine roots are built/warmed on
+    // first touch exactly as in Bench's pass 1.
+    pieces.filter(_.startsWith("cat:")).foreach { spec =>
+      val ps = spec.stripPrefix("cat:").split(',').map(_.trim).filter(_.nonEmpty)
+      GraftQueries.benchQueries.toSeq.sortBy(_._1)
+        .filter(q => ps.exists(q._1.startsWith))
+        .foreach { case (name, fn) => t(s"cat.$name")(fn(spark, sfDir).count()) }
+    }
+
     if (pieces("q48")) {
       val docs = documents.select(col("doc_id"), col("text"))
       def planted(offset: Long, bound: Int, tag: String) =

@@ -73,16 +73,77 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
 
   /** MinHash signatures: n independent 60-bit min-hashes over a doc's
-    * shingle set, computed in ONE typed pass (32 separate codegen'd
-    * md5/conv expression trees measured ~6x slower), followed by a
-    * map-side-combining element-wise-min reduce. The hash family is
-    * pluggable ([[graft.core.HashFamily]]): xxhash64 is the production
-    * default (several times cheaper); the md5 family — h_i(x) =
+    * shingle set, computed in ONE narrow typed pass with ZERO shuffles
+    * (round 6): a document's shingle stream fits in its task, so the
+    * element-wise min folds locally per doc — no explode relation, no
+    * hash-aggregate exchange. Per-shingle hash values come from the
+    * family's [[graft.core.HashFamily.signatureKernel]], whose parity
+    * with the column forms (xxhash64(lit(i), c) / StableHash h60) is
+    * pinned by HashFamilySpec, so signatures are bit-identical to the
+    * former explode + n-min-aggregates shape (DedupSpec pins the shape
+    * equivalence directly). The hash family is pluggable
+    * ([[graft.core.HashFamily]]): xxhash64 is the production default
+    * (several times cheaper); the md5 family — h_i(x) =
     * StableHash.h60(s"$i:$x"), reproducible by the DuckDB oracle
     * bit-for-bit — is pinned by graft.Verify for correctness rows.
+    *
+    * Parity notes (the old relational shape's exact semantics, kept):
+    * split on the single-space REGEX with limit -1 (trailing empty
+    * tokens survive, as Spark's `split(text, " ")` keeps them); docs
+    * with fewer than k tokens — and null-text docs — emit NO row;
+    * duplicate shingles are kept (min over a multiset == min over its
+    * set).
     */
   def minHashSignatures(docs: DataFrame, k: Int = 3, nHashes: Int = 32,
       family: graft.core.HashFamily = graft.core.HashFamily.default): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = nHashes
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val kernel = family.signatureKernel(n)
+        val sb = new java.lang.StringBuilder
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = text.split(" ", -1)
+            if (toks.length < k) Iterator.empty
+            else {
+              val mins = Array.fill(n)(Long.MaxValue)
+              var i = 0
+              val last = toks.length - k
+              while (i <= last) {
+                sb.setLength(0)
+                var j = 0
+                while (j < k) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(toks(i + j))
+                  j += 1
+                }
+                val hs = kernel(sb.toString)
+                var h = 0
+                while (h < n) {
+                  if (hs(h) < mins(h)) mins(h) = hs(h)
+                  h += 1
+                }
+                i += 1
+              }
+              Iterator.single((id, mins.toSeq))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "signature")
+  }
+
+  /** The pre-round-6 relational MinHash shape (explode + n min
+    * aggregates / kernel + reduceGroups), kept PRIVATE as the
+    * bit-identity reference for [[minHashSignatures]] — DedupSpec
+    * asserts new == old for both families on shaped corpora (empty
+    * docs, sub-k docs, duplicate shingles, trailing spaces).
+    */
+  private[ops] def minHashSignaturesRelational(docs: DataFrame, k: Int,
+      nHashes: Int, family: graft.core.HashFamily): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = nHashes
@@ -91,9 +152,6 @@ object Dedup {
     val raw = shinglesRaw(docs, k)
     val colHashes = (0 until n).map(i => family.h60iCol(i, col("shingle")))
     if (colHashes.forall(_.isDefined)) {
-      // whole-stage-codegen path: scan -> explode -> n hashes -> n min()
-      // hash-aggregates (map-side partial min), ONE shuffle of n longs
-      // per doc — no serialization boundary anywhere
       val aggs = colHashes.zipWithIndex.map { case (h, i) => min(h.get).as(s"_h$i") }
       raw.groupBy(col("doc_id"))
         .agg(aggs.head, aggs.tail: _*)
@@ -654,6 +712,45 @@ object Dedup {
     * persistent dir (round-5 verdict finding #3). Unset keeps the
     * cheaper localCheckpoint.
     */
+  /** The cap-gated union-find half of the local fast path, shared by
+    * [[connectedComponents]] and [[clusterDocs]]: collect the CANONICAL
+    * edge set under `localMaxEdges` (ONE limit(cap+1) collect — the
+    * driver transfer is bounded by the cap, never the graph size) and
+    * solve components in-process with path compression. Returns one
+    * (id, min-reachable-id) row per distinct endpoint (roots map to
+    * self), or None when the canonical edge set exceeds the cap.
+    */
+  private[ops] def localComponentAssign(edges: DataFrame,
+      localMaxEdges: Long): Option[Seq[(Long, Long)]] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cap = math.min(localMaxEdges, Int.MaxValue - 2L).toInt
+    val local = edges.toDF("u", "v")
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .limit(cap + 1).as[(Long, Long)].collect()
+    if (local.length > cap) return None
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    local.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    val seen = new java.util.HashSet[Long]()
+    Some(local.iterator.flatMap { case (u, v) => Iterator(u, v) }
+      .filter(seen.add).map(id => (id, find(id))).toSeq)
+  }
+
   def connectedComponents(edges: DataFrame, nodes: Option[DataFrame] = None,
       maxIter: Int = 50, localMaxEdges: Long = 2000000L,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -678,37 +775,19 @@ object Dedup {
     // distributed star-contraction below with nothing wasted but the
     // bounded collect.
     if (localMaxEdges > 0) {
-      val cap = math.min(localMaxEdges, Int.MaxValue - 2L).toInt
-      val spark0 = spark
-      import spark0.implicits._
-      val local = canon(edges.toDF("u", "v")).limit(cap + 1)
-        .as[(Long, Long)].collect()
-      if (local.length <= cap) {
-        lastCcRounds = 0
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-          var c = x // path compression
-          while (parent.getOrDefault(c, c) != c) {
-            val n = parent.get(c); parent.put(c, r); c = n
-          }
-          r
-        }
-        local.foreach { case (u, v) =>
-          val ru = find(u); val rv = find(v)
-          if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
-        }
-        // one row per distinct endpoint: (id, min reachable id). Root
-        // rows map to self, so the left join below needs no groupBy —
-        // isolated `nodes` ids fall through the coalesce.
-        val seen = new java.util.HashSet[Long]()
-        val assign = local.iterator.flatMap { case (u, v) => Iterator(u, v) }
-          .filter(seen.add).map(id => (id, find(id))).toSeq
-        return allIds.select(col("u").as("doc_id"))
-          .join(assign.toDF("doc_id", "component"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("component"), col("doc_id")).as("component"))
+      localComponentAssign(edges, localMaxEdges) match {
+        case Some(assign) =>
+          val spark0 = spark
+          import spark0.implicits._
+          lastCcRounds = 0
+          // assign has one row per distinct endpoint (roots map to
+          // self), so the left join needs no groupBy — isolated `nodes`
+          // ids fall through the coalesce.
+          return allIds.select(col("u").as("doc_id"))
+            .join(assign.toDF("doc_id", "component"), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("component"), col("doc_id")).as("component"))
+        case None => () // over cap: distributed star-contraction below
       }
     }
 
@@ -823,10 +902,48 @@ object Dedup {
   def clusterDocs(docs: DataFrame, pairs: DataFrame,
       localMaxEdges: Long = 2000000L,
       checkpointDir: Option[String] = None): DataFrame = {
-    val cc = connectedComponents(
-      pairs.select(pairs.columns(0), pairs.columns(1)),
+    val edges = pairs.select(pairs.columns(0), pairs.columns(1))
+    // Local fast path (round 6): when the canonical edge set fits under
+    // the cap, fold CLUSTER SIZES into the driver map too — every member
+    // of a multi-node component is an edge endpoint (it is incident to
+    // an edge by definition), so per-root member counts over the assign
+    // rows ARE the cluster sizes, and docs outside the assign are
+    // singletons of size 1. The former shape re-derived sizes
+    // distributed (groupBy(component) + join back) from a relation whose
+    // non-singleton part already lived on the driver — two exchanges
+    // per query for arithmetic the driver map answers directly.
+    // Distributed path above the cap is unchanged.
+    if (localMaxEdges > 0) {
+      localComponentAssign(edges, localMaxEdges) match {
+        case Some(assign) =>
+          val spark = docs.sparkSession
+          import spark.implicits._
+          lastCcRounds = 0
+          val sizes = new java.util.HashMap[Long, Long]()
+          assign.foreach { case (_, r) =>
+            sizes.put(r, sizes.getOrDefault(r, 0L) + 1L) }
+          val assignDf = assign
+            .map { case (id, r) => (id, r, sizes.get(r)) }
+            .toDF("doc_id", "component", "cluster_size")
+          // allIds = endpoints ∪ docs, exactly the CC relation's node
+          // universe (endpoints may lie outside docs; dup doc rows
+          // dedup), then ONE broadcast join against the driver map.
+          val endpointsDf = assign.map(_._1).toDF("doc_id")
+          return docs.select(col("doc_id")).union(endpointsDf).distinct()
+            .join(broadcast(assignDf), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("component"), col("doc_id")).as("component"),
+              coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+            .withColumn("is_representative", col("doc_id") === col("component"))
+            .select("doc_id", "component", "cluster_size", "is_representative")
+        case None => () // over cap: the distributed shape below
+      }
+    }
+    // localMaxEdges = 0: the cap probe above already established the
+    // graph is over cap — don't pay a second bounded collect inside CC
+    val cc = connectedComponents(edges,
       Some(docs.select(col("doc_id"))),
-      localMaxEdges = localMaxEdges, checkpointDir = checkpointDir)
+      localMaxEdges = 0L, checkpointDir = checkpointDir)
     val sizes = cc.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("component"))

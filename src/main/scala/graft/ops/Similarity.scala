@@ -131,12 +131,50 @@ object Similarity {
       .filter(col("sig").isin(buckets.toSeq: _*))
   }
 
+  /** [[withHyperplaneSig]] WITHOUT re-emitting the embedding: the typed
+    * map is opaque to Catalyst, so an embedding column in its output is
+    * serialized (object -> unsafe row, 64 floats per row) even when
+    * every downstream operator prunes it — and [[bandedHyperplane]]'s
+    * consumers all join embeddings back by id for scoring instead of
+    * riding them through the band shuffle (guide §2.3 / §4: shuffle
+    * keys, not payloads; select before an opaque map). Same signature
+    * values by construction (same planes, same fold).
+    */
+  private[ops] def hyperplaneSigsOnly(embeddings: DataFrame, nPlanes: Int,
+      dim: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63]: $nPlanes")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val planes = Array.tabulate(nPlanes, dim)((p, d) => planeWeight(p, d))
+        it.map { case (id, emb) =>
+          var sig = 0L
+          var p = 0
+          while (p < nPlanes) {
+            var dot = 0.0
+            val w = planes(p)
+            var d = 0
+            val n = math.min(dim, emb.length)
+            while (d < n) { dot += emb(d) * w(d); d += 1 }
+            if (dot > 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, sig)
+        }
+      }.toDF("vec_id", "sig")
+  }
+
   /** Banded hyperplane signatures with the oversized-bucket cap — the
     * shared candidate-generation relation for embeddingNearDups and
-    * knnJoin: (vec_id, embedding, band, key), where key is the band's
+    * knnJoin: (vec_id, band, key), where key is the band's
     * nPlanes/bands-bit slice of the signature and (band, key) groups
     * larger than maxBucket are dropped (B^2 join-row blowup guard; see
     * Dedup.capBuckets / oversizedBuckets for the reporting side).
+    * Ids-only (round 6): every consumer joins embeddings back by id,
+    * so the 64-float array never rides the banding explode or the cap
+    * anti-join.
     */
   private[ops] def bandedHyperplane(embeddings: DataFrame, nPlanes: Int,
       bands: Int, dim: Int, maxBucket: Int): DataFrame = {
@@ -144,8 +182,8 @@ object Similarity {
     val bits = nPlanes / bands
     require(bits <= 62, "band key must fit a long")
     val mask = (1L << bits) - 1
-    val sig = withHyperplaneSig(embeddings, nPlanes, dim)
-    val banded = sig.select(col("vec_id"), col("embedding"),
+    val sig = hyperplaneSigsOnly(embeddings, nPlanes, dim)
+    val banded = sig.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
       .as(Seq("band", "key")))

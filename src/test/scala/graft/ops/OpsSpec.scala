@@ -396,6 +396,61 @@ class DedupSpec extends SparkSpecBase {
     assert(res(4L) == ((4L, 1L, true)))
     assert(res.size == 6)
   }
+
+  test("clusterDocs: local driver-sizes path row-identical to the distributed shape") {
+    // the round-6 local path folds CLUSTER SIZES into the driver map
+    // (every multi-node-component member is an edge endpoint); it must
+    // be row-for-row identical to the distributed groupBy+join shape —
+    // including endpoints OUTSIDE docs (edge 100-101) and isolated docs
+    val spark0 = spark
+    import spark0.implicits._
+    val someDocs = docsDf((1L to 12L).map(i => i -> s"doc $i"))
+    val rnd = new scala.util.Random(11)
+    val pairs = edgesDf(
+      Seq.fill(9)((rnd.nextInt(12).toLong + 1, rnd.nextInt(12).toLong + 1)) ++
+        Seq((100L, 101L), (5L, 100L)))
+    def rows(cap: Long) = Dedup.clusterDocs(someDocs, pairs, localMaxEdges = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val local = rows(2000000L)
+    assert(Dedup.lastCcRounds == 0, "default cap must take the local path")
+    val distributed = rows(0L)
+    assert(Dedup.lastCcRounds > 0, "cap 0 must take the distributed rounds")
+    assert(local == distributed, "local clusterDocs drifts from distributed")
+    // out-of-docs endpoints carried through, sized with their component
+    // (>= {5, 100, 101}; random edges may enlarge it via node 5)
+    val m = local.map(t => t._1 -> t).toMap
+    assert(m(100L)._2 <= 5L && m(100L)._3 >= 3L && !m(100L)._4)
+    assert(m(101L)._2 == m(100L)._2 && m(101L)._3 == m(100L)._3)
+  }
+
+  test("minHashSignatures: zero-shuffle per-doc kernel is bit-identical to the relational shape (both families)") {
+    val spark0 = spark
+    import spark0.implicits._
+    // shaped corpus: sub-k docs and a null text must emit NO row;
+    // trailing/double spaces (split keeps empties), duplicate shingles
+    val shaped = Seq(
+      (1L, Option("a b c d e")),
+      (2L, Option("a b c d e")),
+      (3L, Option("x y")),              // sub-k: absent from output
+      (4L, None: Option[String]),       // null text: absent
+      (5L, Option("a b c a b c a b c")), // duplicate shingles
+      (6L, Option("p q  r s ")),        // double + trailing space
+      (7L, Option(""))                  // empty text: absent
+    ).toDF("doc_id", "text")
+    Seq(graft.core.HashFamily.Xx64, graft.core.HashFamily.Md5).foreach { fam =>
+      def sigMap(df: DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val local = sigMap(Dedup.minHashSignatures(shaped, k = 3, nHashes = 8,
+        family = fam))
+      val relational = sigMap(Dedup.minHashSignaturesRelational(shaped, k = 3,
+        nHashes = 8, family = fam))
+      assert(local.keySet == Set(1L, 2L, 5L, 6L),
+        s"${fam.name}: doc universe drifts: ${local.keySet}")
+      assert(local == relational, s"${fam.name}: signatures drift")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpecBase {
