@@ -423,13 +423,15 @@ object GraftQueries {
       // signatures MATERIALIZED once (the minHashStarEdges scaladoc
       // contract): minHashCandidates references the relation for
       // banding, the bucket cap, and both verification join-backs —
-      // inlined, the tokenize+32-hash+min-agg subtree appeared six
-      // times in the physical plan (77k-char explain). Long arrays
-      // round-trip parquet exactly, so results are unchanged.
-      val sigsPath = s"${auxDir(dir)}/q18_sigs"
-      Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
-        family = sketch).write.mode("overwrite").parquet(sigsPath)
-      val sigs = s.read.parquet(sigsPath)
+      // inlined, the tokenize+hash+min subtree appeared six times in
+      // the physical plan (77k-char explain). localCheckpoint, not a
+      // parquet round-trip: the oracle never reads this relation (it
+      // recomputes signatures from documents), so the materialization
+      // only needs to cut the plan — in-memory blocks skip the parquet
+      // encode + per-reference file listing/decode. Values unchanged
+      // (the checkpoint holds the exact computed rows).
+      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3,
+        nHashes = 32, family = sketch).localCheckpoint()
       Dedup.minHashCandidates(sigs, bands = 8, rowsPerBand = 4, minEstJaccard = 0.5,
         family = sketch)
         .orderBy("doc_a", "doc_b")
@@ -843,12 +845,11 @@ object GraftQueries {
       val p1 = planted(1000000L, 20, "hopone")
       val p2 = planted(2000000L, 10, "hoptwo")
       val all = docs.union(p1).union(p2)
-      // signatures materialized once (see q18) — the candidate
-      // generator references them six times in one plan otherwise
-      val sigsPath = s"${auxDir(dir)}/q48_sigs"
-      Dedup.minHashSignatures(all, k = 3, nHashes = 32, family = sketch)
-        .write.mode("overwrite").parquet(sigsPath)
-      val sigs = s.read.parquet(sigsPath)
+      // signatures materialized once via localCheckpoint (see q18) —
+      // the candidate generator references them six times in one plan
+      // otherwise; the oracle reads only q48_edges below, never sigs
+      val sigs = Dedup.minHashSignatures(all, k = 3, nHashes = 32,
+        family = sketch).localCheckpoint()
       val chain = docs.filter(col("doc_id") < 20).select(
           col("doc_id").as("doc_a"),
           (col("doc_id") + 1000000).as("doc_b"))
@@ -1000,11 +1001,9 @@ object GraftQueries {
       // signatures materialized once — this is literally the
       // minHashStarEdges scaladoc's at-scale contract ("pass a
       // MATERIALIZED table, or the signature pipeline re-evaluates
-      // per reference"); see q18
-      val sigsPath = s"${auxDir(dir)}/q56_sigs"
-      Dedup.minHashSignatures(docs.union(planted), k = 3, nHashes = 32,
-        family = sketch).write.mode("overwrite").parquet(sigsPath)
-      val sigs = s.read.parquet(sigsPath)
+      // per reference"); localCheckpoint form, see q18
+      val sigs = Dedup.minHashSignatures(docs.union(planted), k = 3,
+        nHashes = 32, family = sketch).localCheckpoint()
       Dedup.minHashStarEdges(sigs, bands = 8, rowsPerBand = 4,
         minEstJaccard = 0.5, family = sketch)
         .orderBy("doc_id", "rep")

@@ -295,7 +295,11 @@ object Dedup {
     * the verification step after LSH candidate generation.
     */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
-    val sets = shingles(docs, k).groupBy("doc_id")
+    // raw shingles: collect_set dedups by definition, so the distinct's
+    // full (doc_id, shingle) pre-shuffle was pure overhead — and this
+    // relation is evaluated once per pair side (two joins below), so
+    // the removed exchange is saved twice (guide §2.4)
+    val sets = shinglesRaw(docs, k).groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
