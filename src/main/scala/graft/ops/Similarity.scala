@@ -182,7 +182,16 @@ object Similarity {
     val bits = nPlanes / bands
     require(bits <= 62, "band key must fit a long")
     val mask = (1L << bits) - 1
-    val sig = hyperplaneSigsOnly(embeddings, nPlanes, dim)
+    // sig relation materialized ONCE (localCheckpoint): every caller's
+    // plan references the banded relation repeatedly (self-join sides,
+    // the cap's count aggregate and its anti-join), and once the rows
+    // are this narrow AQE broadcasts the small sides — which defeats
+    // exchange reuse, so WITHOUT materialization the opaque typed sig
+    // map re-ran up to four times per query (observed in the q21
+    // explain). 16 bytes/vector (MEMORY_AND_DISK, executor-local,
+    // deterministically recomputable), orders of magnitude smaller
+    // than the embeddings input at any scale.
+    val sig = hyperplaneSigsOnly(embeddings, nPlanes, dim).localCheckpoint()
     val banded = sig.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("sig"), b * bits).bitwiseAND(mask)))
