@@ -115,6 +115,17 @@ object BenchExtra {
           localMaxEdges = 0L)))
     }
 
+    if (pieces("q38")) {
+      val eng = GraftQueries.engineLemmaFor(spark, sfDir)
+      t("q38.handleQuery")(noop(eng.handleQuery("merge sort table", 100)))
+      t("q38.phraseMatch")(
+        eng.phraseMatch(Seq("merge", "sort", "table")).limit(300001).collect())
+      t("q38.bigramConj")(
+        eng.conjunctive(Seq("merge sort", "sort table")).limit(300001).collect())
+      t("q38.row_full")(noop(
+        GraftQueries.benchQueries("q38_handle_query_tiers")(spark, sfDir)))
+    }
+
     if (pieces("q25")) {
       val eng = GraftQueries.engineFor(spark, sfDir)
       t("q25.engine_warm_noop")(eng.docs.select("doc_id").limit(1).collect())

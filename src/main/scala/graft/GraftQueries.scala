@@ -667,10 +667,21 @@ object GraftQueries {
       // /*.json), and the query result is orderBy(id) — rows are
       // file-layout-independent, so the single-file shape bought
       // nothing but the serial write.
-      articles.write.mode("overwrite")
-        .option("compression", "bzip2").json(s"${auxDir(dir)}/q37_wiki_bz2")
-      articles.write.mode("overwrite")
-        .json(s"${auxDir(dir)}/q37_wiki_plain")
+      // The two dumps are INDEPENDENT actions writing disjoint
+      // directories: submit them from two threads (guide §2.6 —
+      // overlap independent jobs) so the cheap plain-JSON write
+      // back-fills executors the bz2 compression tail leaves idle.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val wBz2 = Future(articles.write.mode("overwrite")
+          .option("compression", "bzip2").json(s"${auxDir(dir)}/q37_wiki_bz2"))
+        val wPlain = Future(articles.write.mode("overwrite")
+          .json(s"${auxDir(dir)}/q37_wiki_plain"))
+        Await.result(wBz2, Duration.Inf)
+        Await.result(wPlain, Duration.Inf)
+      }
       val arts = graft.corpus.WikiSource.readArticles(s,
         s"${auxDir(dir)}/q37_wiki_bz2")
       val plain = graft.corpus.WikiSource.plaintext(col("text"))

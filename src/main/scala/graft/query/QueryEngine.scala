@@ -1673,6 +1673,20 @@ private[graft] object TieredQuery {
     // Clamped: limit(cap + 1) with cap = Int.MaxValue (a natural way to
     // "disable" the cap) would overflow to a negative limit and throw.
     val cap = math.min(claimCap, Int.MaxValue - 1)
+    // The bigram-conjunctive probe overlaps the phrase probe (guide
+    // §2.6; the reference itself runs its strategies on separate
+    // threads, search_engine/mod.rs:147-206): both are independent
+    // cap-bounded collects, and running them sequentially paid two
+    // driver round-trips back to back. Launched BEFORE the phrase
+    // collect; on the phrase-fill early exit below the in-flight probe
+    // completes unused — a bounded (cap+1-row) collect on executors the
+    // exit leaves idle, never a correctness input. Engines without an
+    // active bigram tier (conjDocs = None) launch nothing.
+    val conjF = s.conjDocs.map { c =>
+      scala.concurrent.Future(c.select(col("doc_id"))
+        .limit(cap + 1).as[Long].collect())(
+        scala.concurrent.ExecutionContext.global)
+    }
     val phraseIds = s.phraseDocs.select(col("doc_id"))
       .limit(cap + 1).as[Long].collect()
     // Early exit when the phrase tier alone fills k: finish() orders
@@ -1689,8 +1703,8 @@ private[graft] object TieredQuery {
       java.util.Arrays.sort(phraseIds)
       return finish(s.candScores(phraseIds).withColumn("tier", lit(0)), k)
     }
-    val conjIds = s.conjDocs.map(_.select(col("doc_id"))
-      .limit(cap + 1).as[Long].collect()).getOrElse(Array.empty[Long])
+    val conjIds = conjF.map(f => scala.concurrent.Await.result(f,
+      scala.concurrent.duration.Duration.Inf)).getOrElse(Array.empty[Long])
     if (s.unigramsPresent && phraseIds.length <= cap && conjIds.length <= cap) {
       setPath("pruned")
       java.util.Arrays.sort(phraseIds)
